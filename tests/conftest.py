@@ -1,0 +1,19 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax initializes.
+
+Multi-chip sharding paths are validated on host CPU devices
+(xla_force_host_platform_device_count); real-TPU benchmarking happens in
+bench.py, not in the unit suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")

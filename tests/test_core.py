@@ -1,0 +1,223 @@
+"""Unit tests for wiw_tpu.core: schedules, action codecs, pano noise.
+
+Golden values are derived from the reference formulas (cited in each module),
+computed independently here with numpy — not by running reference code.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiw_tpu.core import actions as A
+from wiw_tpu.core import noise as N
+from wiw_tpu.core import schedule as S
+
+
+class TestSchedule:
+    def test_karras_sigmas_endpoints(self):
+        s = np.asarray(S.karras_sigmas(25))
+        assert s.shape == (26,)
+        assert s[-1] == 0.0
+        np.testing.assert_allclose(s[0], 700.0, rtol=1e-5)
+        np.testing.assert_allclose(s[-2], 0.002, rtol=1e-4)
+        assert np.all(np.diff(s) < 0)  # strictly decreasing
+
+    def test_karras_formula_midpoint(self):
+        # independent recomputation of the rho-interpolated schedule
+        n, rho = 10, 7.0
+        i = 4
+        ramp = i / (n - 1)
+        expect = (700 ** (1 / rho) + ramp * (0.002 ** (1 / rho) - 700 ** (1 / rho))) ** rho
+        np.testing.assert_allclose(float(S.karras_sigmas(n)[i]), expect, rtol=1e-5)
+
+    def test_preconditioning_identity(self):
+        # denoised == x0 when model perfectly predicts v-target:
+        # v = (x0 * c_skip + ... ) inversion: for model_out = (noisy*c_skip - x0)/c_out
+        key = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(key, (2, 3, 4, 4))
+        sigma = jnp.float32(2.5)
+        noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+        noisy = x0 + noise * sigma
+        c_out = -sigma / jnp.sqrt(sigma**2 + 1)
+        c_skip = 1 / (sigma**2 + 1)
+        perfect = (x0 - c_skip * noisy) / c_out
+        denoised = S.precondition_outputs(perfect, noisy, sigma)
+        np.testing.assert_allclose(np.asarray(denoised), np.asarray(x0), atol=1e-4)
+
+    def test_euler_step_exact_for_linear(self):
+        # if denoised == x0 exactly, euler step moves along x = x0 + sigma*eps
+        x0 = jnp.ones((4,))
+        eps = jnp.full((4,), 2.0)
+        s0, s1 = jnp.float32(10.0), jnp.float32(5.0)
+        x = x0 + s0 * eps
+        out = S.euler_step(x, x0, s0, s1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x0 + s1 * eps), rtol=1e-6)
+
+    def test_training_sigma_distribution(self):
+        sig = S.sample_training_sigmas(jax.random.PRNGKey(0), 4096)
+        logs = np.log(np.asarray(sig).ravel())
+        assert abs(logs.mean() - 0.7) < 0.1
+        assert abs(logs.std() - 1.6) < 0.1
+
+    def test_guidance_linspace(self):
+        g = np.asarray(S.guidance_scales(14))
+        assert g[0] == 1.0 and g[-1] == 3.0 and len(g) == 14
+
+    def test_timestep_embedding_matches_formula(self):
+        dim = 8
+        t = jnp.array([3.0])
+        emb = np.asarray(S.timestep_embedding(t, dim))
+        half = dim // 2
+        freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
+        args = 3.0 * freqs
+        expect = np.concatenate([np.cos(args), np.sin(args)])
+        np.testing.assert_allclose(emb[0], expect, rtol=1e-5)
+
+    def test_sigma_to_t(self):
+        np.testing.assert_allclose(float(S.sigma_to_t(jnp.e**4)), 1.0, rtol=1e-4)
+
+
+class TestActions:
+    def test_onehot_first_frame_is_stop(self):
+        acts = jnp.array([[1, 2, 3, 4], [2, 1, 1, 1]])
+        oh = np.asarray(A.encode_onehot(acts))
+        assert oh.shape == (2, 4, 4)
+        np.testing.assert_array_equal(oh[0, 0], [0, 0, 0, 1])
+        np.testing.assert_array_equal(oh[1, 0], [0, 0, 0, 1])
+        np.testing.assert_array_equal(oh[0, 1], [0, 1, 0, 0])  # turn_left -> idx 1
+        np.testing.assert_array_equal(oh[0, 2], [0, 0, 1, 0])  # turn_right -> idx 2
+        np.testing.assert_array_equal(oh[1, 3], [1, 0, 0, 0])  # forward -> idx 0
+
+    def test_idx_encoding_triangular(self):
+        acts = jnp.array([[1, 2, 3, 1]])
+        enc = np.asarray(A.encode_idx(acts))
+        assert enc.shape == (1, 4, 4)
+        # frame 0 reveals only its own (forced stop) action
+        np.testing.assert_array_equal(enc[0, 0], [4, 0, 0, 0])
+        np.testing.assert_array_equal(enc[0, 1], [4, 2, 0, 0])
+        np.testing.assert_array_equal(enc[0, 2], [4, 2, 3, 0])
+        np.testing.assert_array_equal(enc[0, 3], [4, 2, 3, 1])
+
+    def test_idx_roundtrip(self):
+        acts = jnp.array([[1, 2, 3, 1, 4]])
+        enc = A.encode_idx(acts)
+        dec = np.asarray(A.decode_idx(enc))
+        expect = np.array([[4, 2, 3, 1, 4]])  # frame0 forced stop
+        np.testing.assert_array_equal(dec, expect)
+
+    def test_positional_encoding(self):
+        acts = jnp.arange(1, 7, dtype=jnp.float32).reshape(1, 3, 2)  # L=3, A=2
+        out = np.asarray(A.encode_positional(acts))
+        assert out.shape == (1, 3, 4)
+        np.testing.assert_array_equal(out[0, 0], [1, 2, 0, 0])
+        np.testing.assert_array_equal(out[0, 1], [0, 3, 4, 0])
+        np.testing.assert_array_equal(out[0, 2], [0, 0, 5, 6])
+
+    def test_quat_to_rotmat_identity_and_z90(self):
+        np.testing.assert_allclose(
+            np.asarray(A.quat_to_rotmat(jnp.array([0.0, 0, 0, 1]))), np.eye(3), atol=1e-6
+        )
+        s2 = np.sqrt(0.5)
+        r = np.asarray(A.quat_to_rotmat(jnp.array([0.0, 0, s2, s2])))
+        expect = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        np.testing.assert_allclose(r, expect, atol=1e-6)
+
+    def test_quat_matches_scipy(self):
+        from scipy.spatial.transform import Rotation
+
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(5, 4))
+        ours = np.asarray(A.quat_to_rotmat(jnp.asarray(q)))
+        theirs = Rotation.from_quat(q).as_matrix()
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+    def test_normalize_action_ranges(self):
+        out = np.asarray(
+            A.normalize_action(jnp.zeros((3,)), jnp.zeros((6,)), jnp.array(0.5))
+        )
+        assert out.shape == (10,)
+        # rel_xyz = 0 -> midpoint -> 0; r6 = 0 -> midpoint -> 0; grip 0.5 -> 0
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)
+        hi = np.asarray(
+            A.normalize_action(
+                jnp.asarray(A.SCENE_BOUNDS[3:] - A.SCENE_BOUNDS[:3]),
+                jnp.ones((6,)),
+                jnp.array(1.0),
+            )
+        )
+        np.testing.assert_allclose(hi[:3], 2 * np.pi, rtol=1e-5)
+        np.testing.assert_allclose(hi[3:9], np.pi, rtol=1e-5)
+        np.testing.assert_allclose(hi[9], np.pi, rtol=1e-5)
+
+    def test_pose_absolute_center_is_zero(self):
+        center = 0.5 * (A.SCENE_BOUNDS[:3] + A.SCENE_BOUNDS[3:])
+        act = jnp.concatenate(
+            [jnp.asarray(center), jnp.array([0.0, 0, 0, 1]), jnp.array([0.5])]
+        )[None, :]
+        out = np.asarray(A.encode_pose_absolute(act))
+        np.testing.assert_allclose(out[0, :3], 0.0, atol=1e-5)
+        # identity rotation r6 = [1,0,0,1,0,0] -> maps to +pi/-pi pattern
+        expect_r6 = np.pi * np.array([1, 0, 0, 1, 0, 0.0])
+        np.testing.assert_allclose(out[0, 3:9], expect_r6, atol=1e-5)
+
+    def test_pose_relative_first_row_zero(self):
+        rng = np.random.default_rng(1)
+        q = rng.normal(size=(4, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        act = np.concatenate(
+            [rng.uniform(-0.2, 0.2, (4, 3)), q, rng.uniform(0, 1, (4, 1))], axis=-1
+        )
+        out = np.asarray(A.encode_pose_relative(jnp.asarray(act)))
+        assert out.shape == (4, 10)
+        np.testing.assert_allclose(out[0], 0.0)
+
+    def test_get_action_ids_dispatch(self):
+        nav = jnp.array([[1, 2, 3]])
+        assert A.get_action_ids(nav, "action_block").shape == (1, 3, 4)
+        assert A.get_action_ids(nav, "micro_cond").shape == (1, 3, 3)
+        manip = jnp.zeros((2, 5, 8)).at[..., 6].set(1.0)
+        assert A.get_action_ids(manip, "micro_cond").shape == (2, 5, 10)
+
+
+class TestNoise:
+    def test_rotation_shift_table(self):
+        assert N.rotation_shift(22.5, 64) == 4
+        assert N.rotation_shift(-22.5, 64) == -4
+        assert N.rotation_shift(90, 64) == 16
+        assert N.rotation_shift(180, 64) == 32
+        assert N.rotation_shift(67.5, 64) == 12
+        assert N.rotation_shift(-112.5, 64) == -20
+        assert N.rotation_shift(0, 64) == 0
+        with pytest.raises(ValueError):
+            N.rotation_shift(30, 64)
+        with pytest.raises(ValueError):
+            N.rotation_shift(22.5, 100)  # 100 not divisible by 16
+
+    def test_sample_latent_noise_turn_correlation(self):
+        key = jax.random.PRNGKey(0)
+        # actions: [stop, turn_left, forward, turn_right, turn_right]
+        acts = jnp.array([[4, 2, 1, 3, 3]])
+        shape = (1, 5, 2, 8, 32)
+        out = np.asarray(N.sample_latent_noise(key, acts, shape))
+        # frame1 = roll(frame0, +2) since W=32 -> shift 2
+        np.testing.assert_allclose(out[0, 1], np.roll(out[0, 0], 2, axis=-1), atol=1e-6)
+        # frame2 is fresh: not a roll of frame1
+        assert not np.allclose(out[0, 2], np.roll(out[0, 1], 2, axis=-1))
+        # frame3 = roll(frame2, -2); frame4 = roll(frame3, -2)
+        np.testing.assert_allclose(out[0, 3], np.roll(out[0, 2], -2, axis=-1), atol=1e-6)
+        np.testing.assert_allclose(out[0, 4], np.roll(out[0, 3], -2, axis=-1), atol=1e-6)
+
+    def test_sample_latent_noise_batch_independent(self):
+        key = jax.random.PRNGKey(3)
+        acts = jnp.array([[4, 2], [4, 1]])
+        out = np.asarray(N.sample_latent_noise(key, acts, (2, 2, 1, 4, 16)))
+        np.testing.assert_allclose(out[0, 1], np.roll(out[0, 0], 1, axis=-1), atol=1e-6)
+        assert not np.allclose(out[1, 1], np.roll(out[1, 0], 1, axis=-1))
+
+    def test_jit_under_vmapless_batch(self):
+        fn = jax.jit(
+            lambda k, a: N.sample_latent_noise(k, a, (2, 3, 1, 4, 16)),
+        )
+        out = fn(jax.random.PRNGKey(0), jnp.array([[4, 2, 3], [4, 1, 1]]))
+        assert out.shape == (2, 3, 1, 4, 16)

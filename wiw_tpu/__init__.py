@@ -1,0 +1,22 @@
+"""wiw_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework with the capabilities of
+World-In-World/world-in-world.
+
+Layout (mirrors SURVEY.md §7's architecture):
+  core/      numerics: EDM/Euler schedules, action codecs, pano-correlated noise
+  models/    pure-JAX model library: VAE (temporal decoder), CLIP image encoder,
+             spatio-temporal UNet with action conditioning
+  ops/       Pallas TPU kernels + XLA fallbacks (fused attention, rolls, scatter)
+  sampling/  the img2vid generation pipeline (CFG folded into batch, lax.scan denoise)
+  parallel/  mesh construction + sharding specs (dp/fsdp over ICI)
+  train/     pjit trainer: EDM objective, EMA, grad-accum, orbax checkpoints
+  serve/     WM serving plane: framed-pickle protocol (wire compatible with the
+             reference), manager, batcher, worker SDK, C++ framing shim
+  geo/       equirect<->perspective/cube warps, spherical bbox projection,
+             point-cloud reprojection / void-ratio filtering
+  eval/      PSNR/SSIM/LPIPS/FVD + task metric aggregation
+  agents/    solvers (AR/AEQA/IGNav + GTsim oracle), VLM client, state/saver
+  data/      trajectory dataset + re-derived dataset_utils
+  utils/     logging, tree utils, typed config
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,1 @@
+from wiw_tpu.core import actions, noise, schedule  # noqa: F401

@@ -1,0 +1,205 @@
+"""Action codecs: discrete nav actions and continuous manipulation poses.
+
+Behavioral parity targets (reference, checked against formulas only):
+  * one-hot nav encoding ('action_block'): utils/svd_utils.py:652-676
+  * triangular "revealed so far" index encoding ('micro_cond' nav):
+    utils/svd_utils.py:594-632 (decode: pipeline_stable_video_diffusion.py:826-844)
+  * manipulation 8-D pose -> normalized 10-D (xyz, rot6d, grip):
+    utils/svd_utils.py:377-541
+
+All codecs are vectorized jnp (no Python loops over batch/frames) so they
+trace once under jit with static [B, F] shapes.
+
+Nav action vocabulary (utils/svd_utils.py:613, prompts.py:21-24):
+  1 = forward (0.2 m), 2 = turn_left (22.5 deg), 3 = turn_right (22.5 deg),
+  4 = stop, 0 = placeholder.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+ACTION_FORWARD = 1
+ACTION_TURN_LEFT = 2
+ACTION_TURN_RIGHT = 3
+ACTION_STOP = 4
+ACTION_PLACEHOLDER = 0
+
+NUM_ACTION_CLASSES = 4
+
+# Manipulation workspace bounds (xmin, ymin, zmin, xmax, ymax, zmax)
+# (utils/svd_utils.py:15)
+SCENE_BOUNDS = np.array([-0.3, -0.5, 0.6, 0.7, 0.5, 1.6], dtype=np.float32)
+
+TWO_PI = 2.0 * np.pi
+
+
+def encode_onehot(actions: jnp.ndarray) -> jnp.ndarray:
+    """'action_block' codec: [B, F] one-indexed ids -> [B, F, 4] one-hot.
+
+    Frame 0 is forced to 'stop' ([0, 0, 0, 1]); remaining frames are
+    one_hot(action - 1) (svd_utils.py:652-676).
+    """
+    assert actions.ndim == 2, f"expected [B, F], got {actions.shape}"
+    zero_indexed = actions.astype(jnp.int32) - 1
+    onehot = jnp.eye(NUM_ACTION_CLASSES, dtype=jnp.float32)[
+        jnp.clip(zero_indexed, 0, NUM_ACTION_CLASSES - 1)
+    ]
+    stop = jnp.zeros((NUM_ACTION_CLASSES,), jnp.float32).at[ACTION_STOP - 1].set(1.0)
+    return onehot.at[:, 0, :].set(stop)
+
+
+def encode_idx(actions: jnp.ndarray) -> jnp.ndarray:
+    """'micro_cond' nav codec: [B, F] ids -> [B, F, F] triangular encoding.
+
+    out[b, i, j] = a[b, j] for j <= i else 0, where a[b, 0] is forced to
+    stop (4). Frame i therefore "reveals" the actions taken so far
+    (svd_utils.py:594-632).
+    """
+    assert actions.ndim == 2, f"expected [B, F], got {actions.shape}"
+    F = actions.shape[1]
+    a = actions.astype(jnp.int32).at[:, 0].set(ACTION_STOP)
+    mask = jnp.tril(jnp.ones((F, F), jnp.int32))  # [i, j] = j <= i
+    return a[:, None, :] * mask[None, :, :]
+
+
+def decode_idx(action_seq_frames: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of encode_idx: the diagonal holds frame i's own action id
+    (pipeline_stable_video_diffusion.py:826-844)."""
+    return jnp.diagonal(action_seq_frames, axis1=-2, axis2=-1)
+
+
+def encode_positional(actions: jnp.ndarray) -> jnp.ndarray:
+    """Positional codec (svd_utils.py:567-591): [B, L, A] -> [B, L, L+A-1]
+    with row i holding its action vector at column offset i."""
+    assert actions.ndim == 3
+    B, L, A = actions.shape
+    out_len = L + A - 1
+    rows = jnp.arange(L)[:, None]  # [L, 1]
+    cols = rows + jnp.arange(A)[None, :]  # [L, A]: row i occupies columns i..i+A-1
+    base = jnp.zeros((B, L, out_len), actions.dtype)
+    return base.at[:, rows, cols].set(actions)
+
+
+def quat_to_rotmat(quat: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion(s) (x, y, z, w) -> rotation matrix, matching
+    scipy.spatial.transform.Rotation.from_quat (svd_utils.py:358-375).
+
+    quat: [..., 4] -> [..., 3, 3]. Normalizes input like scipy does.
+    """
+    q = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - z * w)
+    r02 = 2 * (x * z + y * w)
+    r10 = 2 * (x * y + z * w)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - x * w)
+    r20 = 2 * (x * z - y * w)
+    r21 = 2 * (y * z + x * w)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], -1),
+            jnp.stack([r10, r11, r12], -1),
+            jnp.stack([r20, r21, r22], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _to_range(z01: jnp.ndarray, rescale: bool) -> jnp.ndarray:
+    """Linear map [0,1] -> [-2pi, 2pi] (or [-pi, pi] when rescale)
+    (svd_utils.py:500-541)."""
+    high = TWO_PI / (2.0 if rescale else 1.0)
+    low = -high
+    return z01 * (high - low) + low
+
+
+def normalize_action(
+    rel_xyz: jnp.ndarray, rel_r6: jnp.ndarray, gripper: jnp.ndarray
+) -> jnp.ndarray:
+    """Map (dxyz [.,3], rot6d [.,6], grip [.]) -> normalized 10-D
+    (svd_utils.py:500-541). Returns [..., 10]."""
+    span = jnp.asarray(SCENE_BOUNDS[3:] - SCENE_BOUNDS[:3])
+    xyz01 = (jnp.clip(rel_xyz / jnp.maximum(span, 1e-8), -1.0, 1.0) + 1.0) * 0.5
+    r601 = (jnp.clip(rel_r6, -1.0, 1.0) + 1.0) * 0.5
+    g01 = jnp.clip(gripper, 0.0, 1.0)
+    return jnp.concatenate(
+        [
+            _to_range(xyz01, rescale=False),
+            _to_range(r601, rescale=True),
+            _to_range(g01, rescale=True)[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def _rot6d(rotmats: jnp.ndarray) -> jnp.ndarray:
+    """First two *columns* of R, row-major flattened: [R00,R01,R10,R11,R20,R21]
+    (svd_utils.py:449 `rotmats[i, :, :2].reshape(6)`)."""
+    return rotmats[..., :, :2].reshape(*rotmats.shape[:-2], 6)
+
+
+def encode_pose_absolute(continuous_action: jnp.ndarray) -> jnp.ndarray:
+    """Manip codec, absolute pose: [T, 8] (xyz, quat xyzw, grip) -> [T, 10].
+
+    xyz is embedded as a synthetic relative vector 2*(xyz - scene_center)
+    (svd_utils.py:421-457).
+    """
+    xyz = continuous_action[..., :3]
+    rotm = quat_to_rotmat(continuous_action[..., 3:7])
+    grip = continuous_action[..., 7]
+    center = jnp.asarray(0.5 * (SCENE_BOUNDS[:3] + SCENE_BOUNDS[3:]))
+    rel_xyz = 2.0 * (xyz - center)
+    return normalize_action(rel_xyz, _rot6d(rotm), grip)
+
+
+def encode_pose_relative(continuous_action: jnp.ndarray) -> jnp.ndarray:
+    """Manip codec, relative pose: [T, 8] -> [T, 10]; row 0 all zeros.
+
+    rel_xyz = R_prev^T (xyz_t - xyz_{t-1}); rel_R = R_prev^T R_t
+    (svd_utils.py:459-498).
+    """
+    xyz = continuous_action[..., :3]
+    rotm = quat_to_rotmat(continuous_action[..., 3:7])
+    grip = continuous_action[..., 7]
+    delta = xyz[1:] - xyz[:-1]
+    prev_t = jnp.swapaxes(rotm[:-1], -1, -2)
+    rel_xyz = jnp.einsum("nij,nj->ni", prev_t, delta)
+    rel_rot = jnp.einsum("nij,njk->nik", prev_t, rotm[1:])
+    rows = normalize_action(rel_xyz, _rot6d(rel_rot), grip[1:])
+    zero = jnp.zeros((1, 10), rows.dtype)
+    return jnp.concatenate([zero, rows], axis=0)
+
+
+def get_action_ids(
+    actions: jnp.ndarray,
+    strategy: str,
+    use_absolute_pose: bool = True,
+) -> jnp.ndarray:
+    """Dispatch matching svd_utils.py:544-567. `actions`: [B, F] nav ids or
+    [B, F, 8] manip poses."""
+    if strategy in ("action_block", "action_block_nocfg"):
+        return encode_onehot(actions)
+    if strategy == "micro_cond":
+        if actions.ndim == 2:
+            return encode_idx(actions).astype(jnp.float32)
+        encode = encode_pose_absolute if use_absolute_pose else encode_pose_relative
+        return jnp.stack([encode(actions[b]) for b in range(actions.shape[0])])
+    return jnp.zeros((0,), jnp.float32)
+
+
+def actions_to_prompt(action_ids, task_type: str = "navigation") -> str:
+    """Text rendering of a nav action sequence for text-conditioned WMs
+    (downstream/api_models/__init__.py:51-65)."""
+    names = {
+        1: "forward 0.2m",
+        2: "turn_left 22.5\N{DEGREE SIGN}",
+        3: "turn_right 22.5\N{DEGREE SIGN}",
+        4: "stop",
+        0: "placeholder",
+    }
+    seq = [names.get(int(a), "placeholder") for a in np.asarray(action_ids).reshape(-1)]
+    return "Follow this sequence of camera motions: " + str(seq)

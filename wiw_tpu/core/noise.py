@@ -1,0 +1,96 @@
+"""Pano-correlated initial latent noise.
+
+Parity target: `sample_latent_noise` / `rotate_by_degrees`
+(utils/svd_utils.py:39-126 and the pipeline-local copy,
+pipeline_stable_video_diffusion.py:750-824).
+
+Semantics: frame 0 keeps its own fresh Gaussian noise. For each later frame,
+if the action is turn_left (2) the frame's noise is REPLACED by the previous
+frame's (already processed) noise cyclically rolled by +W/16 lanes (22.5 deg
+of a 360 deg pano); turn_right (3) rolls by -W/16; any other action keeps the
+frame's own fresh noise. This is inherently a sequential recurrence over the
+frame axis, expressed here as a `lax.scan` (F is small and static, e.g. 14),
+with each step a pure jnp.roll that lowers to a cheap lane rotation on TPU.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+
+from wiw_tpu.core.actions import ACTION_TURN_LEFT, ACTION_TURN_RIGHT
+
+# angle (deg) -> width denominator; shift = width * (1/denom)
+# (utils/svd_utils.py:16-23: e.g. "16/3" means shift = width*3/16)
+ANGLE_TO_FRACTION = {
+    22.5: Fraction(1, 16),
+    45.0: Fraction(1, 8),
+    67.5: Fraction(3, 16),
+    90.0: Fraction(1, 4),
+    112.5: Fraction(5, 16),
+    180.0: Fraction(1, 2),
+}
+
+
+def rotation_shift(angle: float, width: int) -> int:
+    """Lane shift for a pano rotation by `angle` degrees at pixel width `width`.
+
+    Matches get_rotate_shift (utils/svd_utils.py:113-129): magnitude from the
+    angle table, sign = sign of the angle.
+    """
+    a = float(angle)
+    if a in (0.0, 360.0, -360.0):
+        return 0
+    frac = ANGLE_TO_FRACTION.get(abs(a))
+    if frac is None:
+        raise ValueError(f"Unsupported pano rotation angle {angle}")
+    num = width * frac.numerator
+    if num % frac.denominator != 0:
+        raise ValueError(f"width {width} not divisible for angle {angle}")
+    shift = num // frac.denominator
+    return shift if a > 0 else -shift
+
+
+def rotate_pano(x: jnp.ndarray, angle: float) -> jnp.ndarray:
+    """Cyclic roll of the last (width) axis by `angle` degrees of pano yaw."""
+    shift = rotation_shift(angle, x.shape[-1])
+    if shift == 0:
+        return x
+    return jnp.roll(x, shift, axis=-1)
+
+
+def sample_latent_noise(
+    key: jax.Array,
+    actions: jnp.ndarray,
+    shape: tuple[int, ...],
+    dtype=jnp.float32,
+    turn_degrees: float = 22.5,
+) -> jnp.ndarray:
+    """Correlated init noise for navigation panos.
+
+    key: PRNG key; actions: [B, F] int ids; shape: [B, F, C, H, W].
+    Returns noise where consecutive turn frames share rolled noise.
+    """
+    B, F = actions.shape
+    assert shape[0] == B and shape[1] == F, (shape, actions.shape)
+    fresh = jax.random.normal(key, shape, dtype)
+    W = shape[-1]
+    left_shift = rotation_shift(turn_degrees, W)
+
+    # scan over frames: carry = previous frame's final noise [B, C, H, W]
+    def step(prev, inp):
+        fresh_f, act_f = inp  # [B, C, H, W], [B]
+        rolled_left = jnp.roll(prev, left_shift, axis=-1)
+        rolled_right = jnp.roll(prev, -left_shift, axis=-1)
+        is_left = (act_f == ACTION_TURN_LEFT)[:, None, None, None]
+        is_right = (act_f == ACTION_TURN_RIGHT)[:, None, None, None]
+        out = jnp.where(is_left, rolled_left, jnp.where(is_right, rolled_right, fresh_f))
+        return out, out
+
+    fresh_fmajor = jnp.moveaxis(fresh, 1, 0)  # [F, B, C, H, W]
+    acts_fmajor = jnp.moveaxis(actions, 1, 0)  # [F, B]
+    _, outs = jax.lax.scan(step, fresh_fmajor[0], (fresh_fmajor[1:], acts_fmajor[1:]))
+    result = jnp.concatenate([fresh_fmajor[:1], outs], axis=0)
+    return jnp.moveaxis(result, 0, 1)

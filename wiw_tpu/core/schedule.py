@@ -1,0 +1,131 @@
+"""EDM / Euler-discrete diffusion schedule numerics, TPU-first.
+
+Behavioral parity targets (reference, for checking only — no code copied):
+  * training sigma sampling + preconditioning: FTsvd/train_svd.py:868-951
+  * inference sigma schedule + Euler step: the SVD EulerDiscreteScheduler
+    (karras sigmas in [0.002, 700], continuous timestep t = 0.25*log(sigma),
+    v-prediction) used by
+    FTsvd/diffusers-private/.../pipeline_stable_video_diffusion.py:557-614
+
+Everything here is pure jnp on static shapes so it fuses under jit and maps
+onto the VPU; the denoise loop lives in sampling/pipeline.py as a lax.scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class EDMConfig:
+    """Schedule hyperparameters pinned by the reference operating point."""
+
+    sigma_min: float = 0.002
+    sigma_max: float = 700.0
+    rho: float = 7.0
+    # training-time sigma ~ logN(p_mean, p_std)  (train_svd.py:878)
+    p_mean: float = 0.7
+    p_std: float = 1.6
+    # conditioning-image noise sigma ~ logN(cond_p_mean, cond_p_std) (train_svd.py:868)
+    cond_p_mean: float = -3.0
+    cond_p_std: float = 0.5
+
+
+def karras_sigmas(num_steps: int, cfg: EDMConfig = EDMConfig()) -> jnp.ndarray:
+    """Karras et al. (2022) sigma schedule, highest noise first.
+
+    Returns shape [num_steps + 1]; the final entry is 0 (the terminal state).
+    """
+    ramp = jnp.linspace(0.0, 1.0, num_steps)
+    min_inv_rho = cfg.sigma_min ** (1.0 / cfg.rho)
+    max_inv_rho = cfg.sigma_max ** (1.0 / cfg.rho)
+    sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** cfg.rho
+    return jnp.concatenate([sigmas, jnp.zeros((1,), sigmas.dtype)])
+
+
+def sigma_to_t(sigma: jnp.ndarray) -> jnp.ndarray:
+    """Continuous timestep fed to the UNet: t = 0.25 * log(sigma)."""
+    return 0.25 * jnp.log(sigma)
+
+
+def precondition_inputs(noisy: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """c_in scaling: x / sqrt(sigma^2 + 1). `sigma` broadcasts against `noisy`."""
+    return noisy / jnp.sqrt(sigma**2 + 1.0)
+
+
+def precondition_outputs(
+    model_out: jnp.ndarray, noisy: jnp.ndarray, sigma: jnp.ndarray
+) -> jnp.ndarray:
+    """EDM v-prediction combine: denoised = c_out * model_out + c_skip * noisy.
+
+    c_out = -sigma / sqrt(sigma^2 + 1), c_skip = 1 / (sigma^2 + 1)
+    (train_svd.py:940-942; equivalently EulerDiscreteScheduler v_prediction).
+    """
+    c_out = -sigma / jnp.sqrt(sigma**2 + 1.0)
+    c_skip = 1.0 / (sigma**2 + 1.0)
+    return c_out * model_out + c_skip * noisy
+
+
+def edm_loss_weight(sigma: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample MSE weight (1 + sigma^2) / sigma^2 (train_svd.py:943)."""
+    return (1.0 + sigma**2) / sigma**2
+
+
+def euler_step(
+    latents: jnp.ndarray,
+    denoised: jnp.ndarray,
+    sigma: jnp.ndarray,
+    sigma_next: jnp.ndarray,
+) -> jnp.ndarray:
+    """One Euler ODE step: x' = x + (x - denoised)/sigma * (sigma_next - sigma)."""
+    d = (latents - denoised) / sigma
+    return latents + d * (sigma_next - sigma)
+
+
+def sample_training_sigmas(
+    key: jax.Array, batch_size: int, cfg: EDMConfig = EDMConfig()
+) -> jnp.ndarray:
+    """sigma ~ logNormal(p_mean, p_std), shape [B, 1, 1, 1, 1] (train_svd.py:878-882)."""
+    z = jax.random.normal(key, (batch_size, 1, 1, 1, 1), dtype=jnp.float32)
+    return jnp.exp(cfg.p_mean + cfg.p_std * z)
+
+
+def sample_cond_sigmas(
+    key: jax.Array, batch_size: int, cfg: EDMConfig = EDMConfig()
+) -> jnp.ndarray:
+    """Conditioning-image noise scale ~ logNormal(-3, 0.5) (train_svd.py:868)."""
+    z = jax.random.normal(key, (batch_size, 1, 1, 1), dtype=jnp.float32)
+    return jnp.exp(cfg.cond_p_mean + cfg.cond_p_std * z)
+
+
+def guidance_scales(
+    num_frames: int, min_scale: float = 1.0, max_scale: float = 3.0
+) -> jnp.ndarray:
+    """Per-frame CFG scale, linspace(min, max, F) (pipeline:576-581). Shape [F]."""
+    return jnp.linspace(min_scale, max_scale, num_frames)
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+) -> jnp.ndarray:
+    """Sinusoidal embedding identical to diffusers `Timesteps(dim, True, 0)`.
+
+    timesteps: [...] -> returns [..., dim]. Computed in fp32.
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[..., None] * freqs
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    if flip_sin_to_cos:
+        return jnp.concatenate([cos, sin], axis=-1)
+    return jnp.concatenate([sin, cos], axis=-1)
