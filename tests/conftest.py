@@ -7,7 +7,9 @@ bench.py, not in the unit suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the environment pins JAX_PLATFORMS to the remote TPU
+# tunnel, which must not serve unit tests
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +19,6 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "float32")
+# persistent compile cache: repeat test runs skip XLA compilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,139 @@
+"""Checkpoint key-translation tests against curated real diffusers key names."""
+
+import numpy as np
+
+from wiw_tpu.models import convert as C
+
+
+class TestTranslateKey:
+    def test_unet_keys(self):
+        cases = {
+            "conv_in.weight": ("conv_in", "kernel"),
+            "conv_in.bias": ("conv_in", "bias"),
+            "time_embedding.linear_1.weight": ("time_embedding", "linear_1", "kernel"),
+            "add_embedding.linear_2.bias": ("add_embedding", "linear_2", "bias"),
+            "down_blocks.0.resnets.1.spatial_res_block.norm1.weight": (
+                "down_blocks_0", "resnets_1", "spatial_res_block", "norm1", "scale"),
+            "down_blocks.0.resnets.1.spatial_res_block.conv1.weight": (
+                "down_blocks_0", "resnets_1", "spatial_res_block", "conv1", "kernel"),
+            "down_blocks.0.resnets.0.temporal_res_block.time_emb_proj.weight": (
+                "down_blocks_0", "resnets_0", "temporal_res_block", "time_emb_proj", "kernel"),
+            "down_blocks.0.resnets.0.time_mixer.mix_factor": (
+                "down_blocks_0", "resnets_0", "time_mixer", "mix_factor"),
+            "down_blocks.1.downsamplers.0.conv.weight": (
+                "down_blocks_1_downsamplers_0", "conv", "kernel"),
+            "down_blocks.0.attentions.1.transformer_blocks.0.attn1.to_q.weight": (
+                "down_blocks_0", "attentions_1", "transformer_blocks_0", "attn1", "to_q", "kernel"),
+            "down_blocks.0.attentions.1.transformer_blocks.0.attn2.to_out.0.bias": (
+                "down_blocks_0", "attentions_1", "transformer_blocks_0", "attn2", "to_out_0", "bias"),
+            "down_blocks.0.attentions.1.transformer_blocks.0.ff.net.0.proj.weight": (
+                "down_blocks_0", "attentions_1", "transformer_blocks_0", "ff", "net_0_proj", "kernel"),
+            "down_blocks.0.attentions.1.transformer_blocks.0.ff.net.2.weight": (
+                "down_blocks_0", "attentions_1", "transformer_blocks_0", "ff", "net_2", "kernel"),
+            "down_blocks.0.attentions.0.temporal_transformer_blocks.0.ff_in.net.0.proj.weight": (
+                "down_blocks_0", "attentions_0", "temporal_transformer_blocks_0", "ff_in", "net_0_proj", "kernel"),
+            "down_blocks.0.attentions.0.temporal_transformer_blocks_action.0.attn2.to_k.weight": (
+                "down_blocks_0", "attentions_0", "temporal_transformer_blocks_action_0", "attn2", "to_k", "kernel"),
+            "down_blocks.0.attentions.0.time_pos_embed.linear_1.weight": (
+                "down_blocks_0", "attentions_0", "time_pos_embed", "linear_1", "kernel"),
+            "down_blocks.0.attentions.0.time_mixer_action.mix_factor": (
+                "down_blocks_0", "attentions_0", "time_mixer_action", "mix_factor"),
+            "mid_block.resnets.0.spatial_res_block.conv2.weight": (
+                "mid_block_resnets_0", "spatial_res_block", "conv2", "kernel"),
+            "mid_block.attentions.0.proj_in.weight": (
+                "mid_block_attentions_0", "proj_in", "kernel"),
+            "up_blocks.2.resnets.1.spatial_res_block.conv_shortcut.weight": (
+                "up_blocks_2_resnets_1", "spatial_res_block", "conv_shortcut", "kernel"),
+            "up_blocks.1.attentions.2.norm.weight": (
+                "up_blocks_1_attentions_2", "norm", "scale"),
+            "up_blocks.0.upsamplers.0.conv.weight": (
+                "up_blocks_0_upsamplers_0", "conv", "kernel"),
+            "conv_norm_out.weight": ("conv_norm_out", "scale"),
+            "conv_out.weight": ("conv_out", "kernel"),
+            # fork action embedders
+            "action_proj.layers.0.weight": ("action_proj", "layers_0", "kernel"),
+            "action_proj.pos_embedding": ("action_proj", "pos_embedding"),
+            "add_action_proj.proj.weight": ("add_action_proj", "proj", "kernel"),
+            "add_embedding_action.linear_1.weight": (
+                "add_embedding_action", "linear_1", "kernel"),
+            "add_embedding_noise.linear_2.bias": (
+                "add_embedding_noise", "linear_2", "bias"),
+        }
+        for torch_key, expect in cases.items():
+            assert C.translate_key(torch_key) == expect, torch_key
+
+    def test_vae_keys(self):
+        cases = {
+            "encoder.conv_in.weight": ("encoder", "conv_in", "kernel"),
+            "encoder.down_blocks.0.resnets.0.norm1.weight": (
+                "encoder", "down_blocks_0", "resnets_0", "norm1", "scale"),
+            "encoder.down_blocks.0.downsamplers.0.conv.weight": (
+                "encoder", "down_blocks_0_downsamplers_0", "conv", "kernel"),
+            "encoder.mid_block.attentions.0.group_norm.weight": (
+                "encoder", "mid_block_attentions_0", "group_norm", "scale"),
+            "encoder.mid_block.attentions.0.to_q.weight": (
+                "encoder", "mid_block_attentions_0", "to_q", "kernel"),
+            "quant_conv.weight": ("encoder", "quant_conv", "kernel"),
+            "decoder.time_conv_out.weight": ("decoder", "time_conv_out", "kernel"),
+            "decoder.up_blocks.3.resnets.2.temporal_res_block.conv1.weight": (
+                "decoder", "up_blocks_3_resnets_2", "temporal_res_block", "conv1", "kernel"),
+        }
+        for torch_key, expect in cases.items():
+            assert C.translate_key(torch_key) == expect, torch_key
+
+    def test_clip_keys(self):
+        cases = {
+            "vision_model.embeddings.class_embedding": ("class_embedding",),
+            "vision_model.embeddings.patch_embedding.weight": (
+                "patch_embedding", "kernel"),
+            "vision_model.embeddings.position_embedding.weight": (
+                "position_embedding",),
+            "vision_model.pre_layrnorm.weight": ("pre_layrnorm", "scale"),
+            "vision_model.encoder.layers.5.self_attn.q_proj.weight": (
+                "layers_5", "self_attn", "q_proj", "kernel"),
+            "vision_model.encoder.layers.5.layer_norm1.bias": (
+                "layers_5", "layer_norm1", "bias"),
+            "vision_model.encoder.layers.5.mlp.fc1.weight": (
+                "layers_5", "mlp_fc1", "kernel"),
+            "vision_model.post_layernorm.weight": ("post_layernorm", "scale"),
+            "visual_projection.weight": ("visual_projection", "kernel"),
+        }
+        for torch_key, expect in cases.items():
+            assert C.translate_key(torch_key) == expect, torch_key
+
+
+class TestTensorLayouts:
+    def test_conv2d(self):
+        v = np.zeros((8, 4, 3, 3))
+        out = C.convert_tensor(("x", "kernel"), v)
+        assert out.shape == (3, 3, 4, 8)
+
+    def test_conv3d(self):
+        v = np.zeros((8, 4, 3, 1, 1))
+        out = C.convert_tensor(("x", "kernel"), v)
+        assert out.shape == (3, 1, 1, 4, 8)
+
+    def test_linear(self):
+        v = np.zeros((16, 4))
+        out = C.convert_tensor(("x", "kernel"), v)
+        assert out.shape == (4, 16)
+
+    def test_norm_passthrough(self):
+        v = np.zeros((16,))
+        assert C.convert_tensor(("x", "scale"), v).shape == (16,)
+
+    def test_nested_dict_build(self):
+        sd = {"down_blocks.0.resnets.0.spatial_res_block.conv1.weight": np.zeros((8, 4, 3, 3))}
+        tree = C.convert_state_dict(sd)
+        assert tree["down_blocks_0"]["resnets_0"]["spatial_res_block"]["conv1"][
+            "kernel"
+        ].shape == (3, 3, 4, 8)
+
+    def test_validate_reports_diff(self):
+        import pytest
+
+        conv = {"a": {"kernel": np.zeros((2, 2))}}
+        ref = {"a": {"kernel": np.zeros((2, 2))}, "b": {"bias": np.zeros((2,))}}
+        with pytest.raises(ValueError, match="missing"):
+            C.validate_converted(conv, ref)
+        C.validate_converted(conv, {"a": {"kernel": np.zeros((2, 2))}})

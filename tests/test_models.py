@@ -1,0 +1,143 @@
+"""Shape/semantics tests for the model library on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiw_tpu.models.clip import CLIPVisionConfig, CLIPVisionModel, preprocess_for_clip
+from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+from wiw_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64),
+    num_attention_heads=(2, 4),
+    layers_per_block=1,
+    cross_attention_dim=1024,
+    num_frames=3,
+)
+
+TINY_VAE = VAEConfig(block_out_channels=(8, 16), layers_per_block=1)
+
+TINY_CLIP = CLIPVisionConfig(
+    hidden_size=32, intermediate_size=64, num_layers=2, num_heads=2,
+    patch_size=56, projection_dim=16,
+)
+
+
+def _unet_inputs(cfg, B=1, H=8, W=8, action_ids=None):
+    F = cfg.num_frames
+    return dict(
+        sample=jnp.ones((B, F, H, W, cfg.in_channels)) * 0.1,
+        timestep=jnp.full((B,), 1.0),
+        context=jnp.ones((B, 1, cfg.cross_attention_dim)) * 0.01,
+        added_time_ids=jnp.tile(jnp.array([[6.0, 127.0, 0.02]]), (B, 1)),
+        action_ids=action_ids,
+    )
+
+
+class TestUNet:
+    def test_forward_shapes_no_action(self):
+        model = UNetSpatioTemporal(TINY_UNET)
+        inputs = _unet_inputs(TINY_UNET)
+        params = model.init(jax.random.PRNGKey(0), **inputs)
+        out = model.apply(params, **inputs)
+        assert out.shape == (1, 3, 8, 8, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_forward_micro_cond(self):
+        cfg = UNetConfig(
+            block_out_channels=(32, 64), num_attention_heads=(2, 4),
+            layers_per_block=1, num_frames=3,
+            action_strategy="micro_cond", action_input_channel=3,
+        )
+        model = UNetSpatioTemporal(cfg)
+        action_ids = jnp.asarray([[[4, 0, 0], [4, 2, 0], [4, 2, 1]]], jnp.float32)
+        inputs = _unet_inputs(cfg, action_ids=action_ids)
+        params = model.init(jax.random.PRNGKey(0), **inputs)
+        out = model.apply(params, **inputs)
+        assert out.shape == (1, 3, 8, 8, 4)
+        # changing the action must change the output (conditioning is live)
+        inputs2 = dict(inputs, action_ids=action_ids.at[0, 2, 2].set(3.0))
+        out2 = model.apply(params, **inputs2)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_forward_action_block_and_dropout_sentinel(self):
+        cfg = UNetConfig(
+            block_out_channels=(32, 64), num_attention_heads=(2, 4),
+            layers_per_block=1, num_frames=3, action_strategy="action_block",
+        )
+        model = UNetSpatioTemporal(cfg)
+        onehot = jnp.asarray(
+            [[[0, 0, 0, 1], [0, 1, 0, 0], [1, 0, 0, 0]]], jnp.float32
+        )
+        inputs = _unet_inputs(cfg, action_ids=onehot)
+        params = model.init(jax.random.PRNGKey(0), **inputs)
+        out_cond = model.apply(params, **inputs)
+        dropped = dict(inputs, action_ids=jnp.full_like(onehot, -1.0))
+        out_uncond = model.apply(params, **dropped)
+        assert out_cond.shape == (1, 3, 8, 8, 4)
+        assert not np.allclose(np.asarray(out_cond), np.asarray(out_uncond))
+
+    def test_batch_order_consistency(self):
+        """Per-sample results must be independent of batch packing."""
+        model = UNetSpatioTemporal(TINY_UNET)
+        i1 = _unet_inputs(TINY_UNET, B=2)
+        key = jax.random.PRNGKey(1)
+        sample = jax.random.normal(key, (2, 3, 8, 8, 8))
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 1, 1024)) * 0.02
+        i1.update(sample=sample, context=ctx)
+        params = model.init(jax.random.PRNGKey(0), **i1)
+        both = model.apply(params, **i1)
+        solo = model.apply(
+            params,
+            **dict(
+                i1,
+                sample=sample[1:],
+                context=ctx[1:],
+                timestep=i1["timestep"][1:],
+                added_time_ids=i1["added_time_ids"][1:],
+            ),
+        )
+        np.testing.assert_allclose(
+            np.asarray(both[1]), np.asarray(solo[0]), atol=2e-4
+        )
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self):
+        model = AutoencoderKLTemporal(TINY_VAE)
+        frames = jnp.ones((2 * 3, 16, 16, 3)) * 0.2  # B=2, F=3
+        params = model.init(jax.random.PRNGKey(0), frames, 3)
+        moments = model.apply(params, frames, method=model.encode_moments)
+        assert moments.shape == (6, 8, 8, 8)
+        z = model.apply(params, frames, method=model.encode)
+        assert z.shape == (6, 8, 8, 4)
+        video = model.apply(params, z, 3, method=model.decode)
+        assert video.shape == (2, 3, 16, 16, 3)
+
+    def test_encode_sampling(self):
+        model = AutoencoderKLTemporal(TINY_VAE)
+        frames = jnp.ones((2, 16, 16, 3)) * 0.2
+        params = model.init(jax.random.PRNGKey(0), frames, 1)
+        z1 = model.apply(params, frames, jax.random.PRNGKey(1), method=model.encode)
+        z2 = model.apply(params, frames, jax.random.PRNGKey(2), method=model.encode)
+        assert not np.allclose(np.asarray(z1), np.asarray(z2))
+
+
+class TestCLIP:
+    def test_embed_shape(self):
+        model = CLIPVisionModel(TINY_CLIP)
+        pixels = jnp.zeros((2, 224, 224, 3))
+        params = model.init(jax.random.PRNGKey(0), pixels)
+        out = model.apply(params, pixels)
+        assert out.shape == (2, 16)
+
+    def test_preprocess_range(self):
+        imgs = jnp.zeros((1, 64, 64, 3))  # mid-gray in [-1,1]
+        out = np.asarray(preprocess_for_clip(imgs))
+        assert out.shape == (1, 224, 224, 3)
+        expect = (0.5 - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array(
+            [0.26862954, 0.26130258, 0.27577711]
+        )
+        np.testing.assert_allclose(out[0, 100, 100], expect, atol=1e-5)

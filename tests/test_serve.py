@@ -1,0 +1,166 @@
+"""Serving-plane tests: protocol round-trip, batcher ordering, end-to-end
+manager + fake worker over real sockets (the GTsim-style fake backend the
+reference lacks automated tests for; SURVEY.md section 4.7)."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from wiw_tpu.serve import batcher as B
+from wiw_tpu.serve import protocol as P
+from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer, WMClient
+
+
+def fake_wm_task(input_dict):
+    """Deterministic fake WM: 'generates' frames whose value encodes the
+    first action id of each request (so ordering is verifiable)."""
+    actions = np.asarray(input_dict["b_action"])
+    b = actions.shape[0]
+    frames = np.zeros((b, 3, 3, 8, 8), np.uint8)
+    for i in range(b):
+        frames[i] = actions[i, 0] % 256
+    return {"save_dirs": list(input_dict["save_dirs"]), "pred_frames": frames}
+
+
+class TestProtocol:
+    def test_socket_roundtrip(self):
+        a, b = socket.socketpair()
+        payload = {"b_action": np.arange(6).reshape(2, 3), "save_dirs": ["x", "y"]}
+        t = threading.Thread(target=lambda: P.write_framed(a, payload))
+        t.start()
+        out = P.read_framed(b)
+        t.join()
+        np.testing.assert_array_equal(out["b_action"], payload["b_action"])
+        a.close(); b.close()
+
+    def test_fd_roundtrip(self):
+        import os
+
+        r, w = os.pipe()
+        arr = np.random.randint(0, 255, (2, 3, 4, 4), np.uint8)
+        P.write_pickled_fd(w, ("cid", 7, {"pred_frames": arr, "save_dirs": ["a"]}))
+        cid, tid, out = P.read_pickled_fd(r)
+        assert (cid, tid) == ("cid", 7)
+        np.testing.assert_array_equal(out["pred_frames"], arr)
+        import os as _os
+
+        _os.close(r); _os.close(w)
+
+    def test_fast_serialization_roundtrip(self):
+        obj = {"pred_frames": np.random.randint(0, 255, (2, 14, 3, 32, 32), np.uint8),
+               "save_dirs": ["a", "b"]}
+        out = P.loads_fast(P.dumps_fast(obj))
+        np.testing.assert_array_equal(out["pred_frames"], obj["pred_frames"])
+
+    def test_schema_validation(self):
+        good = {"b_action": np.zeros((1, 4), np.int64), "save_dirs": ["d"],
+                "request_model_name": "svd"}
+        P.check_inputdict(good, "world_model")
+        with pytest.raises(KeyError):
+            P.check_inputdict({"save_dirs": ["d"]}, "world_model")
+        with pytest.raises(TypeError):
+            P.check_inputdict(dict(good, save_dirs="notalist"), "world_model")
+        P.check_outputdict({"save_dirs": [], "pred_frames": np.zeros((1,), np.uint8)})
+        with pytest.raises(TypeError):
+            P.check_outputdict({"save_dirs": [], "pred_frames": np.zeros((1,), np.float32)})
+        with pytest.raises(KeyError):
+            P.check_outputdict({"save_dirs": [], "video_tensors": 1})
+
+
+class TestBatcher:
+    def test_split_and_merge(self):
+        d = {"b_action": np.arange(12).reshape(4, 3), "save_dirs": list("abcd"),
+             "request_model_name": "svd"}
+        subs = B.split_input_dict(d, 3)
+        assert [len(s["save_dirs"]) for s in subs] == [3, 1]
+        merged = B.merge_output_dicts(subs)
+        np.testing.assert_array_equal(merged["b_action"], d["b_action"])
+        assert merged["save_dirs"] == d["save_dirs"]
+
+    def test_fifo_release_out_of_order_completion(self):
+        bt = B.Batcher(batch_size=1)
+        tasks1 = bt.split_batch({"save_dirs": ["a", "b"]})
+        tasks2 = bt.split_batch({"save_dirs": ["c"]})
+        # complete batch 2 first: nothing releases (FIFO)
+        bt.put_result(tasks2[0][0], {"save_dirs": ["c*"]})
+        assert bt.pop_ready() is None
+        # complete batch 1 out of order
+        bt.put_result(tasks1[1][0], {"save_dirs": ["b*"]})
+        assert bt.pop_ready() is None
+        bt.put_result(tasks1[0][0], {"save_dirs": ["a*"]})
+        out1 = bt.pop_ready()
+        assert out1["save_dirs"] == ["a*", "b*"]
+        out2 = bt.pop_ready()
+        assert out2["save_dirs"] == ["c*"]
+        assert bt.pop_ready() is None
+
+
+class TestEndToEnd:
+    def test_manager_fake_worker_roundtrip(self):
+        server = ManagerServer(
+            [InProcessExecutor(fake_wm_task, max_batch=4)],
+            port=17450, batch_size=2,
+        )
+        port = server.start()
+        try:
+            client = WMClient(port=port)
+            req = {
+                "b_action": np.array([[5, 1, 1], [9, 2, 2], [3, 1, 2]], np.int64),
+                "save_dirs": ["d0", "d1", "d2"],
+                "request_model_name": "fake",
+            }
+            out = client.send_batch(req)
+            assert out["save_dirs"] == ["d0", "d1", "d2"]
+            frames = out["pred_frames"]
+            assert frames.shape == (3, 3, 3, 8, 8) and frames.dtype == np.uint8
+            assert frames[0, 0, 0, 0, 0] == 5
+            assert frames[1, 0, 0, 0, 0] == 9
+            assert frames[2, 0, 0, 0, 0] == 3
+            client.close()
+        finally:
+            server.stop()
+
+    def test_concurrent_clients_keep_order(self):
+        server = ManagerServer(
+            [InProcessExecutor(fake_wm_task, max_batch=8)],
+            port=17470, batch_size=1,
+        )
+        port = server.start()
+        errors = []
+
+        def client_loop(seed):
+            try:
+                c = WMClient(port=port)
+                rng = np.random.default_rng(seed)
+                for _ in range(5):
+                    n = int(rng.integers(1, 4))
+                    acts = rng.integers(1, 200, (n, 3)).astype(np.int64)
+                    out = c.send_batch(
+                        {"b_action": acts, "save_dirs": [f"s{seed}"] * n,
+                         "request_model_name": "fake"}
+                    )
+                    got = out["pred_frames"][:, 0, 0, 0, 0]
+                    np.testing.assert_array_equal(got, acts[:, 0] % 256)
+                c.close()
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        try:
+            threads = [threading.Thread(target=client_loop, args=(s,)) for s in range(4)]
+            [t.start() for t in threads]
+            [t.join(timeout=30) for t in threads]
+            assert not errors, errors
+        finally:
+            server.stop()
+
+    def test_auto_port_increment(self):
+        s1 = ManagerServer([InProcessExecutor(fake_wm_task)], port=17490)
+        p1 = s1.start()
+        s2 = ManagerServer([InProcessExecutor(fake_wm_task)], port=17490)
+        p2 = s2.start()
+        try:
+            assert p2 == p1 + 1
+        finally:
+            s1.stop(); s2.stop()

@@ -1,0 +1,6 @@
+from wiw_tpu.geo.equirect import (  # noqa: F401
+    cube_to_equirect,
+    equirect_to_cube,
+    equirect_to_perspective,
+    roll_pano,
+)

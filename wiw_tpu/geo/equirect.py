@@ -1,0 +1,225 @@
+"""Equirectangular <-> perspective / cubemap warps as vectorized XLA gathers.
+
+Replaces the reference's equilib.Equi2Pers + habitat-baselines
+CubeMap2Equirect/Equirect2CubeMap transformer stack
+(habitat_data/equi2cube/convert_equi2per.py:130-164, habitat_util.py:281-363)
+with pure-jnp sampling grids + bilinear gathers — one fused XLA program, no
+per-face Python loops, batched over (B, ...) leading axes.
+
+Conventions (right-handed, y-up):
+  * direction = (x right, y up, z forward)
+  * equirect: lon in [-pi, pi) maps left->right across width (lon 0 at the
+    image center = forward), lat +pi/2 (up) at row 0.
+  * yaw > 0 turns left (counter-clockwise seen from above), matching the
+    pano roll semantics of the reference (turn_left rolls +W/16,
+    svd_utils.py:86-126).
+  * cube faces: FRONT, RIGHT, BACK, LEFT, UP, DOWN (90 deg FOV each).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FACE_ORDER = ("front", "right", "back", "left", "up", "down")
+
+
+def roll_pano(pano: jnp.ndarray, degrees: float) -> jnp.ndarray:
+    """Cyclic yaw rotation of an equirect pano [..., H, W, C]; +deg = left."""
+    W = pano.shape[-2]
+    shift = int(round(W * degrees / 360.0))
+    return jnp.roll(pano, shift, axis=-2)
+
+
+def _rotation_matrix(yaw: float, pitch: float, roll: float) -> jnp.ndarray:
+    """R = R_yaw(y-axis) @ R_pitch(x-axis) @ R_roll(z-axis), camera->world."""
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    Ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = jnp.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    Rz = jnp.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
+    return Ry @ Rx @ Rz
+
+
+def _dirs_to_equirect_coords(dirs: jnp.ndarray, H: int, W: int):
+    """Unit directions [..., 3] -> fractional equirect pixel coords (i, j)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    lon = jnp.arctan2(x, z)  # 0 at forward, + to the right
+    lat = jnp.arcsin(jnp.clip(y, -1.0, 1.0))
+    j = (lon + jnp.pi) / (2 * jnp.pi) * W - 0.5
+    i = (jnp.pi / 2 - lat) / jnp.pi * H - 0.5
+    return i, j
+
+
+def _bilinear_sample_pano(pano: jnp.ndarray, i: jnp.ndarray, j: jnp.ndarray):
+    """Sample [H, W, C] at fractional coords; width wraps, height clamps."""
+    H, W = pano.shape[0], pano.shape[1]
+    i0 = jnp.floor(i).astype(jnp.int32)
+    j0 = jnp.floor(j).astype(jnp.int32)
+    di = (i - i0)[..., None]
+    dj = (j - j0)[..., None]
+    i0c = jnp.clip(i0, 0, H - 1)
+    i1c = jnp.clip(i0 + 1, 0, H - 1)
+    j0w = jnp.mod(j0, W)
+    j1w = jnp.mod(j0 + 1, W)
+    p00 = pano[i0c, j0w]
+    p01 = pano[i0c, j1w]
+    p10 = pano[i1c, j0w]
+    p11 = pano[i1c, j1w]
+    top = p00 * (1 - dj) + p01 * dj
+    bot = p10 * (1 - dj) + p11 * dj
+    return top * (1 - di) + bot * di
+
+
+def _perspective_dirs(h: int, w: int, fov_deg: float) -> jnp.ndarray:
+    """Unit ray directions of a pinhole camera looking at +z. [h, w, 3]."""
+    f = 0.5 * w / np.tan(np.radians(fov_deg) / 2.0)
+    xs = (jnp.arange(w) + 0.5) - w / 2.0
+    ys = h / 2.0 - (jnp.arange(h) + 0.5)  # +y up
+    X, Y = jnp.meshgrid(xs, ys)
+    dirs = jnp.stack([X, Y, jnp.full_like(X, f)], axis=-1)
+    return dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _equi2pers_single(pano, h, w, fov_deg, yaw, pitch, roll):
+    R = _rotation_matrix(yaw, pitch, roll)
+    dirs = _perspective_dirs(h, w, fov_deg) @ R.T
+    i, j = _dirs_to_equirect_coords(dirs, pano.shape[0], pano.shape[1])
+    return _bilinear_sample_pano(pano, i, j)
+
+
+def equirect_to_perspective(
+    pano: jnp.ndarray,
+    fov_deg: float = 90.0,
+    yaw: float = 0.0,
+    pitch: float = 0.0,
+    roll: float = 0.0,
+    height: int = 512,
+    width: int = 512,
+) -> jnp.ndarray:
+    """pano [(B,) H, W, C] -> perspective view [(B,) height, width, C].
+
+    yaw/pitch/roll in radians; yaw > 0 looks left.
+    (parity target: convert_equi2per.py:130-164 via equilib)
+    """
+    yaw_, pitch_, roll_ = (
+        jnp.asarray(yaw, jnp.float32),
+        jnp.asarray(pitch, jnp.float32),
+        jnp.asarray(roll, jnp.float32),
+    )
+    # note equilib yaw convention: positive yaw rotates view to the left;
+    # our R_yaw(y) with +y up rotates +z toward +x (right), so negate.
+    if pano.ndim == 3:
+        return _equi2pers_single(pano, height, width, fov_deg, -yaw_, pitch_, roll_)
+    return jax.vmap(
+        lambda p: _equi2pers_single(p, height, width, fov_deg, -yaw_, pitch_, roll_)
+    )(pano)
+
+
+_FACE_ROTATIONS = {
+    "front": (0.0, 0.0),
+    "right": (-np.pi / 2, 0.0),
+    "back": (np.pi, 0.0),
+    "left": (np.pi / 2, 0.0),
+    "up": (0.0, np.pi / 2),
+    "down": (0.0, -np.pi / 2),
+}
+
+
+def equirect_to_cube(pano: jnp.ndarray, face_size: int = 256) -> jnp.ndarray:
+    """pano [(B,) H, W, C] -> faces [(B,) 6, face_size, face_size, C] in
+    FACE_ORDER. (parity target: convert_equi2cube.py:222)"""
+
+    def one(p):
+        faces = [
+            _equi2pers_single(
+                p, face_size, face_size, 90.0,
+                jnp.float32(-yaw), jnp.float32(pitch), jnp.float32(0.0),
+            )
+            for yaw, pitch in (_FACE_ROTATIONS[f] for f in FACE_ORDER)
+        ]
+        return jnp.stack(faces)
+
+    if pano.ndim == 3:
+        return one(pano)
+    return jax.vmap(one)(pano)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _cube2equi_single(faces: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """faces [6, S, S, C] -> pano [H, W, C]."""
+    S = faces.shape[1]
+    jj, ii = jnp.meshgrid(jnp.arange(W), jnp.arange(H))
+    lon = (jj + 0.5) / W * 2 * jnp.pi - jnp.pi
+    lat = jnp.pi / 2 - (ii + 0.5) / H * jnp.pi
+    x = jnp.cos(lat) * jnp.sin(lon)
+    y = jnp.sin(lat)
+    z = jnp.cos(lat) * jnp.cos(lon)
+
+    p = jnp.stack([x, y, z], axis=-1)  # [H, W, 3] world directions
+
+    # project into every face camera frame using the SAME rotations as the
+    # forward warp (equirect_to_cube), then pick the face with max depth
+    cams = []
+    for f in FACE_ORDER:
+        yaw, pitch = _FACE_ROTATIONS[f]
+        R = _rotation_matrix(jnp.float32(-yaw), jnp.float32(pitch), jnp.float32(0.0))
+        cams.append(p @ R)  # p_cam = R^T p_world  (row-vector form)
+    cam = jnp.stack(cams)  # [6, H, W, 3]
+    zc = cam[..., 2]
+    face_id = jnp.argmax(zc, axis=0)  # [H, W]
+    sel = jnp.take_along_axis(cam, face_id[None, ..., None], axis=0)[0]
+    u = sel[..., 0] / sel[..., 2]
+    v = sel[..., 1] / sel[..., 2]
+
+    fi = (1 - v) / 2 * S - 0.5  # row
+    fj = (u + 1) / 2 * S - 0.5  # col
+
+    i0 = jnp.floor(fi).astype(jnp.int32)
+    j0 = jnp.floor(fj).astype(jnp.int32)
+    di = (fi - i0)[..., None]
+    dj = (fj - j0)[..., None]
+    i0c, i1c = jnp.clip(i0, 0, S - 1), jnp.clip(i0 + 1, 0, S - 1)
+    j0c, j1c = jnp.clip(j0, 0, S - 1), jnp.clip(j0 + 1, 0, S - 1)
+    p00 = faces[face_id, i0c, j0c]
+    p01 = faces[face_id, i0c, j1c]
+    p10 = faces[face_id, i1c, j0c]
+    p11 = faces[face_id, i1c, j1c]
+    top = p00 * (1 - dj) + p01 * dj
+    bot = p10 * (1 - dj) + p11 * dj
+    return top * (1 - di) + bot * di
+
+
+def cube_to_equirect(faces: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """faces [(B,) 6, S, S, C] in FACE_ORDER -> pano [(B,) H, W, C].
+
+    (parity target: habitat CubeMap2Equirect at 576x1024,
+    simulator.py:220-234)
+    """
+    if faces.ndim == 4:
+        return _cube2equi_single(faces, height, width)
+    return jax.vmap(lambda f: _cube2equi_single(f, height, width))(faces)
+
+
+def get_perspective_views(
+    pano: jnp.ndarray, hfov_deg: float = 90.0, size: int = 512
+) -> jnp.ndarray:
+    """Front/left/right/back views of a pano (igenex_util.py:450-470).
+
+    Returns [(B,) 4, size, size, C] in order (front, left, right, back),
+    matching VIEW_ORDER (vlm.py:35-36).
+    """
+    views = []
+    for yaw in (0.0, np.pi / 2, -np.pi / 2, np.pi):  # front, left, right, back
+        views.append(
+            equirect_to_perspective(
+                pano, fov_deg=hfov_deg, yaw=yaw, height=size, width=size
+            )
+        )
+    axis = 0 if pano.ndim == 3 else 1
+    return jnp.stack(views, axis=axis)

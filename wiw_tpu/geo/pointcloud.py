@@ -1,0 +1,167 @@
+"""Point-cloud reprojection + void-ratio data filtering, vectorized for TPU.
+
+Behavioral parity (no code copied) with data_filtering/pcd_reproject.py:
+  * habitat pinhole intrinsics (hfov 90): f = W/2, centers (W-1)/2, (H-1)/2
+    (pcd_reproject.py:15-23)
+  * depth -> camera points with +x right, +y up-in-image as +z world-ish
+    swizzle (pcd_reproject.py:105-125): point = (x, up, -forward)
+  * world -> pixel projection with per-pixel MIN-depth visibility within a
+    0.08 depth threshold (pcd_reproject.py:348-368) — jax.ops.segment_min
+    replaces torch_scatter.scatter_min (the reference's only CUDA-kernel
+    dependency outside torch itself)
+  * depth-weighted splat with spread radius -> coverage image + void mask;
+    void_ratio = unseen-pixel fraction (pcd_reproject.py:459-501, :385-389)
+
+Static shapes: points are fixed-size [N, 3] with a validity mask instead of
+boolean filtering, so everything jits.
+
+This module also supplies the reference's MISSING overlap-JSON producer
+(SURVEY.md section 2.10): `compute_traj_void_ratios` emits the per-window
+mean void ratios consumed by the weighted training dataset.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEPTH_THRESHOLD = 0.08
+MIN_DEPTH = 0.02
+
+
+def habitat_intrinsics(width: int, height: int, hfov_deg: float = 90.0) -> np.ndarray:
+    f = (width / 2.0) / np.tan(np.deg2rad(hfov_deg / 2.0))
+    return np.array(
+        [[f, 0, (width - 1) / 2.0], [0, f, (height - 1) / 2.0], [0, 0, 1]],
+        np.float32,
+    )
+
+
+def depth_to_points(depth: jnp.ndarray, K: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """depth [H, W] -> points [H*W, 3] camera-frame + validity mask [H*W].
+
+    Matches get_pointcloud_from_depth's coordinate swizzle: x right,
+    z_img = up, final point = (x, up, -depth) (pcd_reproject.py:105-125).
+    """
+    H, W = depth.shape
+    jj, ii = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                          jnp.arange(H, dtype=jnp.float32))
+    d = depth
+    x = (jj - K[0, 2]) * d / K[0, 0]
+    up = (H - 1 - ii - K[1, 2]) * d / K[1, 1]
+    pts = jnp.stack([x, up, -d], axis=-1).reshape(-1, 3)
+    valid = (d > 0).reshape(-1)
+    return pts, valid
+
+
+def transform_points(points: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
+    """Apply a 4x4 rigid transform to [N, 3] points."""
+    return points @ T[:3, :3].T + T[:3, 3]
+
+
+def project_points(
+    points_world: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    world_to_cam: jnp.ndarray,
+    H: int,
+    W: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World points -> integer pixel coords (u, v), camera depth, in-image mask.
+
+    Depth convention: the camera looks along -z (habitat), so depth = -z_cam.
+    """
+    cam = transform_points(points_world, world_to_cam)
+    depth = -cam[:, 2]
+    u = cam[:, 0] * K[0, 0] / jnp.maximum(depth, 1e-9) + K[0, 2]
+    v_up = cam[:, 1] * K[1, 1] / jnp.maximum(depth, 1e-9) + K[1, 2]
+    v = (H - 1) - v_up  # back to row index (row 0 = top)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_img = (
+        valid
+        & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        & (depth > MIN_DEPTH)
+    )
+    return jnp.stack([ui, vi], axis=-1), depth, in_img
+
+
+def min_depth_visibility(
+    uv: jnp.ndarray, depth: jnp.ndarray, mask: jnp.ndarray, H: int, W: int,
+    threshold: float = DEPTH_THRESHOLD,
+) -> jnp.ndarray:
+    """Keep points within `threshold` of the minimum depth at their pixel.
+
+    segment_min over flat pixel ids (replaces torch_scatter.scatter_min,
+    pcd_reproject.py:410-456).
+    """
+    pix = uv[:, 1] * W + uv[:, 0]
+    pix = jnp.where(mask, pix, H * W)  # invalid points -> overflow bucket
+    big = jnp.where(mask, depth, jnp.inf)
+    min_per_pixel = jax.ops.segment_min(
+        big, pix, num_segments=H * W + 1, indices_are_sorted=False
+    )
+    return mask & (depth <= min_per_pixel[pix] + threshold)
+
+
+def splat_coverage(
+    uv: jnp.ndarray, mask: jnp.ndarray, H: int, W: int, spread_radius: int = 3
+) -> jnp.ndarray:
+    """Coverage mask [H, W] after splatting points with a square spread.
+
+    The reference's 2-pass depth-weighted splat (spreaded_index_add,
+    pcd_reproject.py:235-315) determines *colors*; for void-ratio purposes
+    only coverage matters, computed here as a scatter + box dilation
+    (depthwise max-pool — one XLA reduce_window instead of r^2 scatters).
+    """
+    pix = jnp.where(mask, uv[:, 1] * W + uv[:, 0], H * W)
+    hits = jnp.zeros((H * W + 1,), jnp.float32).at[pix].add(1.0)
+    img = (hits[: H * W] > 0).astype(jnp.float32).reshape(H, W)
+    if spread_radius > 1:
+        img = jax.lax.reduce_window(
+            img, -jnp.inf, jax.lax.max,
+            (spread_radius, spread_radius), (1, 1), "SAME",
+        )
+    return img > 0
+
+
+def void_ratio_for_frame(
+    points_world: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    world_to_cam: jnp.ndarray,
+    H: int,
+    W: int,
+    spread_radius: int = 3,
+) -> jnp.ndarray:
+    """Fraction of target-frame pixels NOT covered by the source cloud."""
+    uv, depth, in_img = project_points(points_world, valid, K, world_to_cam, H, W)
+    vis = min_depth_visibility(uv, depth, in_img, H, W)
+    covered = splat_coverage(uv, vis, H, W, spread_radius)
+    return 1.0 - jnp.mean(covered.astype(jnp.float32))
+
+
+def compute_window_void_ratios(
+    depths: jnp.ndarray,
+    cam_to_world: jnp.ndarray,
+    K: jnp.ndarray,
+    spread_radius: int = 3,
+) -> jnp.ndarray:
+    """The missing overlap producer: given a window of frames'
+    depths [F, H, W] and poses cam->world [F, 4, 4], return per-frame void
+    ratios of frame 0's cloud reprojected into each frame (frame 0 -> 0).
+
+    Feeds data/dataset.py's WeightedDataset (filter_util.py:282-397).
+    """
+    F, H, W = depths.shape
+    pts0, valid0 = depth_to_points(depths[0], K)
+    world0 = transform_points(pts0, cam_to_world[0])
+
+    def one(i):
+        w2c = jnp.linalg.inv(cam_to_world[i])
+        return void_ratio_for_frame(
+            world0, valid0, K, w2c, H, W, spread_radius
+        )
+
+    return jax.vmap(one)(jnp.arange(F))

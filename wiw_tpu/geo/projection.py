@@ -1,0 +1,65 @@
+"""World -> camera -> spherical -> equirect pixel projection for GT 3D
+bounding boxes, vectorized jnp.
+
+Behavioral parity (no code copied) with
+collect_bbox/coordinate_transformation.py:140-230 and
+collect_bbox/draw_bbox.py:9-57:
+  * theta = arctan2(x, -z)  (habitat camera looks along -z)
+  * phi = arccos(y / r)     (0 = straight up)
+  * pixel: x = ((theta + pi) mod 2pi) / 2pi * W;  y = phi / pi * H
+    with phi reflected into [0, pi]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def world_to_camera(points_world: jnp.ndarray, cam_to_world: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] world points -> camera frame given a 4x4 cam->world pose."""
+    R = cam_to_world[:3, :3]
+    t = cam_to_world[:3, 3]
+    return (points_world - t) @ R  # R^T applied via right-multiplication
+
+
+def cartesian_to_spherical(points_cam: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] camera points -> [N, 3] (r, theta, phi)."""
+    x, y, z = points_cam[:, 0], points_cam[:, 1], points_cam[:, 2]
+    r = jnp.sqrt(jnp.sum(points_cam**2, axis=1))
+    theta = jnp.arctan2(x, -z)
+    phi = jnp.arccos(jnp.where(r > 0, y / jnp.maximum(r, 1e-12), 0.0))
+    return jnp.stack([r, theta, phi], axis=-1)
+
+
+def spherical_to_equirect_pixels(
+    spherical: jnp.ndarray, img_width: int, img_height: int
+) -> jnp.ndarray:
+    """[N, 3] (r, theta, phi) -> [N, 2] integer (x, y) pano pixels."""
+    theta = jnp.mod(spherical[:, 1] + jnp.pi, 2 * jnp.pi)
+    phi = spherical[:, 2]
+    phi = jnp.where(phi < 0, -phi, phi)
+    phi = jnp.where(phi > jnp.pi, 2 * jnp.pi - phi, phi)
+    x = (theta / (2 * jnp.pi)) * img_width
+    y = (phi / jnp.pi) * img_height
+    return jnp.stack([x, y], axis=-1).astype(jnp.int32)
+
+
+def project_bbox_to_pano(
+    corners_world: jnp.ndarray,
+    cam_to_world: jnp.ndarray,
+    img_width: int,
+    img_height: int,
+) -> dict:
+    """3D bbox corners [8, 3] -> pano-pixel bbox dict
+    {x_min, x_max, y_min, y_max} (wrap-around handled by the caller via
+    rotate_coord semantics, core/actions + core/noise rotation helpers)."""
+    cam = world_to_camera(corners_world, cam_to_world)
+    pix = spherical_to_equirect_pixels(
+        cartesian_to_spherical(cam), img_width, img_height
+    )
+    return {
+        "x_min": jnp.min(pix[:, 0]),
+        "x_max": jnp.max(pix[:, 0]),
+        "y_min": jnp.min(pix[:, 1]),
+        "y_max": jnp.max(pix[:, 1]),
+    }

@@ -1,0 +1,152 @@
+"""CLIP ViT image encoder with projection (SVD's conditioning tower).
+
+Parity target: the `CLIPVisionModelWithProjection` used by the reference
+(FTsvd/train_svd.py:519-543, eval/pipeline image encoding) — a ViT-H/14:
+hidden 1280, 32 layers, 16 heads, patch 14, 224x224 input, projected to 1024.
+Implemented natively in flax (transformers' torch implementation is not used
+on the TPU path); weights load via models/convert.py.
+
+Also includes the antialiased bicubic 224x224 resize + CLIP normalization
+matching svd_utils.norm_image / _resize_with_antialiasing semantics
+(utils/svd_utils.py:681-808) via jax.image.resize (XLA kernel, vectorized).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    hidden_size: int = 1280
+    intermediate_size: int = 5120
+    num_layers: int = 32
+    num_heads: int = 16
+    patch_size: int = 14
+    image_size: int = 224
+    projection_dim: int = 1024
+    hidden_act: str = "gelu"  # laion ViT-H uses gelu; OpenAI CLIP quick_gelu
+    layer_norm_eps: float = 1e-5
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * nn.sigmoid(1.702 * x)
+    return lambda x: nn.gelu(x, approximate=False)
+
+
+class CLIPAttention(nn.Module):
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        dt = c.jdtype
+        B, S, C = x.shape
+        hd = C // c.num_heads
+        q = nn.Dense(C, dtype=dt, name="q_proj")(x) * (hd**-0.5)
+        k = nn.Dense(C, dtype=dt, name="k_proj")(x)
+        v = nn.Dense(C, dtype=dt, name="v_proj")(x)
+
+        def heads(t):
+            return t.reshape(B, S, c.num_heads, hd).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", heads(q), heads(k), preferred_element_type=jnp.float32
+        )
+        w = nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, heads(v))
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, C)
+        return nn.Dense(C, dtype=dt, name="out_proj")(out)
+
+
+class CLIPLayer(nn.Module):
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        dt = c.jdtype
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layer_norm1")(x)
+        x = x + CLIPAttention(c, name="self_attn")(h.astype(dt))
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layer_norm2")(x)
+        h = nn.Dense(c.intermediate_size, dtype=dt, name="mlp_fc1")(h.astype(dt))
+        h = _act(c.hidden_act)(h)
+        h = nn.Dense(c.hidden_size, dtype=dt, name="mlp_fc2")(h)
+        return x + h
+
+
+class CLIPVisionModel(nn.Module):
+    """[B, 224, 224, 3] normalized pixels -> image_embeds [B, projection_dim]."""
+
+    cfg: CLIPVisionConfig = CLIPVisionConfig()
+
+    @nn.compact
+    def __call__(self, pixels):
+        c = self.cfg
+        dt = c.jdtype
+        B = pixels.shape[0]
+        n_patches = (c.image_size // c.patch_size) ** 2
+
+        patches = nn.Conv(
+            c.hidden_size,
+            (c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            dtype=dt,
+            name="patch_embedding",
+        )(pixels.astype(dt))
+        patches = patches.reshape(B, n_patches, c.hidden_size)
+
+        cls = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (c.hidden_size,), jnp.float32
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(dt), (B, 1, c.hidden_size)), patches], axis=1
+        )
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (n_patches + 1, c.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos.astype(dt)[None]
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="pre_layrnorm")(x).astype(dt)
+        for i in range(c.num_layers):
+            x = CLIPLayer(c, name=f"layers_{i}")(x)
+        pooled = x[:, 0]
+        pooled = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=jnp.float32, name="post_layernorm"
+        )(pooled)
+        return nn.Dense(
+            c.projection_dim, use_bias=False, dtype=dt, name="visual_projection"
+        )(pooled.astype(dt))
+
+
+def preprocess_for_clip(images: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, 3] in [-1, 1] -> CLIP-normalized [B, 224, 224, 3].
+
+    Bicubic antialiased resize to 224 (the reference's
+    _resize_with_antialiasing), then unnormalize to [0,1] and apply CLIP
+    mean/std (train_svd.py:748-762).
+    """
+    B = images.shape[0]
+    resized = jax.image.resize(
+        images, (B, 224, 224, images.shape[-1]), method="cubic", antialias=True
+    )
+    x01 = (resized + 1.0) / 2.0
+    mean = jnp.asarray(CLIP_MEAN)
+    std = jnp.asarray(CLIP_STD)
+    return (x01 - mean) / std

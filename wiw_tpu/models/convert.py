@@ -1,0 +1,203 @@
+"""Checkpoint conversion: diffusers/transformers torch state dicts -> wiw_tpu.
+
+Loads `.safetensors` shards (no torch required) and maps parameter names +
+layouts into the flax trees defined in models/{unet,vae,clip}.py. The key
+grammar is the diffusers one (e.g. the reference's fine-tuned UNet dirs,
+workers_cfg.py:26, eval_inference.py:115-132); layout rules:
+
+  torch Conv2d  [O, I, kh, kw]      -> flax [kh, kw, I, O]
+  torch Conv3d  [O, I, kt, kh, kw]  -> flax [kt, kh, kw, I, O]
+  torch Linear  [O, I]              -> flax [I, O]
+  norm weight/bias                  -> scale/bias
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Iterable
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# key translation
+# ---------------------------------------------------------------------------
+
+# applied in order; first pattern rewrites indices into flat module names
+_LIST_MERGES = [
+    # unet top-level block lists
+    (r"down_blocks\.(\d+)\.downsamplers\.0", r"down_blocks_\1_downsamplers_0"),
+    (r"down_blocks\.(\d+)\.resnets\.(\d+)", r"down_blocks_\1/resnets_\2"),
+    (r"down_blocks\.(\d+)\.attentions\.(\d+)", r"down_blocks_\1/attentions_\2"),
+    (r"up_blocks\.(\d+)\.upsamplers\.0", r"up_blocks_\1_upsamplers_0"),
+    (r"up_blocks\.(\d+)\.resnets\.(\d+)", r"up_blocks_\1_resnets_\2"),
+    (r"up_blocks\.(\d+)\.attentions\.(\d+)", r"up_blocks_\1_attentions_\2"),
+    (r"mid_block\.resnets\.(\d+)", r"mid_block_resnets_\1"),
+    (r"mid_block\.attentions\.(\d+)", r"mid_block_attentions_\1"),
+    # transformer-internal lists
+    (r"transformer_blocks\.(\d+)", r"transformer_blocks_\1"),
+    (r"temporal_transformer_blocks_action\.(\d+)", r"temporal_transformer_blocks_action_\1"),
+    (r"temporal_transformer_blocks\.(\d+)", r"temporal_transformer_blocks_\1"),
+    # attention / ff internals
+    (r"to_out\.0", r"to_out_0"),
+    (r"ff\.net\.0\.proj", r"ff/net_0_proj"),
+    (r"ff\.net\.2", r"ff/net_2"),
+    (r"ff_in\.net\.0\.proj", r"ff_in/net_0_proj"),
+    (r"ff_in\.net\.2", r"ff_in/net_2"),
+    # action embedders (fork): Sequential indices
+    (r"action_proj\.layers\.(\d+)", r"action_proj/layers_\1"),
+    (r"add_action_proj\.proj", r"add_action_proj/proj"),
+    # CLIP (transformers keys)
+    (r"vision_model\.embeddings\.patch_embedding", r"patch_embedding"),
+    (r"vision_model\.embeddings\.position_embedding\.weight", r"position_embedding"),
+    (r"vision_model\.embeddings\.class_embedding", r"class_embedding"),
+    (r"vision_model\.pre_layrnorm", r"pre_layrnorm"),
+    (r"vision_model\.post_layernorm", r"post_layernorm"),
+    (r"vision_model\.encoder\.layers\.(\d+)", r"layers_\1"),
+    (r"mlp\.fc1", r"mlp_fc1"),
+    (r"mlp\.fc2", r"mlp_fc2"),
+    # VAE: quant_conv lives inside our encoder
+    (r"^quant_conv", r"encoder/quant_conv"),
+]
+
+_NORM_MODULES = re.compile(
+    r"(norm|norm1|norm2|norm3|norm_in|group_norm|conv_norm_out|layer_norm1|"
+    r"layer_norm2|pre_layrnorm|post_layernorm|spatial_norm)$"
+)
+
+
+def translate_key(torch_key: str) -> tuple[str, ...]:
+    """Dotted torch key -> flax tree path (tuple of names)."""
+    k = torch_key
+    for pat, repl in _LIST_MERGES:
+        k = re.sub(pat, repl, k)
+    k = k.replace(".", "/")
+    parts = k.split("/")
+
+    leaf = parts[-1]
+    if leaf in ("weight", "bias") and len(parts) >= 2:
+        parent = parts[-2]
+        if _NORM_MODULES.search(parent):
+            parts[-1] = "scale" if leaf == "weight" else "bias"
+        elif leaf == "weight":
+            parts[-1] = "kernel"
+    return tuple(parts)
+
+
+def convert_tensor(path: tuple[str, ...], value: np.ndarray) -> np.ndarray:
+    """Apply layout transposes based on tensor rank and leaf name."""
+    leaf = path[-1]
+    if leaf == "kernel":
+        if value.ndim == 4:  # conv2d OIHW -> HWIO
+            return value.transpose(2, 3, 1, 0)
+        if value.ndim == 5:  # conv3d OIDHW -> DHWIO
+            return value.transpose(2, 3, 4, 1, 0)
+        if value.ndim == 2:  # linear OI -> IO
+            return value.transpose(1, 0)
+    if path[-1] == "position_embedding" and value.ndim == 2:
+        return value  # [S, C] kept as-is
+    return value
+
+
+def convert_state_dict(
+    state: Dict[str, np.ndarray], prefix: tuple[str, ...] = ()
+) -> Dict:
+    """torch-style flat dict -> nested flax params dict."""
+    tree: Dict = {}
+    for tk, v in state.items():
+        path = prefix + translate_key(tk)
+        v = convert_tensor(path, np.asarray(v))
+        node = tree
+        for name in path[:-1]:
+            node = node.setdefault(name, {})
+        node[path[-1]] = jnp.asarray(v)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# safetensors loading
+# ---------------------------------------------------------------------------
+
+def load_safetensors_dir(path: str) -> Dict[str, np.ndarray]:
+    """Load all *.safetensors under a diffusers model dir (handles shards)."""
+    from safetensors import safe_open
+
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {path}")
+    for f in files:
+        with safe_open(os.path.join(path, f), framework="np") as st:
+            for k in st.keys():
+                state[k] = st.get_tensor(k)
+    return state
+
+
+def _flatten(tree, prefix=()) -> Iterable[tuple[tuple[str, ...], np.ndarray]]:
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _flatten(v, prefix + (k,))
+        else:
+            yield prefix + (k,), v
+
+
+def validate_converted(converted: Dict, reference_params: Dict) -> None:
+    """Assert the converted tree covers the target tree exactly (names and
+    shapes); raises with the full diff otherwise."""
+    conv = {p: np.shape(v) for p, v in _flatten(converted)}
+    ref = {p: np.shape(v) for p, v in _flatten(reference_params)}
+    missing = sorted(set(ref) - set(conv))
+    extra = sorted(set(conv) - set(ref))
+    mismatched = sorted(
+        p for p in set(ref) & set(conv) if ref[p] != conv[p]
+    )
+    if missing or extra or mismatched:
+        msg = []
+        if missing:
+            msg.append(f"missing ({len(missing)}): {missing[:10]}")
+        if extra:
+            msg.append(f"unexpected ({len(extra)}): {extra[:10]}")
+        if mismatched:
+            msg.append(
+                "shape mismatch: "
+                + str([(p, ref[p], conv[p]) for p in mismatched[:10]])
+            )
+        raise ValueError("checkpoint conversion diff:\n" + "\n".join(msg))
+
+
+def load_unet(path: str, reference_params: Dict | None = None) -> Dict:
+    """Load + convert a diffusers UNet dir (config.json + safetensors)."""
+    converted = convert_state_dict(load_safetensors_dir(path))
+    if reference_params is not None:
+        validate_converted(converted, reference_params)
+    return converted
+
+
+def load_unet_config(path: str):
+    """Parse a diffusers UNet config.json into a UNetConfig."""
+    from wiw_tpu.models.unet import UNetConfig
+
+    with open(os.path.join(path, "config.json")) as f:
+        c = json.load(f)
+    return UNetConfig(
+        in_channels=c.get("in_channels", 8),
+        out_channels=c.get("out_channels", 4),
+        block_out_channels=tuple(c.get("block_out_channels", (320, 640, 1280, 1280))),
+        layers_per_block=c.get("layers_per_block", 2),
+        num_attention_heads=tuple(
+            c.get("num_attention_heads", (5, 10, 20, 20))
+        ),
+        cross_attention_dim=c.get("cross_attention_dim", 1024),
+        addition_time_embed_dim=c.get("addition_time_embed_dim", 256),
+        projection_class_embeddings_input_dim=c.get(
+            "projection_class_embeddings_input_dim", 768
+        ),
+        transformer_layers_per_block=c.get("transformer_layers_per_block", 1),
+        num_frames=c.get("num_frames", 14),
+        action_strategy=c.get("action_strategy"),
+        action_input_channel=c.get("action_input_channel", 14),
+    )

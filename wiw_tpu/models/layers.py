@@ -1,0 +1,419 @@
+"""Building blocks for the SVD-family models, in flax.linen, channels-last.
+
+Architecture parity (shapes/ops, no code copied) with the reference's
+diffusers fork:
+  * ResnetBlock2D / TemporalResnetBlock / SpatioTemporalResBlock / AlphaBlender:
+    FTsvd/diffusers-private/diffusers/models/resnet.py:332-799
+  * BasicTransformerBlock / TemporalBasicTransformerBlock:
+    .../models/attention.py:260-763
+  * TransformerSpatioTemporalModel (+ the fork's action branch `_A` variant):
+    .../models/transformers/transformer_temporal.py:300-638
+
+TPU-first choices: channels-last layouts (NHWC / NFHWC) so convs map onto
+the MXU without transposes; frames folded into the batch for spatial ops and
+into the sequence for temporal ops; fp32 GroupNorm/softmax with bf16 matmuls.
+
+Module/field names intentionally mirror diffusers parameter names so
+`models/convert.py` can map checkpoints mechanically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wiw_tpu.core.schedule import timestep_embedding
+from wiw_tpu.ops.attention import attention_bsd
+
+Dtype = jnp.dtype
+
+
+def silu(x):
+    return nn.silu(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the last (channel) axis, computed in fp32.
+
+    Channel grouping matches torch GroupNorm (contiguous channel chunks).
+    """
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        groups = self.num_groups if C % self.num_groups == 0 and C >= self.num_groups else C
+        xf = x.astype(jnp.float32)
+        g = xf.reshape(*x.shape[:-1], groups, C // groups)
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = g.mean(axis=axes, keepdims=True)
+        var = g.var(axis=axes, keepdims=True)
+        g = (g - mean) * jax.lax.rsqrt(var + self.eps)
+        out = g.reshape(x.shape) * scale + bias
+        return out.astype(orig_dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return out.astype(orig_dtype)
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 (diffusers embeddings.TimestepEmbedding)."""
+
+    embed_dim: int
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(x)
+        x = silu(x)
+        x = nn.Dense(self.out_dim or self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: proj to 2*inner, gate with gelu, project out."""
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        hidden = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        hidden, gate = jnp.split(hidden, 2, axis=-1)
+        x = hidden * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim_out or dim, dtype=self.dtype, name="net_2")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with optional cross-attention context.
+
+    Mirrors diffusers `Attention` in its transformer-block configuration
+    (no qkv bias, output projection with bias).
+    """
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = attention_bsd(q, k, v, self.heads)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")(out)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN -> self-attn -> LN -> cross-attn -> LN -> GEGLU FF, all residual."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        h = CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+            LayerNorm(dtype=self.dtype, name="norm1")(x)
+        )
+        x = x + h
+        h = CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn2")(
+            LayerNorm(dtype=self.dtype, name="norm2")(x), context=context
+        )
+        x = x + h
+        h = FeedForward(dtype=self.dtype, name="ff")(
+            LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x + h
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Temporal block: ff_in -> self-attn over frames -> cross -> ff.
+
+    Input/output [B*S, F, C] (frames are the sequence axis).
+    """
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        residual = x
+        h = FeedForward(dtype=self.dtype, name="ff_in")(
+            LayerNorm(dtype=self.dtype, name="norm_in")(x)
+        )
+        x = h + residual  # is_res: dim == time_mix_inner_dim in SVD
+        h = CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+            LayerNorm(dtype=self.dtype, name="norm1")(x)
+        )
+        x = x + h
+        if context is not None:
+            h = CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn2")(
+                LayerNorm(dtype=self.dtype, name="norm2")(x), context=context
+            )
+            x = x + h
+        h = FeedForward(dtype=self.dtype, name="ff")(
+            LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+        return x + h
+
+
+class AlphaBlender(nn.Module):
+    """Learned scalar blend: alpha*x_spatial + (1-alpha)*x_temporal.
+
+    merge_strategy='learned[_with_images]' with all-video inputs reduces to
+    alpha = sigmoid(mix_factor); `switch` flips the roles (temporal VAE).
+    """
+
+    alpha_init: float = 0.5
+    switch: bool = False
+
+    @nn.compact
+    def __call__(self, x_spatial, x_temporal):
+        mix = self.param(
+            "mix_factor", lambda k: jnp.full((1,), self.alpha_init, jnp.float32)
+        )
+        alpha = nn.sigmoid(mix)[0].astype(x_spatial.dtype)
+        if self.switch:
+            alpha = 1.0 - alpha
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal
+
+
+class ResnetBlock2D(nn.Module):
+    """GN -> silu -> conv -> (+temb) -> GN -> silu -> conv -> +skip. NHWC."""
+
+    out_channels: int
+    eps: float = 1e-6
+    use_temb: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        in_channels = x.shape[-1]
+        h = GroupNorm(eps=self.eps, name="norm1")(x)
+        h = silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_temb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm(eps=self.eps, name="norm2")(h)
+        h = silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class TemporalResnetBlock(nn.Module):
+    """Temporal resnet over [B, F, H, W, C] with (3,1,1) convs."""
+
+    out_channels: int
+    eps: float = 1e-6
+    use_temb: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        in_channels = x.shape[-1]
+        h = GroupNorm(eps=self.eps, name="norm1")(x)
+        h = silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+            dtype=self.dtype, name="conv1",
+        )(h)
+        if self.use_temb and temb is not None:
+            # temb: [B, F, C_temb] -> add per-frame bias
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                silu(temb)
+            )
+            h = h + t[:, :, None, None, :]
+        h = GroupNorm(eps=self.eps, name="norm2")(h)
+        h = silu(h)
+        h = nn.Conv(
+            self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+            dtype=self.dtype, name="conv2",
+        )(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """Spatial resnet (frames in batch) + temporal resnet, alpha-blended.
+
+    Input [B*F, H, W, C]; `num_frames` static. temb: [B*F, C_temb] or None.
+    """
+
+    out_channels: int
+    eps: float = 1e-6
+    temporal_eps: Optional[float] = None
+    merge_factor: float = 0.5
+    switch: bool = False
+    use_temb: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int, temb=None):
+        x = ResnetBlock2D(
+            self.out_channels, eps=self.eps, use_temb=self.use_temb,
+            dtype=self.dtype, name="spatial_res_block",
+        )(x, temb)
+        BF, H, W, C = x.shape
+        B = BF // num_frames
+        x5 = x.reshape(B, num_frames, H, W, C)
+        temb5 = temb.reshape(B, num_frames, -1) if (temb is not None and self.use_temb) else None
+        h = TemporalResnetBlock(
+            self.out_channels,
+            eps=self.temporal_eps if self.temporal_eps is not None else self.eps,
+            use_temb=self.use_temb, dtype=self.dtype, name="temporal_res_block",
+        )(x5, temb5)
+        out = AlphaBlender(
+            alpha_init=self.merge_factor, switch=self.switch, name="time_mixer"
+        )(x5, h)
+        return out.reshape(BF, H, W, C)
+
+
+class Downsample2D(nn.Module):
+    """Stride-2 conv; `asymmetric_pad` matches the VAE encoder's (0,1) pad."""
+
+    out_channels: int
+    asymmetric_pad: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv."""
+
+    out_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class TransformerSpatioTemporal(nn.Module):
+    """Spatial + temporal (+ optional action) transformer over feature maps.
+
+    Input [B*F, H, W, C]. `context`: [B, S_ctx, 1024] CLIP embeddings
+    (un-tiled; tiled internally). `action_context`: [B*F, S_a, A] per-frame
+    action tokens or None.
+
+    Mirrors TransformerSpatioTemporalModel(_A) including the fork's
+    per-layer action cross-attention branch and its AlphaBlender merges
+    (transformer_temporal.py:386-638).
+    """
+
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    use_action: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int, context=None, action_context=None):
+        BF, H, W, C = x.shape
+        B = BF // num_frames
+        inner = self.heads * self.dim_head
+        residual = x
+
+        h = GroupNorm(eps=1e-6, name="norm")(x)
+        h = h.reshape(BF, H * W, C)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+
+        # context for spatial cross-attn: per-frame rows [B*F, S, 1024]
+        spatial_context = None
+        if context is not None:
+            spatial_context = jnp.repeat(context, num_frames, axis=0)
+
+        # temporal positional embedding over frame index
+        frame_ids = jnp.arange(num_frames, dtype=jnp.float32)
+        t_emb = timestep_embedding(frame_ids, C)  # [F, C]
+        pos = TimestepEmbedding(C * 4, out_dim=C, dtype=self.dtype, name="time_pos_embed")(
+            t_emb.astype(self.dtype)
+        )  # [F, C]
+
+        # context for temporal cross-attn: first-frame context per spatial pos
+        time_context = None
+        if context is not None:
+            # [B, S, 1024] -> [B*H*W, S, 1024]
+            time_context = jnp.repeat(context, H * W, axis=0)
+
+        time_mixer = AlphaBlender(alpha_init=0.5, name="time_mixer")
+        time_mixer_action = (
+            AlphaBlender(alpha_init=1.0, name="time_mixer_action")
+            if self.use_action
+            else None
+        )
+
+        for layer in range(self.num_layers):
+            h = BasicTransformerBlock(
+                self.heads, self.dim_head, dtype=self.dtype,
+                name=f"transformer_blocks_{layer}",
+            )(h, context=spatial_context)
+
+            # temporal: [B*F, HW, C] -> [B*HW, F, C], + frame positional emb
+            hmix = h.reshape(B, num_frames, H * W, inner) + pos[None, :, None, :]
+            hmix = hmix.transpose(0, 2, 1, 3).reshape(B * H * W, num_frames, inner)
+            hmix = TemporalBasicTransformerBlock(
+                self.heads, self.dim_head, dtype=self.dtype,
+                name=f"temporal_transformer_blocks_{layer}",
+            )(hmix, context=time_context)
+            hmix = hmix.reshape(B, H * W, num_frames, inner).transpose(0, 2, 1, 3)
+            hmix = hmix.reshape(BF, H * W, inner)
+            h = time_mixer(h, hmix)
+
+            if self.use_action:
+                hact = BasicTransformerBlock(
+                    self.heads, self.dim_head, dtype=self.dtype,
+                    name=f"temporal_transformer_blocks_action_{layer}",
+                )(h, context=action_context)
+                h = time_mixer_action(h, hact)
+
+        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        return h.reshape(BF, H, W, C) + residual

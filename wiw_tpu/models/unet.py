@@ -1,0 +1,315 @@
+"""Action-conditioned spatio-temporal UNet (SVD-dagger), TPU-native.
+
+Architecture parity (no code copied) with the reference fork's
+`UNetSpatioTemporalConditionModel` including both action strategies:
+  * micro_cond: Fourier action embedder added to the per-frame time embedding
+    (unet_spatio_temporal_condition.py:264-283, :467-497;
+     embeddings.py:904-944)
+  * action_block: per-frame 768-d action tokens cross-attended inside every
+    spatio-temporal transformer (embeddings.py:838-902,
+     transformer_temporal.py:386-638)
+
+Layout: latents enter as [B, F, H, W, C] channels-last; spatial stages run
+with frames folded into batch ([B*F, H, W, C]); static shapes throughout so
+the whole denoise step compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wiw_tpu.core.schedule import timestep_embedding
+from wiw_tpu.models.layers import (
+    GroupNorm,
+    SpatioTemporalResBlock,
+    TimestepEmbedding,
+    TransformerSpatioTemporal,
+    Upsample2D,
+    silu,
+)
+
+ACTION_DROPPED = -1.0  # sentinel marking CFG-dropped action conditioning
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SVD img2vid UNet configuration (defaults = the 14-frame SVD base)."""
+
+    in_channels: int = 8
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    num_attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    cross_attention_dim: int = 1024
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 768
+    transformer_layers_per_block: int = 1
+    num_frames: int = 14
+    # None | 'micro_cond' | 'action_block' | 'action_block_nocfg'
+    action_strategy: Optional[str] = None
+    # micro_cond input channel: 14 (nav idx codec) or 10 (manip pose codec)
+    action_input_channel: int = 14
+    action_attention_dim: int = 768
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def uses_action_block(self) -> bool:
+        return self.action_strategy in ("action_block", "action_block_nocfg")
+
+
+class ActionEmbedderBlock(nn.Module):
+    """'action_block' embedder: MLP(4->256->512->768) + learned pos emb.
+
+    A sample whose entire action tensor equals the dropped sentinel (-1)
+    maps to the zero embedding (embeddings.py:882-886).
+    """
+
+    out_dim: int = 768
+    num_frames: int = 14
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, F, 4]
+        h = nn.Dense(256, dtype=self.dtype, name="layers_0")(x)
+        h = silu(h)
+        h = nn.Dense(512, dtype=self.dtype, name="layers_2")(h)
+        h = silu(h)
+        h = nn.Dense(self.out_dim, dtype=self.dtype, name="layers_4")(h)
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(1.0),
+            (self.num_frames, self.out_dim),
+            jnp.float32,
+        )
+        h = h + pos.astype(h.dtype)[None]
+        dropped = jnp.all(x == ACTION_DROPPED, axis=(1, 2))  # [B]
+        return jnp.where(dropped[:, None, None], 0.0, h)
+
+
+class ActionEmbedderFourier(nn.Module):
+    """'micro_cond' embedder: 12 Fourier features per channel -> Dense(256)
+    (embeddings.py:904-944)."""
+
+    embed_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, F, A]
+        B, F, A = x.shape
+        xf = x.astype(jnp.float32)
+        feats = []
+        for m in (1.0, 2.0, 4.0, 6.0, 8.0, 10.0):
+            feats.append(jnp.cos(m * xf))
+            feats.append(jnp.sin(m * xf))
+        # [B, F, A, 12] in order (cos x, sin x, cos 2x, ..., sin 10x), then
+        # row-major flatten of (A, 12) — matches embeddings.py:925-938
+        features = jnp.stack(feats, axis=-1).reshape(B, F, A * 12)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(
+            features.astype(self.dtype)
+        )
+
+
+class CrossAttnBlockST(nn.Module):
+    """layers x (SpatioTemporalResBlock -> TransformerSpatioTemporal)."""
+
+    out_channels: int
+    heads: int
+    num_layers: int
+    transformer_layers: int
+    use_action: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames, temb, context, action_context):
+        outputs = []
+        for i in range(self.num_layers):
+            x = SpatioTemporalResBlock(
+                self.out_channels, eps=1e-5, dtype=self.dtype, name=f"resnets_{i}"
+            )(x, num_frames, temb)
+            x = TransformerSpatioTemporal(
+                self.heads,
+                self.out_channels // self.heads,
+                num_layers=self.transformer_layers,
+                use_action=self.use_action,
+                dtype=self.dtype,
+                name=f"attentions_{i}",
+            )(x, num_frames, context=context, action_context=action_context)
+            outputs.append(x)
+        return x, outputs
+
+
+class PlainBlockST(nn.Module):
+    """layers x SpatioTemporalResBlock (no attention)."""
+
+    out_channels: int
+    num_layers: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames, temb):
+        outputs = []
+        for i in range(self.num_layers):
+            x = SpatioTemporalResBlock(
+                self.out_channels, eps=1e-5, dtype=self.dtype, name=f"resnets_{i}"
+            )(x, num_frames, temb)
+            outputs.append(x)
+        return x, outputs
+
+
+class Downsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=1,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class UNetSpatioTemporal(nn.Module):
+    """The full UNet. Inputs:
+      sample:          [B, F, H, W, C_in]  (noisy latents ++ image latents)
+      timestep:        [B] continuous t = 0.25*log(sigma)
+      context:         [B, S, 1024] CLIP image embeddings
+      added_time_ids:  [B, 3] (fps-1, motion_bucket, noise_aug)
+      action_ids:      strategy-dependent, or None
+    Returns [B, F, H, W, C_out].
+    """
+
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(self, sample, timestep, context, added_time_ids, action_ids=None):
+        cfg = self.config
+        dt = cfg.jdtype
+        B, F, H, W, _ = sample.shape
+        ch0 = cfg.block_out_channels[0]
+
+        # ---- time + added-conditioning embeddings -------------------------
+        t_emb = timestep_embedding(timestep, ch0).astype(dt)  # [B, ch0]
+        emb_time = TimestepEmbedding(ch0 * 4, dtype=dt, name="time_embedding")(t_emb)
+        time_embed_dim = ch0 * 4
+
+        add_embeds = timestep_embedding(
+            added_time_ids.reshape(-1), cfg.addition_time_embed_dim
+        ).reshape(B, -1).astype(dt)  # [B, 768]
+        aug_emb = TimestepEmbedding(time_embed_dim, dtype=dt, name="add_embedding")(
+            add_embeds
+        )
+
+        action_context = None  # [B*F, S_a, 768] for action_block
+        if cfg.action_strategy == "micro_cond":
+            assert action_ids is not None and action_ids.ndim == 3
+            act = ActionEmbedderFourier(dtype=dt, name="add_action_proj")(action_ids)
+            act = TimestepEmbedding(
+                time_embed_dim, dtype=dt, name="add_embedding_action"
+            )(act)  # [B, F, 1280]
+            noise_embeds = timestep_embedding(
+                added_time_ids[:, -1], cfg.addition_time_embed_dim
+            ).astype(dt)
+            noise_embeds = TimestepEmbedding(
+                time_embed_dim, dtype=dt, name="add_embedding_noise"
+            )(noise_embeds)  # [B, 1280]
+            # per-frame emb replaces the aug_emb path
+            # (unet_spatio_temporal_condition.py:467-487)
+            emb = (
+                emb_time[:, None, :] + act + noise_embeds[:, None, :]
+            ).reshape(B * F, time_embed_dim)
+        else:
+            emb = (emb_time + aug_emb)
+            emb = jnp.repeat(emb, F, axis=0)  # [B*F, 1280]
+            if cfg.uses_action_block:
+                assert action_ids is not None
+                tokens = ActionEmbedderBlock(
+                    out_dim=cfg.action_attention_dim,
+                    num_frames=cfg.num_frames,
+                    dtype=dt,
+                    name="action_proj",
+                )(action_ids)  # [B, F, 768]
+                action_context = tokens.reshape(B * F, 1, cfg.action_attention_dim)
+
+        # ---- UNet trunk ---------------------------------------------------
+        x = sample.astype(dt).reshape(B * F, H, W, sample.shape[-1])
+        x = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+
+        n_blocks = len(cfg.block_out_channels)
+        res_samples = [x]
+        for i in range(n_blocks):
+            out_ch = cfg.block_out_channels[i]
+            is_final = i == n_blocks - 1
+            if not is_final:  # cross-attn blocks
+                x, outs = CrossAttnBlockST(
+                    out_ch,
+                    cfg.num_attention_heads[i],
+                    cfg.layers_per_block,
+                    cfg.transformer_layers_per_block,
+                    cfg.uses_action_block,
+                    dtype=dt,
+                    name=f"down_blocks_{i}",
+                )(x, F, emb, context, action_context)
+            else:
+                x, outs = PlainBlockST(
+                    out_ch, cfg.layers_per_block, dtype=dt, name=f"down_blocks_{i}"
+                )(x, F, emb)
+            res_samples += outs
+            if not is_final:
+                x = Downsample(out_ch, dtype=dt, name=f"down_blocks_{i}_downsamplers_0")(x)
+                res_samples.append(x)
+
+        # mid: resnet -> transformer -> resnet
+        mid_ch = cfg.block_out_channels[-1]
+        x = SpatioTemporalResBlock(
+            mid_ch, eps=1e-5, dtype=dt, name="mid_block_resnets_0"
+        )(x, F, emb)
+        x = TransformerSpatioTemporal(
+            cfg.num_attention_heads[-1],
+            mid_ch // cfg.num_attention_heads[-1],
+            num_layers=cfg.transformer_layers_per_block,
+            use_action=cfg.uses_action_block,
+            dtype=dt,
+            name="mid_block_attentions_0",
+        )(x, F, context=context, action_context=action_context)
+        x = SpatioTemporalResBlock(
+            mid_ch, eps=1e-5, dtype=dt, name="mid_block_resnets_1"
+        )(x, F, emb)
+
+        # up path
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(cfg.num_attention_heads))
+        up_layers = cfg.layers_per_block + 1
+        for i in range(n_blocks):
+            out_ch = rev_channels[i]
+            is_final = i == n_blocks - 1
+            has_attn = i != 0  # first up block mirrors the attn-less down block
+            for j in range(up_layers):
+                skip = res_samples.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = SpatioTemporalResBlock(
+                    out_ch, eps=1e-5, dtype=dt, name=f"up_blocks_{i}_resnets_{j}"
+                )(x, F, emb)
+                if has_attn:
+                    x = TransformerSpatioTemporal(
+                        rev_heads[i],
+                        out_ch // rev_heads[i],
+                        num_layers=cfg.transformer_layers_per_block,
+                        use_action=cfg.uses_action_block,
+                        dtype=dt,
+                        name=f"up_blocks_{i}_attentions_{j}",
+                    )(x, F, context=context, action_context=action_context)
+            if not is_final:
+                x = Upsample2D(out_ch, dtype=dt, name=f"up_blocks_{i}_upsamplers_0")(x)
+
+        x = GroupNorm(eps=1e-5, name="conv_norm_out")(x)
+        x = silu(x)
+        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
+        return x.reshape(B, F, H, W, cfg.out_channels).astype(jnp.float32)

@@ -1,0 +1,195 @@
+"""AutoencoderKL with temporal decoder (the SVD video VAE), channels-last.
+
+Architecture parity (no code copied) with the reference's
+  * encoder: diffusers/models/autoencoders/vae.py `Encoder` (stock SD VAE)
+  * decoder: autoencoder_kl_temporal_decoder.py:29-160 `TemporalDecoder` with
+    MidBlockTemporalDecoder/UpBlockTemporalDecoder (unet_3d_blocks.py:930-1040)
+
+Encode runs per-frame ([B*F, H, W, 3] -> latents [B*F, h, w, 4],
+scaling 0.18215); decode consumes [B*F, h, w, 4] and applies the temporal
+conv stack over the frame axis. Chunked decode (the reference's
+decode_chunk_size, pipeline:296-309) is a host-side loop in
+sampling/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from wiw_tpu.models.layers import (
+    Downsample2D,
+    GroupNorm,
+    ResnetBlock2D,
+    SpatioTemporalResBlock,
+    Upsample2D,
+    silu,
+)
+
+SCALING_FACTOR = 0.18215
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    scaling_factor: float = SCALING_FACTOR
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+class VAEAttention(nn.Module):
+    """Single-head spatial self-attention with GroupNorm + residual
+    (diffusers Attention in VAE configuration: qkv bias, 1 head)."""
+
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        residual = x
+        h = GroupNorm(eps=1e-6, name="group_norm")(x).reshape(B, H * W, C)
+        q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
+        k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
+        v = nn.Dense(C, dtype=self.dtype, name="to_v")(h)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        weights = jnp.astype(
+            nn.softmax(logits * (C**-0.5), axis=-1), v.dtype
+        )
+        h = jnp.einsum("bqk,bkc->bqc", weights, v)
+        h = nn.Dense(C, dtype=self.dtype, name="to_out_0")(h)
+        return h.reshape(B, H, W, C) + residual
+
+
+class Encoder(nn.Module):
+    """SD VAE encoder: [B*, H, W, 3] -> moments [B*, H/8, W/8, 2*latent]."""
+
+    config: VAEConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        dt = cfg.jdtype
+        chans = cfg.block_out_channels
+        x = x.astype(dt)
+        x = nn.Conv(chans[0], (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+        for i, ch in enumerate(chans):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock2D(
+                    ch, eps=1e-6, use_temb=False, dtype=dt,
+                    name=f"down_blocks_{i}_resnets_{j}",
+                )(x)
+            if i != len(chans) - 1:
+                x = Downsample2D(
+                    ch, asymmetric_pad=True, dtype=dt,
+                    name=f"down_blocks_{i}_downsamplers_0",
+                )(x)
+        mid_ch = chans[-1]
+        x = ResnetBlock2D(
+            mid_ch, eps=1e-6, use_temb=False, dtype=dt, name="mid_block_resnets_0"
+        )(x)
+        x = VAEAttention(mid_ch, dtype=dt, name="mid_block_attentions_0")(x)
+        x = ResnetBlock2D(
+            mid_ch, eps=1e-6, use_temb=False, dtype=dt, name="mid_block_resnets_1"
+        )(x)
+        x = GroupNorm(eps=1e-6, name="conv_norm_out")(x)
+        x = silu(x)
+        x = nn.Conv(
+            2 * cfg.latent_channels, (3, 3), padding=1, dtype=dt, name="conv_out"
+        )(x)
+        # quant_conv (1x1) lives at the autoencoder level in diffusers
+        x = nn.Conv(2 * cfg.latent_channels, (1, 1), dtype=dt, name="quant_conv")(x)
+        return x  # moments: mean ++ logvar over channel axis
+
+
+class TemporalDecoder(nn.Module):
+    """[B*F, h, w, 4] latents -> [B, F, H, W, 3] video, temporal convs on F."""
+
+    config: VAEConfig
+
+    @nn.compact
+    def __call__(self, z, num_frames: int):
+        cfg = self.config
+        dt = cfg.jdtype
+        chans = list(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
+        z = z.astype(dt)
+        x = nn.Conv(chans[0], (3, 3), padding=1, dtype=dt, name="conv_in")(z)
+
+        st_kwargs = dict(
+            eps=1e-6, temporal_eps=1e-5, merge_factor=0.0, switch=True,
+            use_temb=False, dtype=dt,
+        )
+        # mid block: resnet -> attn -> resnet
+        x = SpatioTemporalResBlock(
+            chans[0], name="mid_block_resnets_0", **st_kwargs
+        )(x, num_frames)
+        x = VAEAttention(chans[0], dtype=dt, name="mid_block_attentions_0")(x)
+        x = SpatioTemporalResBlock(
+            chans[0], name="mid_block_resnets_1", **st_kwargs
+        )(x, num_frames)
+
+        for i, ch in enumerate(chans):
+            for j in range(cfg.layers_per_block + 1):
+                x = SpatioTemporalResBlock(
+                    ch, name=f"up_blocks_{i}_resnets_{j}", **st_kwargs
+                )(x, num_frames)
+            if i != len(chans) - 1:
+                x = Upsample2D(ch, dtype=dt, name=f"up_blocks_{i}_upsamplers_0")(x)
+
+        x = GroupNorm(eps=1e-6, name="conv_norm_out")(x)
+        x = silu(x)
+        x = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
+
+        # temporal smoothing conv over frames: [B, F, H, W, 3]
+        BF, H, W, C = x.shape
+        B = BF // num_frames
+        x = x.reshape(B, num_frames, H, W, C)
+        x = nn.Conv(
+            cfg.in_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+            dtype=dt, name="time_conv_out",
+        )(x)
+        return x.astype(jnp.float32)
+
+
+class AutoencoderKLTemporal(nn.Module):
+    """encode -> DiagonalGaussian moments; decode -> video frames."""
+
+    config: VAEConfig = VAEConfig()
+
+    def setup(self):
+        self.encoder = Encoder(self.config)
+        self.decoder = TemporalDecoder(self.config)
+
+    def encode_moments(self, images):
+        """images [B*, H, W, 3] in [-1, 1] -> moments [B*, h, w, 8]."""
+        return self.encoder(images)
+
+    def encode(self, images, key=None):
+        """Returns latent sample (or mode if key is None), UNSCALED."""
+        moments = self.encoder(images)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if key is None:
+            return mean
+        logvar = jnp.clip(logvar, -30.0, 20.0)
+        std = jnp.exp(0.5 * logvar)
+        import jax
+
+        return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+    def decode(self, latents, num_frames: int):
+        """latents [B*F, h, w, 4] (already un-scaled) -> [B, F, H, W, 3]."""
+        return self.decoder(latents, num_frames)
+
+    def __call__(self, images, num_frames: int):
+        """Autoencode (mode of the posterior); for tests."""
+        z = self.encode(images)
+        return self.decode(z * 1.0, num_frames)

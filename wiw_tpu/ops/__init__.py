@@ -1,0 +1,1 @@
+from wiw_tpu.ops.attention import dot_product_attention  # noqa: F401

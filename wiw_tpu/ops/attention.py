@@ -1,0 +1,87 @@
+"""Attention ops: XLA reference path + Pallas TPU flash path.
+
+The UNet's three attention flavors (spatial self, text/image cross, temporal)
+all route through `dot_product_attention`. On TPU, long sequences
+(spatial attention at 576x1024 is 72*128 = 9216 tokens) dispatch to the
+Pallas flash-attention kernel; short ones (temporal: 14 frames, cross: 1 kv
+token) stay on the fused XLA path, which is faster at tiny sizes.
+
+Replaces the reference's torch/xformers/flash-attn CUDA attention
+(FTsvd/train_svd.py:570-582) with TPU-native kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Minimum q-length before the Pallas kernel wins over fused XLA attention.
+_PALLAS_MIN_SEQ = 1024
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_attention_fn():
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    return flash_attention
+
+
+def _xla_attention(q, k, v, scale):
+    """Reference attention: einsum QK^T -> fp32 softmax -> PV."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Multi-head attention over [B, H, S, D] tensors; returns [B, H, Sq, D].
+
+    `use_pallas=None` auto-selects: Pallas flash kernel on TPU for long
+    sequences, XLA otherwise.
+    """
+    scale = q.shape[-1] ** -0.5
+    if use_pallas is None:
+        use_pallas = (
+            _is_tpu()
+            and q.shape[2] >= _PALLAS_MIN_SEQ
+            and k.shape[2] >= _PALLAS_MIN_SEQ
+            and q.shape[-1] % 128 == 0  # flash kernel wants lane-aligned head dim
+        )
+    if use_pallas:
+        flash = _flash_attention_fn()
+        return flash(q, k, v, causal=False, sm_scale=scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def attention_bsd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    *,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Attention over [B, S, H*D]-shaped projections (transformer layout)."""
+    B, Sq, HD = q.shape
+    Sk = k.shape[1]
+    D = HD // heads
+    qh = q.reshape(B, Sq, heads, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Sk, heads, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Sk, heads, D).transpose(0, 2, 1, 3)
+    out = dot_product_attention(qh, kh, vh, use_pallas=use_pallas)
+    return out.transpose(0, 2, 1, 3).reshape(B, Sq, HD)

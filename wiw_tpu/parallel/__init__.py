@@ -1,0 +1,6 @@
+from wiw_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    shard_params,
+    shard_pytree_spec,
+)

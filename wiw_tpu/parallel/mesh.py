@@ -1,0 +1,79 @@
+"""Device mesh + sharding rules (the TPU-native replacement for the
+reference's NCCL/DeepSpeed stack, SURVEY.md section 2.8).
+
+Axes:
+  dp    data parallelism — batch sharded, grads psum over ICI
+  fsdp  parameter/optimizer-state sharding (ZeRO-1/2/3 equivalent): every
+        large parameter leaf shards its biggest divisible axis; XLA inserts
+        all-gathers on use and reduce-scatters on grads
+
+The reference's DeepSpeed ZeRO-1/2 configs
+(FTsvd/config/accelerate_deepspeed_o*.yaml, train_svd.py:463-469) map to
+`fsdp > 1` here; plain DDP maps to `dp = n, fsdp = 1`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# parameters smaller than this stay replicated (gather cost > memory win)
+_MIN_SHARD_ELEMS = 2**16
+
+
+def make_mesh(
+    dp: Optional[int] = None, fsdp: int = 1, devices=None
+) -> Mesh:
+    """Create a ('dp', 'fsdp') mesh over the given (or all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // fsdp
+    assert dp * fsdp == n, f"dp({dp}) * fsdp({fsdp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, fsdp)
+    return Mesh(arr, ("dp", "fsdp"))
+
+
+def _leaf_spec(path_unused, leaf, fsdp_size: int) -> P:
+    """Shard the largest axis divisible by fsdp_size; replicate small leaves."""
+    shape = np.shape(leaf)
+    if fsdp_size <= 1 or np.prod(shape, dtype=np.int64) < _MIN_SHARD_ELEMS:
+        return P()
+    # pick the largest divisible axis (prefer later axes on ties: channels-last
+    # puts the big output-feature axis last, giving contiguous lane shards)
+    best_axis, best_size = None, 0
+    for i, s in enumerate(shape):
+        if s % fsdp_size == 0 and s >= best_size:
+            best_axis, best_size = i, s
+    if best_axis is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best_axis] = "fsdp"
+    return P(*spec)
+
+
+def shard_pytree_spec(tree, mesh: Mesh):
+    """PartitionSpec pytree for params/opt-state under the fsdp axis."""
+    fsdp = mesh.shape.get("fsdp", 1)
+    return jax.tree_util.tree_map(lambda l: _leaf_spec(None, l, fsdp), tree)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a params pytree onto the mesh according to the fsdp rule."""
+    specs = shard_pytree_spec(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda l, s: jax.device_put(l, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis sharded over dp (and fsdp, which also consumes batch:
+    standard ZeRO data layout where every device computes a batch shard)."""
+    return NamedSharding(mesh, P(("dp", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

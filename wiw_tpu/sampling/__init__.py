@@ -1,0 +1,1 @@
+from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline  # noqa: F401

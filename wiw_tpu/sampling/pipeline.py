@@ -1,0 +1,243 @@
+"""Image-to-video generation pipeline (SVD / SVD-dagger), TPU-native.
+
+Behavioral parity (no code copied) with the reference pipeline
+(FTsvd/diffusers-private/.../pipeline_stable_video_diffusion.py:383-638) and
+the worker entry (FTsvd/eval_inference.py:228-266):
+  * CLIP-embed the conditioning image; CFG uncond = zero embedding
+  * VAE-encode the noise-augmented conditioning image (unscaled); CFG uncond
+    = zero latents; repeated per frame and concatenated on channels
+  * added_time_ids = (fps-1, motion_bucket_id, noise_aug_strength)
+  * karras sigmas in [0.002, 700]; init noise = pano-rotation-correlated for
+    navigation; x0-scale = sigma_max
+  * denoise loop: CFG batch fold, c_in scaling, UNet, per-frame guidance
+    linspace(1, 3), EDM v-combine, Euler step — expressed as one lax.scan
+  * chunked temporal VAE decode
+
+TPU-first design: the entire denoise loop is a single jitted program; the
+CFG pair is folded into the batch so the UNet always sees [2B, ...]; all
+shapes static per (H, W, F, steps) bucket — the serving plane keeps one
+compiled executable per bucket (wiw_tpu/serve).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wiw_tpu.core import schedule as S
+from wiw_tpu.core.actions import get_action_ids
+from wiw_tpu.core.noise import sample_latent_noise
+from wiw_tpu.models.clip import CLIPVisionConfig, CLIPVisionModel, preprocess_for_clip
+from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+from wiw_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+
+VAE_SCALE = 8  # spatial downsampling of the VAE
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    height: int = 576
+    width: int = 1024
+    num_frames: int = 14
+    num_inference_steps: int = 30
+    min_guidance_scale: float = 1.0
+    max_guidance_scale: float = 3.0
+    fps: int = 7
+    motion_bucket_id: int = 127
+    noise_aug_strength: float = 0.02
+    task_type: str = "navigation"  # 'navigation' | 'manipulation' | None
+    decode_chunk_frames: int = 14
+    edm: S.EDMConfig = S.EDMConfig()
+
+
+class SVDPipeline:
+    """Holds model defs + params and exposes a jitted `generate`."""
+
+    def __init__(
+        self,
+        unet_config: UNetConfig,
+        vae_config: VAEConfig = VAEConfig(),
+        clip_config: CLIPVisionConfig = CLIPVisionConfig(),
+        params: Optional[dict[str, Any]] = None,
+    ):
+        self.unet_config = unet_config
+        self.vae_config = vae_config
+        self.clip_config = clip_config
+        self.unet = UNetSpatioTemporal(unet_config)
+        self.vae = AutoencoderKLTemporal(vae_config)
+        self.clip = CLIPVisionModel(clip_config)
+        self.params = params
+
+    # ------------------------------------------------------------------
+    def init_params(self, key: jax.Array, gen: GenerationConfig) -> dict:
+        """Random-init all three towers (for tests / fresh training)."""
+        cfg = self.unet_config
+        F = cfg.num_frames
+        h, w = gen.height // VAE_SCALE, gen.width // VAE_SCALE
+        k1, k2, k3 = jax.random.split(key, 3)
+        action_ids = None
+        if cfg.action_strategy == "micro_cond":
+            action_ids = jnp.zeros((1, F, cfg.action_input_channel))
+        elif cfg.uses_action_block:
+            action_ids = jnp.zeros((1, F, 4))
+        unet_params = self.unet.init(
+            k1,
+            sample=jnp.zeros((1, F, h, w, cfg.in_channels)),
+            timestep=jnp.zeros((1,)),
+            context=jnp.zeros((1, 1, cfg.cross_attention_dim)),
+            added_time_ids=jnp.zeros((1, 3)),
+            action_ids=action_ids,
+        )["params"]
+        vae_params = self.vae.init(
+            k2, jnp.zeros((F, gen.height, gen.width, 3)), F
+        )["params"]
+        clip_params = self.clip.init(
+            k3, jnp.zeros((1, self.clip_config.image_size, self.clip_config.image_size, 3))
+        )["params"]
+        self.params = {"unet": unet_params, "vae": vae_params, "clip": clip_params}
+        return self.params
+
+    # ------------------------------------------------------------------
+    def _prepare_action_ids(self, actions, batch: int, gen: GenerationConfig):
+        """Encode raw actions and build the CFG-duplicated tensor.
+
+        action_block: uncond half = dropped (-1) sentinel
+        (eval_inference.py:333-340); micro_cond: both halves share the same
+        ids (unet_spatio_temporal_condition.py:470-473).
+        """
+        cfg = self.unet_config
+        if cfg.action_strategy is None or actions is None:
+            return None
+        encoded = get_action_ids(actions, cfg.action_strategy)
+        if cfg.action_strategy == "action_block":
+            uncond = jnp.full_like(encoded, -1.0)
+            return jnp.concatenate([uncond, encoded], axis=0)
+        return jnp.concatenate([encoded, encoded], axis=0)
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        key: jax.Array,
+        image: jnp.ndarray,
+        gen: GenerationConfig,
+        actions: Optional[jnp.ndarray] = None,
+        past_images: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """image: [B, H, W, 3] in [-1, 1]; actions: [B, F] ids or [B, F, 8]
+        poses or None. Returns video [B, F, H, W, 3] in [0, 1] (fp32).
+        """
+        assert self.params is not None, "load or init params first"
+        fn = self._jitted_generate(gen, actions is not None, past_images is not None)
+        return fn(self.params, key, image, actions, past_images)
+
+    @functools.lru_cache(maxsize=32)
+    def _jitted_generate(self, gen, has_actions, has_past):
+        """One compiled executable per (gen-config, arg-presence) bucket."""
+        return jax.jit(functools.partial(self._generate_impl, gen))
+
+    # the jitted body: pure in `params` ---------------------------------
+    def _generate_impl(self, gen, params, key, image, actions, past_images):
+        cfg = self.unet_config
+        B, H, W, _ = image.shape
+        F = gen.num_frames
+        h, w = H // VAE_SCALE, W // VAE_SCALE
+        p = params
+        k_noise, k_aug, k_lat = jax.random.split(key, 3)
+
+        # 1. CLIP conditioning ([B, S, 1024]); uncond = zeros
+        clip_in = preprocess_for_clip(image)
+        embeds = self.clip.apply({"params": p["clip"]}, clip_in)[:, None, :]
+        if past_images is not None:
+            # additional past-context CLIP tokens (pipeline:501-507)
+            Bp, Np = past_images.shape[:2]
+            flat = past_images.reshape(Bp * Np, *past_images.shape[2:])
+            past_emb = self.clip.apply(
+                {"params": p["clip"]}, preprocess_for_clip(flat)
+            ).reshape(Bp, Np, -1)
+            embeds = jnp.concatenate([past_emb, embeds], axis=1)
+        context = jnp.concatenate([jnp.zeros_like(embeds), embeds], axis=0)
+
+        # 2. VAE-encode the noise-augmented conditioning image (unscaled)
+        aug = image + gen.noise_aug_strength * jax.random.normal(
+            k_aug, image.shape, image.dtype
+        )
+        img_latents = self.vae.apply({"params": p["vae"]}, aug, method=self.vae.encode)
+        img_latents = jnp.concatenate(
+            [jnp.zeros_like(img_latents), img_latents], axis=0
+        )  # CFG
+        img_latents = jnp.repeat(img_latents[:, None], F, axis=1)  # [2B,F,h,w,4]
+
+        # 3. added_time_ids + action conditioning
+        added_time_ids = jnp.tile(
+            jnp.array(
+                [[gen.fps - 1, gen.motion_bucket_id, gen.noise_aug_strength]],
+                jnp.float32,
+            ),
+            (2 * B, 1),
+        )
+        action_ids = self._prepare_action_ids(actions, B, gen)
+
+        # 4. schedule + correlated init noise
+        sigmas = S.karras_sigmas(gen.num_inference_steps, gen.edm)
+        if (
+            gen.task_type == "navigation"
+            and actions is not None
+            and actions.ndim == 2
+        ):
+            noise = sample_latent_noise(k_lat, actions, (B, F, 4, h, w))
+            noise = jnp.moveaxis(noise, 2, -1)  # -> [B, F, h, w, 4]
+        else:
+            noise = jax.random.normal(k_lat, (B, F, h, w, 4))
+        latents = noise * sigmas[0]
+
+        guidance = S.guidance_scales(
+            F, gen.min_guidance_scale, gen.max_guidance_scale
+        )[None, :, None, None, None]
+
+        # 5. denoise scan
+        def step(latents, sig_pair):
+            sigma, sigma_next = sig_pair
+            latent_in = jnp.concatenate([latents, latents], axis=0)
+            latent_in = S.precondition_inputs(latent_in, sigma)
+            latent_in = jnp.concatenate([latent_in, img_latents], axis=-1)
+            t = jnp.full((2 * B,), S.sigma_to_t(sigma))
+            pred = self.unet.apply(
+                {"params": p["unet"]},
+                sample=latent_in,
+                timestep=t,
+                context=context,
+                added_time_ids=added_time_ids,
+                action_ids=action_ids,
+            )
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance * (cond - uncond)
+            denoised = S.precondition_outputs(pred, latents, sigma)
+            return S.euler_step(latents, denoised, sigma, sigma_next), None
+
+        latents, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
+
+        # 6. decode (chunked over frames)
+        z = (latents / self.vae_config.scaling_factor).reshape(B * F, h, w, 4)
+        chunk = min(gen.decode_chunk_frames, F)
+        videos = []
+        zb = z.reshape(B, F, h, w, 4)
+        for start in range(0, F, chunk):
+            size = min(chunk, F - start)
+            part = zb[:, start : start + size].reshape(B * size, h, w, 4)
+            dec = self.vae.apply(
+                {"params": p["vae"]}, part, size, method=self.vae.decode
+            )
+            videos.append(dec)
+        video = jnp.concatenate(videos, axis=1)  # [B, F, H, W, 3]
+        return jnp.clip(video / 2.0 + 0.5, 0.0, 1.0)
+
+
+def to_uint8(video: jnp.ndarray) -> np.ndarray:
+    """[B, F, H, W, 3] in [0,1] -> uint8 numpy, matching the reference's
+    images_to_tensor -> uint8 conversion (api_models/__init__.py:113-166)."""
+    return np.asarray(jnp.round(video * 255.0).astype(jnp.uint8))

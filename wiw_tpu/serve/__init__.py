@@ -1,0 +1,6 @@
+from wiw_tpu.serve.protocol import (  # noqa: F401
+    check_inputdict,
+    check_outputdict,
+    read_framed,
+    write_framed,
+)

@@ -1,0 +1,329 @@
+"""WM manager server: TCP accept loop + per-client handler + executors.
+
+Serving-plane parity with the reference manager (worker_manager.py:303-758)
+with a TPU-first executor design:
+
+  * InProcessExecutor — the TPU path. One process owns the chip(s); weights
+    stay resident in HBM; queued sub-tasks from ALL clients merge into
+    micro-batches (continuous micro-batching) before each generation call.
+    This replaces the reference's N-subprocess x least-pending dispatch,
+    whose per-worker model copies and pickle hops are a GPU-ism.
+  * SubprocessExecutor — protocol-compatible with reference worker scripts
+    (cmd + [w_fd]; framed stdin tasks, framed pipe results) so heterogeneous
+    torch workers (the WM zoo, SURVEY.md 2.4) can still attach.
+
+Ordering guarantees match the reference: per-client FIFO batch release via
+`Batcher`; sub-tasks may complete out of order across executor slots.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import socket
+import subprocess
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from wiw_tpu.serve.batcher import Batcher, merge_output_dicts, split_input_dict
+from wiw_tpu.serve.protocol import (
+    check_inputdict,
+    check_outputdict,
+    read_framed,
+    read_pickled_fd,
+    write_framed,
+    write_pickled_fd,
+)
+
+
+class Executor:
+    """Interface: submit (client_id, task_id, input_dict); completions are
+    delivered to the manager's result queue."""
+
+    def submit(self, client_id: int, task_id: int, payload: dict) -> None:
+        raise NotImplementedError
+
+    def start(self, result_queue: "queue.Queue") -> None:
+        raise NotImplementedError
+
+    def stop(self) -> None:
+        pass
+
+
+class InProcessExecutor(Executor):
+    """Continuous micro-batching over an in-process task function.
+
+    `task_fn(input_dict) -> output_dict` runs merged micro-batches of up to
+    `max_batch` items. The loop drains whatever is queued (across clients)
+    at each step — new requests admit at the next generation call without
+    waiting for stragglers.
+    """
+
+    def __init__(self, task_fn: Callable[[dict], dict], max_batch: int = 8):
+        self.task_fn = task_fn
+        self.max_batch = max_batch
+        self._inbox: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.pending = 0
+
+    def start(self, result_queue):
+        self._results = result_queue
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, client_id, task_id, payload):
+        self.pending += 1
+        self._inbox.put((client_id, task_id, payload))
+
+    def stop(self):
+        self._stop.set()
+
+    def _drain(self) -> List[tuple]:
+        items = []
+        try:
+            items.append(self._inbox.get(timeout=0.05))
+        except queue.Empty:
+            return items
+        # admit whatever else is already queued, up to max_batch items
+        while len(items) < self.max_batch:
+            try:
+                items.append(self._inbox.get_nowait())
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            sizes = [len(p["save_dirs"]) for _, _, p in items]
+            merged = merge_output_dicts([p for _, _, p in items]) if len(items) > 1 \
+                else items[0][2]
+            try:
+                out = self.task_fn(merged)
+                outs = split_input_dict(out, 1)  # per-item split
+                # regroup per original sub-task sizes
+                idx = 0
+                for (cid, tid, _), n in zip(items, sizes):
+                    part = merge_output_dicts(outs[idx : idx + n])
+                    idx += n
+                    self.pending -= 1
+                    self._results.put((cid, tid, part))
+            except Exception as e:  # report failure per task
+                for cid, tid, _ in items:
+                    self.pending -= 1
+                    self._results.put((cid, tid, {"error": repr(e), "save_dirs": []}))
+
+
+class SubprocessExecutor(Executor):
+    """One worker subprocess speaking the reference pipe protocol.
+
+    Launch: cmd + [str(w_fd)] with stdin=PIPE and the write-end fd passed
+    through; tasks go down stdin as framed (client_id, task_id, payload);
+    results come back on the pipe (worker_manager.py:303-346).
+    """
+
+    def __init__(self, cmd: List[str], env: Optional[dict] = None):
+        self.cmd = cmd
+        self.env = env
+        self.pending = 0
+        self._lock = threading.Lock()
+
+    def start(self, result_queue):
+        self._results = result_queue
+        r_fd, w_fd = os.pipe()
+        os.set_inheritable(w_fd, True)
+        self.proc = subprocess.Popen(
+            self.cmd + [str(w_fd)],
+            stdin=subprocess.PIPE,
+            pass_fds=(w_fd,),
+            env=self.env,
+        )
+        os.close(w_fd)
+        self.r_fd = r_fd
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def submit(self, client_id, task_id, payload):
+        with self._lock:
+            self.pending += 1
+            write_pickled_fd(self.proc.stdin.fileno(), (client_id, task_id, payload))
+            self.proc.stdin.flush()
+
+    def _read_loop(self):
+        while True:
+            try:
+                cid, tid, result = read_pickled_fd(self.r_fd, watchdog_secs=1e9)
+            except (EOFError, OSError):
+                break
+            with self._lock:
+                self.pending -= 1
+            self._results.put((cid, tid, result))
+
+    def stop(self):
+        try:
+            self.proc.terminate()
+        except Exception:
+            pass
+
+
+class ManagerServer:
+    """TCP server: framed request batches in, framed result batches out."""
+
+    def __init__(
+        self,
+        executors: List[Executor],
+        host: str = "127.0.0.1",
+        port: int = 7000,
+        batch_size: int = 1,
+        server_type: str = "world_model",
+        auto_increment_port: bool = True,
+    ):
+        self.executors = executors
+        self.host = host
+        self.port = port
+        self.batch_size = batch_size
+        self.server_type = server_type
+        self.auto_increment_port = auto_increment_port
+        self._results: "queue.Queue" = queue.Queue()
+        self._clients: Dict[int, "ClientHandler"] = {}
+        self._next_client = 0
+        self._stop = threading.Event()
+
+    # ------------------------------------------------------------------
+    def start(self) -> int:
+        """Bind (auto-incrementing the port if busy, like
+        init_worldmodel_manager.sh:37-53), start executors + router.
+        Returns the bound port."""
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        port = self.port
+        while True:
+            try:
+                self._sock.bind((self.host, port))
+                break
+            except OSError:
+                if not self.auto_increment_port:
+                    raise
+                port += 1
+        self.port = port
+        self._sock.listen(64)
+        for ex in self.executors:
+            ex.start(self._results)
+        self._router = threading.Thread(target=self._route_loop, daemon=True)
+        self._router.start()
+        self._acceptor = threading.Thread(target=self._accept_loop, daemon=True)
+        self._acceptor.start()
+        return port
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self._sock.close()
+        except Exception:
+            pass
+        for ex in self.executors:
+            ex.stop()
+
+    # ------------------------------------------------------------------
+    def _accept_loop(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return
+            cid = self._next_client
+            self._next_client += 1
+            handler = ClientHandler(cid, conn, self)
+            self._clients[cid] = handler
+            handler.start()
+
+    def _route_loop(self):
+        """Single global router: executor completions -> client batchers
+        (the reference's receiver_thread, worker_manager.py:352-389)."""
+        while not self._stop.is_set():
+            try:
+                cid, tid, result = self._results.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            handler = self._clients.get(cid)
+            if handler is not None:
+                handler.deliver(tid, result)
+
+    def dispatch(self, client_id: int, task_id: int, payload: dict):
+        """Least-pending dispatch across executors
+        (worker_manager.py:555-570)."""
+        ex = min(self.executors, key=lambda e: e.pending)
+        ex.submit(client_id, task_id, payload)
+
+
+class ClientHandler(threading.Thread):
+    def __init__(self, client_id: int, conn: socket.socket, server: ManagerServer):
+        super().__init__(daemon=True)
+        self.client_id = client_id
+        self.conn = conn
+        self.server = server
+        self.batcher = Batcher(batch_size=server.batch_size)
+        self._send_lock = threading.Lock()
+
+    def run(self):
+        try:
+            while True:
+                input_dict = read_framed(self.conn)
+                check_inputdict(input_dict, self.server.server_type)
+                for tid, sub in self.batcher.split_batch(input_dict):
+                    self.server.dispatch(self.client_id, tid, sub)
+        except (EOFError, OSError):
+            pass
+        finally:
+            self.server._clients.pop(self.client_id, None)
+            try:
+                self.conn.close()
+            except Exception:
+                pass
+
+    def deliver(self, task_id: int, result: dict):
+        self.batcher.put_result(task_id, result)
+        while True:
+            ready = self.batcher.pop_ready()
+            if ready is None:
+                break
+            try:
+                check_outputdict(ready)
+            except Exception:
+                pass  # surface malformed worker output to the client as-is
+            with self._send_lock:
+                try:
+                    write_framed(self.conn, ready)
+                except OSError:
+                    return
+
+
+class WMClient:
+    """Solver-side client (parity: solver_base.connect_to_WM_server /
+    send_batch_to_server, solver_base.py:645-688)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 7000,
+                 server_type: str = "world_model"):
+        self.addr = (host, port)
+        self.server_type = server_type
+        self._sock: Optional[socket.socket] = None
+
+    def connect(self):
+        if self._sock is None:
+            self._sock = socket.create_connection(self.addr)
+        return self
+
+    def send_batch(self, input_dict: dict) -> dict:
+        check_inputdict(input_dict, self.server_type)
+        self.connect()
+        write_framed(self._sock, input_dict)
+        return read_framed(self._sock)
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None

@@ -1,0 +1,173 @@
+"""WM-server wire protocol: 4-byte big-endian length + pickle payload.
+
+Wire-compatible with the reference serving plane so existing clients work
+unchanged (downstream/utils/worker_manager.py:106-147 schema, :249-287
+framing). TCP sockets carry client<->manager traffic; OS pipes / stdin carry
+manager<->worker traffic.
+
+Large uint8 frame tensors (~50-200 MB per batch) dominate; the C++ framing
+shim (wiw_tpu/serve/native) accelerates the memcpy-bound paths when built,
+with this pure-Python implementation as the always-available fallback.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import struct
+import time
+from typing import Any
+
+import numpy as np
+
+CHUNK = 1 << 19  # 512 KiB reads
+
+# ---------------------------------------------------------------------------
+# schemas (contract parity: worker_manager.py:106-147)
+# ---------------------------------------------------------------------------
+
+_SERVER_KEYS = {
+    "world_model": ["b_action", "save_dirs", "request_model_name"],
+    "sam2": ["bbox_coords", "save_dirs", "pred_frames"],
+    "gd_sam2": ["save_dirs"],
+}
+
+
+def _check_array(v, extra_types=()):
+    ok = isinstance(v, np.ndarray) or isinstance(v, tuple(
+        t for t in extra_types if isinstance(t, type)
+    ))
+    if not ok and list in extra_types and isinstance(v, list):
+        ok = True
+    if not ok:
+        raise TypeError(f"expected ndarray/list, got {type(v)}")
+
+
+def check_inputdict(input_dict: dict, server_type: str = "world_model") -> None:
+    if server_type not in _SERVER_KEYS:
+        raise ValueError(f"Unknown server_type: {server_type}")
+    if not isinstance(input_dict, dict):
+        raise TypeError(f"input must be dict, got {type(input_dict)}")
+    missing = [k for k in _SERVER_KEYS[server_type] if k not in input_dict]
+    if missing:
+        raise KeyError(
+            f"Missing required keys: {missing}. "
+            f"Required: {_SERVER_KEYS[server_type]}"
+        )
+    for k, v in input_dict.items():
+        if k in ("b_image", "pred_frames"):
+            _check_array(v)
+        elif k == "b_action":
+            _check_array(v, (np.int64, list))
+        elif k == "save_dirs":
+            if not (isinstance(v, list) and all(isinstance(d, str) for d in v)):
+                raise TypeError(f"save_dirs must be list[str], got {v!r}")
+        elif k == "return_objects":
+            if not (isinstance(v, list) and all(isinstance(d, bool) for d in v)):
+                raise TypeError(f"return_objects must be list[bool], got {v!r}")
+
+
+def check_outputdict(output_dict: dict) -> None:
+    pred = output_dict.get("pred_frames")
+    if pred is not None and not (
+        isinstance(pred, np.ndarray) and pred.dtype == np.uint8
+    ):
+        raise TypeError("pred_frames must be uint8 ndarray")
+    if "video_tensors" in output_dict:
+        raise KeyError("'video_tensors' is not part of the output contract")
+    if not isinstance(output_dict.get("save_dirs"), list):
+        raise TypeError("save_dirs must be a list")
+
+
+# ---------------------------------------------------------------------------
+# socket framing
+# ---------------------------------------------------------------------------
+
+def write_framed(sock, obj: Any) -> None:
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    sock.sendall(struct.pack(">I", len(data)) + data)
+
+
+def _recv_exactly(sock, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(min(CHUNK, n - len(buf)))
+        if not chunk:
+            raise EOFError("socket closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+def read_framed(sock) -> Any:
+    header = _recv_exactly(sock, 4)
+    (length,) = struct.unpack(">I", header)
+    return pickle.loads(_recv_exactly(sock, length))
+
+
+# ---------------------------------------------------------------------------
+# fd framing (manager<->worker pipes; worker stdin)
+# ---------------------------------------------------------------------------
+
+def write_pickled_fd(fd: int, obj: Any) -> None:
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    payload = struct.pack(">I", len(data)) + data
+    view = memoryview(payload)
+    while view:
+        written = os.write(fd, view[: 1 << 20])
+        view = view[written:]
+
+
+def _read_fully_fd(fd: int, n: int, watchdog_secs: float = 300.0) -> bytes:
+    buf = bytearray()
+    start = time.time()
+    while len(buf) < n:
+        if time.time() - start > watchdog_secs:
+            raise TimeoutError(
+                f"fd read stalled: got {len(buf)}/{n} bytes in {watchdog_secs}s"
+            )
+        chunk = os.read(fd, min(CHUNK, n - len(buf)))
+        if not chunk:
+            raise EOFError("fd closed mid-frame")
+        buf += chunk
+    return bytes(buf)
+
+
+def read_pickled_fd(fd: int, watchdog_secs: float = 300.0) -> Any:
+    header = _read_fully_fd(fd, 4, watchdog_secs)
+    (length,) = struct.unpack(">I", header)
+    return pickle.loads(_read_fully_fd(fd, length, watchdog_secs))
+
+
+# ---------------------------------------------------------------------------
+# zero-copy-ish serialization for big arrays (v2 fast path)
+# ---------------------------------------------------------------------------
+
+def dumps_fast(obj: Any) -> bytes:
+    """Pickle protocol 5 with out-of-band buffers concatenated after the
+    pickle: [4B npickle][pickle][buffers...]. ~2x fewer copies for large
+    uint8 frame tensors than plain dumps."""
+    buffers: list[pickle.PickleBuffer] = []
+    payload = pickle.dumps(obj, protocol=5, buffer_callback=buffers.append)
+    out = io.BytesIO()
+    out.write(struct.pack(">I", len(payload)))
+    out.write(payload)
+    for b in buffers:
+        raw = b.raw()
+        out.write(struct.pack(">Q", raw.nbytes))
+        out.write(raw)
+    return out.getvalue()
+
+
+def loads_fast(data: bytes) -> Any:
+    view = memoryview(data)
+    (plen,) = struct.unpack(">I", view[:4])
+    payload = view[4 : 4 + plen]
+    buffers = []
+    off = 4 + plen
+    while off < len(view):
+        (blen,) = struct.unpack(">Q", view[off : off + 8])
+        off += 8
+        buffers.append(view[off : off + blen])
+        off += blen
+    return pickle.loads(payload, buffers=buffers)

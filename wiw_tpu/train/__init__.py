@@ -1,0 +1,1 @@
+from wiw_tpu.train.trainer import TrainConfig, Trainer, TrainState  # noqa: F401

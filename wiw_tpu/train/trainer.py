@@ -1,0 +1,339 @@
+"""SVD-dagger post-training: EDM objective on a (dp, fsdp) TPU mesh.
+
+Behavioral parity (no code copied) with the reference training step
+(FTsvd/train_svd.py:832-1068, summarized in SURVEY.md section 3.3):
+  * latents = vae.encode(frames).sample * 0.18215
+  * init noise correlated by pano turns (sample_latent_noise)
+  * sigma ~ logN(0.7, 1.6); cond-image sigma_c ~ logN(-3, 0.5)
+  * input preconditioning 1/sqrt(sigma^2+1); EDM v-combine; loss weight
+    (1+sigma^2)/sigma^2
+  * CLIP image embedding of the (224-resized) conditioning frame
+  * added_time_ids = (fps, motion_bucket, sigma_c)
+  * discrete 8-scenario conditioning dropout (svd_utils.py:246-322)
+  * EMA of UNet params; gradient accumulation
+
+TPU-native replacements for the reference's stack:
+  * Accelerate/DeepSpeed ZeRO (train_svd.py:463-469) -> pjit over a
+    ('dp','fsdp') Mesh; optimizer-state sharding falls out of the fsdp
+    PartitionSpecs (wiw_tpu/parallel/mesh.py)
+  * NCCL all-reduce -> XLA psum over ICI (inserted by the compiler)
+  * grad accumulation -> lax.scan over micro-batches inside one jit
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from wiw_tpu.core import schedule as S
+from wiw_tpu.core.actions import get_action_ids
+from wiw_tpu.core.noise import sample_latent_noise
+from wiw_tpu.models.clip import preprocess_for_clip
+from wiw_tpu.parallel.mesh import batch_sharding, shard_pytree_spec
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-5
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 1e-2
+    max_grad_norm: float = 1.0
+    grad_accum_steps: int = 1
+    ema_decay: float = 0.9999
+    use_ema: bool = False
+    conditioning_dropout: str = "discrete"  # 'discrete' | 'continuous' | 'none'
+    conditioning_dropout_prob: float = 0.1
+    fps: int = 7
+    motion_bucket_id: int = 127
+    # which params train: 'full' | 'new' | 'new+temp_layer'
+    # (train_svd.py:656-675 name-matching)
+    train_params: str = "full"
+    edm: S.EDMConfig = S.EDMConfig()
+
+
+class TrainState(dict):
+    """Pytree train state: {'params', 'opt_state', 'ema_params'?, 'step'}."""
+
+
+_ACTION_PARAM_PAT = ("action", "add_embedding_noise")
+_TEMPORAL_PARAM_PAT = ("temporal_transformer_blocks", "temporal_res_block", "time_mixer")
+
+
+def trainable_mask(params, mode: str):
+    """Replicates the reference's name-based param selection
+    (train_svd.py:656-675): 'new' trains only action-conditioning params,
+    'new+temp_layer' adds temporal layers, 'full' trains everything."""
+    if mode == "full":
+        return jax.tree_util.tree_map(lambda _: True, params)
+
+    def mask_path(path, _leaf):
+        names = [p.key for p in path if hasattr(p, "key")]
+        joined = "/".join(names)
+        if any(pat in joined for pat in _ACTION_PARAM_PAT):
+            return True
+        if mode == "new+temp_layer" and any(
+            pat in joined for pat in _TEMPORAL_PARAM_PAT
+        ):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(mask_path, params)
+
+
+def apply_discrete_dropout(key, clip_embeds, cond_latents, action_ids):
+    """8-scenario CFG dropout (svd_utils.py:246-322): one uniform draw per
+    sample selects which subset of (Action, text/clip B, image C) to drop."""
+    B = clip_embeds.shape[0]
+    p = jax.random.uniform(key, (B,))
+    drop_a = ((p < 0.1) | ((p >= 0.4) & (p < 0.7)))
+    drop_b = (((p >= 0.1) & (p < 0.2)) | ((p >= 0.3) & (p < 0.5)) | ((p >= 0.6) & (p < 0.7)))
+    drop_c = (((p >= 0.2) & (p < 0.4)) | ((p >= 0.5) & (p < 0.7)))
+    clip_embeds = jnp.where(drop_b[:, None, None], 0.0, clip_embeds)
+    cond_latents = jnp.where(drop_c[:, None, None, None], 0.0, cond_latents)
+    if action_ids is not None:
+        nd = action_ids.ndim
+        shape = (B,) + (1,) * (nd - 1)
+        action_ids = jnp.where(drop_a.reshape(shape), -1.0, action_ids)
+    return clip_embeds, cond_latents, action_ids
+
+
+def apply_continuous_dropout(key, prob, clip_embeds, cond_latents, action_ids):
+    """The stock instruct-pix2pix-style dropout (svd_utils.py:176-243)."""
+    B = clip_embeds.shape[0]
+    p = jax.random.uniform(key, (B,))
+    prompt_mask = p < 2 * prob
+    image_keep = 1.0 - (
+        ((p >= prob) & (p < 3 * prob)).astype(cond_latents.dtype)
+    )
+    clip_embeds = jnp.where(prompt_mask[:, None, None], 0.0, clip_embeds)
+    cond_latents = cond_latents * image_keep[:, None, None, None]
+    return clip_embeds, cond_latents, action_ids
+
+
+class Trainer:
+    """Builds sharded, jitted train steps for the SVD-dagger objective."""
+
+    def __init__(self, pipeline, train_config: TrainConfig, mesh=None):
+        self.pipe = pipeline
+        self.cfg = train_config
+        self.mesh = mesh
+        self.tx = self._make_optimizer()
+
+    def _make_optimizer(self):
+        c = self.cfg
+        tx = optax.chain(
+            optax.clip_by_global_norm(c.max_grad_norm),
+            optax.adamw(
+                c.learning_rate,
+                b1=c.adam_beta1,
+                b2=c.adam_beta2,
+                eps=c.adam_eps,
+                weight_decay=c.weight_decay,
+            ),
+        )
+        if c.train_params != "full":
+            # freeze non-selected params (reference: optimizer only receives
+            # selected params, train_svd.py:656-697)
+            def wrap(params):
+                mask = trainable_mask(params, c.train_params)
+                return optax.multi_transform(
+                    {"train": tx, "freeze": optax.set_to_zero()},
+                    jax.tree_util.tree_map(
+                        lambda t: "train" if t else "freeze", mask
+                    ),
+                )
+
+            self._tx_factory = wrap
+            return None
+        self._tx_factory = lambda params: tx
+        return tx
+
+    # ------------------------------------------------------------------
+    def init_state(self, params: dict) -> dict:
+        tx = self._tx_factory(params["unet"])
+        self._tx = tx
+        state = {
+            "params": params["unet"],
+            "opt_state": tx.init(params["unet"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if self.cfg.use_ema:
+            state["ema_params"] = jax.tree_util.tree_map(
+                jnp.copy, params["unet"]
+            )
+        return state
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, unet_params, frozen, batch, key):
+        """One micro-batch EDM loss. batch:
+        pixel_values [B, F, H, W, 3] in [-1,1]; actions [B,F] or [B,F,8]."""
+        pipe = self.pipe
+        c = self.cfg
+        frames = batch["pixel_values"]
+        actions = batch.get("actions")
+        B, F = frames.shape[:2]
+        h, w = frames.shape[2] // 8, frames.shape[3] // 8
+        keys = jax.random.split(key, 6)
+
+        # VAE encode target frames (frozen) -> scaled latents
+        flat = frames.reshape(B * F, *frames.shape[2:])
+        latents = pipe.vae.apply(
+            {"params": frozen["vae"]}, flat, keys[0], method=pipe.vae.encode
+        )
+        latents = latents.reshape(B, F, h, w, -1) * pipe.vae_config.scaling_factor
+
+        # conditioning image = first frame, noised with sigma_c
+        cond_img = frames[:, 0]
+        sigma_c = S.sample_cond_sigmas(keys[1], B, c.edm)
+        cond_noised = cond_img + sigma_c * jax.random.normal(
+            keys[2], cond_img.shape
+        )
+        cond_latents = pipe.vae.apply(
+            {"params": frozen["vae"]}, cond_noised, method=pipe.vae.encode
+        )  # unscaled (train_svd.py:868-874)
+
+        # CLIP embedding of the clean conditioning frame
+        clip_embeds = pipe.clip.apply(
+            {"params": frozen["clip"]}, preprocess_for_clip(cond_img)
+        )[:, None, :]
+
+        # action-correlated init noise
+        strategy = pipe.unet_config.action_strategy
+        if actions is not None and actions.ndim == 2:
+            noise = sample_latent_noise(keys[3], actions, (B, F, 4, h, w))
+            noise = jnp.moveaxis(noise, 2, -1)
+        else:
+            noise = jax.random.normal(keys[3], latents.shape)
+
+        sigma = S.sample_training_sigmas(keys[4], B, c.edm)
+        noisy = latents + noise * sigma
+        inp = S.precondition_inputs(noisy, sigma)
+
+        action_ids = (
+            get_action_ids(actions, strategy) if (strategy and actions is not None) else None
+        )
+
+        # conditioning dropout
+        if c.conditioning_dropout == "discrete":
+            clip_embeds, cond_latents, action_ids = apply_discrete_dropout(
+                keys[5], clip_embeds, cond_latents, action_ids
+            )
+        elif c.conditioning_dropout == "continuous":
+            clip_embeds, cond_latents, action_ids = apply_continuous_dropout(
+                keys[5], c.conditioning_dropout_prob, clip_embeds, cond_latents,
+                action_ids,
+            )
+
+        added_time_ids = jnp.tile(
+            jnp.array([[c.fps, c.motion_bucket_id, 0.0]], jnp.float32), (B, 1)
+        )
+        added_time_ids = added_time_ids.at[:, 2].set(sigma_c[:, 0, 0, 0])
+
+        cond_per_frame = jnp.repeat(cond_latents[:, None], F, axis=1)
+        sample = jnp.concatenate([inp, cond_per_frame], axis=-1)
+        t = S.sigma_to_t(sigma[:, 0, 0, 0, 0])
+
+        pred = pipe.unet.apply(
+            {"params": unet_params},
+            sample=sample,
+            timestep=t,
+            context=clip_embeds,
+            added_time_ids=added_time_ids,
+            action_ids=action_ids,
+        )
+        denoised = S.precondition_outputs(pred, noisy, sigma)
+        weight = S.edm_loss_weight(sigma)
+        loss = jnp.mean(weight * (denoised - latents) ** 2)
+        return loss
+
+    # ------------------------------------------------------------------
+    def make_train_step(self):
+        """Returns jitted (state, frozen, batch, key) -> (state, metrics).
+
+        With grad_accum_steps > 1, batch leaves carry a leading micro-step
+        axis [A, B, ...] and gradients average over it via lax.scan.
+        """
+        c = self.cfg
+
+        def train_step(state, frozen, batch, key):
+            params = state["params"]
+
+            if c.grad_accum_steps > 1:
+                def micro(carry, inp):
+                    mb, mkey = inp
+                    loss, grads = jax.value_and_grad(self.loss_fn)(
+                        params, frozen, mb, mkey
+                    )
+                    acc = jax.tree_util.tree_map(jnp.add, carry[0], grads)
+                    return (acc, carry[1] + loss), None
+
+                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                keys = jax.random.split(key, c.grad_accum_steps)
+                (grads, loss_sum), _ = jax.lax.scan(
+                    micro, (zero, 0.0), (batch, keys)
+                )
+                grads = jax.tree_util.tree_map(
+                    lambda g: g / c.grad_accum_steps, grads
+                )
+                loss = loss_sum / c.grad_accum_steps
+            else:
+                loss, grads = jax.value_and_grad(self.loss_fn)(
+                    params, frozen, batch, key
+                )
+
+            updates, opt_state = self._tx.update(
+                grads, state["opt_state"], params
+            )
+            params = optax.apply_updates(params, updates)
+            new_state = dict(state, params=params, opt_state=opt_state,
+                             step=state["step"] + 1)
+            if "ema_params" in state:
+                d = c.ema_decay
+                new_state["ema_params"] = jax.tree_util.tree_map(
+                    lambda e, q: d * e + (1.0 - d) * q,
+                    state["ema_params"], params,
+                )
+            return new_state, {"loss": loss}
+
+        if self.mesh is None:
+            return jax.jit(train_step, donate_argnums=(0,))
+
+        mesh = self.mesh
+        repl = NamedSharding(mesh, P())
+
+        def shard_state_specs(state):
+            specs = {
+                "params": shard_pytree_spec(state["params"], mesh),
+                "opt_state": shard_pytree_spec(state["opt_state"], mesh),
+                "step": P(),
+            }
+            if "ema_params" in state:
+                specs["ema_params"] = shard_pytree_spec(state["ema_params"], mesh)
+            return jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s) if isinstance(s, P) else s,
+                specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+
+        self._shard_state_specs = shard_state_specs
+        bsh = batch_sharding(mesh)
+
+        def place(state, frozen, batch):
+            state = jax.tree_util.tree_map(
+                lambda l, s: jax.device_put(l, s), state, shard_state_specs(state)
+            )
+            frozen = jax.device_put(frozen, repl)
+            batch = jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, bsh), batch
+            )
+            return state, frozen, batch
+
+        self.place = place
+        return jax.jit(train_step, donate_argnums=(0,))
