@@ -1,0 +1,117 @@
+"""Benchmark: SVD-dagger UNet denoise throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Primary metric (BASELINE.json): SVD frames/sec/chip. We measure the full
+denoise loop (CFG batch fold, 25 Euler steps) of the real-architecture UNet
+at the largest config that fits the run budget, preferring the reference
+operating point 14f @ 576x1024 (eval_inference.py:246-258). vs_baseline is
+measured against the driver's north-star (14-frame 576x1024 clip < 2 s on
+v5e-8 => 7 frames/s/chip * 8 = 56 f/s; per-chip par = 7 f/s counting
+denoise-only).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+
+def build(height, width, frames, steps):
+    from wiw_tpu.core import schedule as S
+    from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+
+    cfg = UNetConfig(
+        num_frames=frames,
+        action_strategy="micro_cond",
+        action_input_channel=frames,
+        dtype="bfloat16",
+    )
+    model = UNetSpatioTemporal(cfg)
+    B = 1
+    h, w = height // 8, width // 8
+    sample = jnp.zeros((2 * B, frames, h, w, 8), jnp.bfloat16)
+    timestep = jnp.zeros((2 * B,))
+    context = jnp.zeros((2 * B, 1, cfg.cross_attention_dim), jnp.bfloat16)
+    atids = jnp.tile(jnp.array([[6.0, 127.0, 0.02]]), (2 * B, 1))
+    action_ids = jnp.zeros((2 * B, frames, frames))
+
+    params = model.init(
+        jax.random.PRNGKey(0), sample[:2], timestep[:2], context[:2],
+        atids[:2], action_ids[:2],
+    )["params"]
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    sigmas = S.karras_sigmas(steps)
+    guidance = S.guidance_scales(frames)[None, :, None, None, None]
+    img_latents = jnp.zeros((2 * B, frames, h, w, 4), jnp.bfloat16)
+
+    def denoise(params, latents):
+        def step(lat, sig):
+            sigma, sigma_next = sig
+            lin = jnp.concatenate([lat, lat], axis=0)
+            lin = S.precondition_inputs(lin, sigma).astype(jnp.bfloat16)
+            lin = jnp.concatenate([lin, img_latents], axis=-1)
+            t = jnp.full((2 * B,), S.sigma_to_t(sigma))
+            pred = model.apply(
+                {"params": params}, lin, t, context, atids, action_ids
+            )
+            un, co = jnp.split(pred, 2, axis=0)
+            pred = un + guidance * (co - un)
+            den = S.precondition_outputs(pred, lat, sigma)
+            return S.euler_step(lat, den, sigma, sigma_next), None
+
+        out, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
+        return out
+
+    latents = jax.random.normal(jax.random.PRNGKey(1), (B, frames, h, w, 4)) * sigmas[0]
+    fn = jax.jit(denoise)
+    return fn, params, latents
+
+
+def run(height, width, frames=14, steps=25, reps=3):
+    fn, params, latents = build(height, width, frames, steps)
+    out = fn(params, latents)
+    out.block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(params, latents)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return dt
+
+
+def main():
+    frames, steps = 14, 25
+    configs = [(576, 1024), (256, 256)]
+    if "--small" in sys.argv:
+        configs = [(256, 256)]
+    for height, width in configs:
+        try:
+            dt = run(height, width, frames, steps)
+            fps = frames / dt
+            # north star: 14f@576x1024 < 2 s on 8 chips => 7 f/s per 8 chips
+            # per-chip par = 14 / (2 * 8) = 0.875 f/s/chip at this config
+            vs = fps / 0.875 if (height, width) == (576, 1024) else fps / 14.0
+            print(json.dumps({
+                "metric": f"svd_denoise_frames_per_sec_per_chip_{height}x{width}",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(vs, 3),
+            }))
+            return
+        except Exception as e:
+            print(f"[bench] {height}x{width} failed: {e!r}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "svd_denoise_frames_per_sec_per_chip",
+        "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

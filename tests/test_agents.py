@@ -1,0 +1,272 @@
+"""Agents layer tests: state, saver, solver (heuristic + GTsim + WM loop),
+evaluator metrics, VLM parsing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wiw_tpu.agents.evaluator import (
+    Evaluator,
+    aeqa_metrics,
+    ar_metrics,
+    ignav_metrics,
+    spl,
+)
+from wiw_tpu.agents.saver import Saver, log_metric, save_image, load_image
+from wiw_tpu.agents.solver import (
+    ACTION_IDS,
+    FakeSimulator,
+    Solver,
+    SolverConfig,
+    roll_pano_np,
+)
+from wiw_tpu.agents.state import State
+from wiw_tpu.agents.vlm import VLMClient, build_messages, parse_json_loose
+
+
+class TestState:
+    def test_rows_and_history(self):
+        st = State()
+        st.add_new_state({"rgb": "a0.png", "pos": (0, 0)})
+        st.add_new_state({"rgb": "a1.png", "pos": (1, 0)})
+        assert len(st) == 2
+        assert st.get_from_history("rgb") == ["a0.png", "a1.png"]
+        assert st.get_from_recent_state("rgb") == "a1.png"
+
+    def test_recent_state_append_and_cleanup(self):
+        st = State()
+        st.add_new_state({"rgb": "a0.png"})
+        st.add_to_recent_state(["p0"], key="preds")
+        st.add_to_recent_state(["p1"], key="preds", mode="extend")
+        assert st.get_from_recent_state("preds") == ["p0", "p1"]
+        st.add_new_state({"rgb": "a1.png"})
+        st.add_to_recent_state("x", key="preds")
+        st.clean_up_history("preds")
+        assert st.rows[0].get("preds") is None
+        assert st.get_from_recent_state("preds") == ["x"]
+
+    def test_pending_actions_and_answers(self):
+        st = State()
+        st.add_pending_actions(["forward 0.2m", "turn_left 22.5\N{DEGREE SIGN}"])
+        assert st.get_pending_action_num() == 2
+        assert st.pop_next_pending_action() == "forward 0.2m"
+        st.add_answer("chair", 0.9)
+        st.set_best_answer("chair")
+        st.set_best_answer_val(0.9)
+        assert st.get_best_answer() == "chair"
+
+    def test_path_length(self):
+        st = State()
+        st.update_position_traj([0, 0, 0])
+        st.update_position_traj([3, 4, 0])
+        assert abs(st.path_length() - 5.0) < 1e-6
+
+
+class TestSaver:
+    def test_path_scheme(self, tmp_path):
+        sv = Saver(exp_id="exp1", task="AR", root=str(tmp_path))
+        datum = {"episode_id": 7, "scene_id": "/scenes/abc.glb"}
+        p = sv.get_image_path(datum, 3, "rgb_front")
+        assert p.endswith("AR_exp1/abc/E007/A003/rgb_front.png")
+        sv2 = Saver(exp_id="e", task="AEQA", root=str(tmp_path))
+        q = sv2.get_datum_path_pref({"question_id": "q9", "scene_id": "s.glb"})
+        assert q.endswith("AEQA_e/s/Qq9")
+
+    def test_sharding(self):
+        sv = Saver(parallel_ith=1, parallel_total=3, exp_id="x", task="AR")
+        data = list(range(10))
+        assert sv.shard_dataset(data) == [1, 4, 7]
+
+    def test_image_roundtrip(self, tmp_path):
+        img = np.random.randint(0, 255, (8, 8, 3), np.uint8)
+        p = str(tmp_path / "x" / "img.png")
+        save_image(p, img)
+        np.testing.assert_array_equal(load_image(p), img)
+
+
+class TestSolver:
+    def test_action_prefix_analysis(self):
+        s = Solver(SolverConfig(look_ahead_action_num=4))
+        seqs = [
+            ["turn_left", "turn_left", "forward", "forward"],
+            ["forward", "turn_right", "forward", "forward"],
+            ["turn_left", "turn_right", "forward", "forward"],
+        ]
+        deg, remain, all_ids = s.get_action_info_from_prior(seqs)
+        assert deg[0] == 45.0
+        assert remain[0] == [ACTION_IDS["forward"]] * 2
+        assert deg[1] == 0.0  # first action forward -> no prefix
+        assert remain[1] == [1, 3, 1, 1]
+        # left then right: reversal stops the prefix at 22.5
+        assert deg[2] == 22.5
+        assert remain[2] == [3, 1, 1]
+        assert all_ids[0] == [2, 2, 1, 1]
+
+    def test_pad_action_seq(self):
+        s = Solver(SolverConfig(igenex_n_frame=6))
+        padded = s._pad_action_seq([2, 1])
+        assert padded == [4, 2, 1, 1, 1, 1]
+        assert len(padded) == 6
+
+    def test_heuristic_sampler_constraints(self):
+        s = Solver(SolverConfig(look_ahead_action_num=4, query_num=3))
+        seqs, idxs = s.heur_sample_next_action_seqs([], 3)
+        assert len(seqs) == 3 and len(set(map(tuple, seqs))) == 3
+        for seq in seqs:
+            for a, b in zip(seq, seq[1:]):
+                assert not ("left" in a and "right" in b)
+                assert not ("right" in a and "left" in b)
+
+    def test_heuristic_max_repeat_turns(self):
+        s = Solver(SolverConfig())
+        past = ["turn_left 22.5\N{DEGREE SIGN}"] * 4
+        for seed in range(20):
+            act, _ = s.heur_sample_next_action(past, seed)
+            assert act != past[-1]
+
+    def test_gtsim_oracle_rollout(self, tmp_path):
+        sim = FakeSimulator()
+        s = Solver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=5,
+                         look_ahead_action_num=3),
+            sim=sim,
+        )
+        seqs = [["turn_left", "forward", "forward"],
+                ["forward", "forward", "forward"]]
+        out = s.imagine_by_model_type(seqs, str(tmp_path))
+        frames = out["pred_frames"]
+        assert frames.shape == (2, 5, 3, 64, 128)
+        assert frames.dtype == np.uint8
+        # simulator state restored after rollouts
+        assert np.allclose(sim.pos, 0) and sim.heading_deg == 0
+        # rollouts differ between candidates
+        assert not np.array_equal(frames[0], frames[1])
+
+    def test_wm_loop_against_fake_server(self, tmp_path):
+        """Full closed-loop WM query: solver -> manager -> fake worker."""
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+
+        def fake_wm(input_dict):
+            acts = np.asarray(input_dict["b_action"])
+            b = acts.shape[0]
+            frames = np.full((b, 5, 3, 8, 16), 7, np.uint8)
+            return {"save_dirs": list(input_dict["save_dirs"]),
+                    "pred_frames": frames}
+
+        server = ManagerServer([InProcessExecutor(fake_wm)], port=17520)
+        port = server.start()
+        try:
+            sim = FakeSimulator()
+            s = Solver(
+                SolverConfig(world_model_type="action", igenex_n_frame=5,
+                             look_ahead_action_num=3, wm_port=port),
+                sim=sim,
+            )
+            seqs = [["turn_left", "turn_left", "forward"],
+                    ["forward", "forward", "forward"]]
+            out = s.imagine_by_model_type(seqs, str(tmp_path))
+            assert out["pred_frames"].shape == (2, 5, 3, 8, 16)
+        finally:
+            server.stop()
+
+    def test_roll_pano(self):
+        pano = np.arange(16 * 3).reshape(1, 16, 3).repeat(4, 0)
+        out = roll_pano_np(pano, 90.0)
+        np.testing.assert_array_equal(out, np.roll(pano, 4, axis=1))
+
+
+class TestEvaluator:
+    def test_ar(self):
+        recs = [{"is_correct": True, "traj_len": 4},
+                {"is_correct": False, "traj_len": 6}]
+        m = ar_metrics(recs)
+        assert m["accuracy"] == 0.5 and m["mean_traj_len"] == 5.0
+
+    def test_aeqa(self):
+        m = aeqa_metrics([{"sigma": 5.0, "traj_len": 0, "max_actions": 250}])
+        assert m["llm_match"] == 100.0
+
+    def test_ignav_spl(self):
+        assert spl(True, 2.0, 4.0) == 0.5
+        assert spl(False, 2.0, 4.0) == 0.0
+        assert spl(True, 2.0, 1.0) == 1.0  # actual < shortest clamps to 1
+        m = ignav_metrics([
+            {"success": True, "shortest_path": 2.0, "actual_path": 4.0},
+            {"success": False, "shortest_path": 1.0, "actual_path": 1.0},
+        ])
+        assert m["success_rate"] == 0.5 and m["spl"] == 0.25
+
+    def test_walk_and_aggregate(self, tmp_path):
+        root = str(tmp_path)
+        sv = Saver(exp_id="t", task="AR", root=root)
+        for ep, ok in [(0, True), (1, False), (2, True)]:
+            datum = {"episode_id": ep, "scene_id": "sc.glb"}
+            log_metric(sv.get_metric_path(datum),
+                       {"is_correct": ok, "traj_len": ep + 1})
+        ev = Evaluator("AR", "t", states_root=root)
+        m = ev.evaluate()
+        assert m["count"] == 3 and abs(m["accuracy"] - 2 / 3) < 1e-9
+        assert "accuracy" in ev.summary_table()
+
+
+class FakeTransport:
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.calls = 0
+
+    def __call__(self, messages, **kw):
+        self.calls += 1
+        if self.responses:
+            return self.responses.pop(0)
+        return {"text": ""}
+
+
+class TestVLM:
+    def test_classify_by_logprobs(self):
+        t = FakeTransport([{"text": "B", "top_logprobs": {"A": -2.0, "B": -0.1}}])
+        c = VLMClient(t)
+        idx, prob = c.classify(build_messages("sys", ["which?"]), 3)
+        assert idx == 1 and prob > 0.5
+
+    def test_classify_text_fallback(self):
+        t = FakeTransport([{"text": "C) because..."}])
+        c = VLMClient(t)
+        idx, _ = c.classify(build_messages("", ["q"]), 4)
+        assert idx == 2
+
+    def test_action_seq_parsing_and_fallback(self):
+        space = ["forward", "turn_left", "turn_right"]
+        good = {"text": "Plan:\nforward, turn_left, forward\nturn_right, forward, forward"}
+        t = FakeTransport([good])
+        c = VLMClient(t, max_retries=2)
+        seqs = c.sample_action_seqs(build_messages("", ["go"]), space, 3, 3)
+        assert len(seqs) == 3
+        assert seqs[0] == ["forward", "turn_left", "forward"]
+        assert seqs[1] == ["turn_right", "forward", "forward"]
+        for s in seqs:
+            assert all(a in space for a in s)
+
+    def test_plan_json_with_repair(self):
+        t = FakeTransport([
+            {"text": "garbage"},
+            {"text": "Here: {'Reason': 'r', 'Action Plan': ['forward'],}"},
+        ])
+        c = VLMClient(t, max_retries=5)
+        js = c.plan_json(build_messages("", ["plan"]), ["Reason", "Action Plan"])
+        assert js and js["Reason"] == "r"
+
+    def test_parse_json_loose(self):
+        assert parse_json_loose('{"a": 1}') == {"a": 1}
+        assert parse_json_loose("x {'a': 2} y") == {"a": 2}
+        assert parse_json_loose("none here") is None
+
+    def test_multimodal_messages(self):
+        img = np.zeros((4, 4, 3), np.uint8)
+        msgs = build_messages("sys", ["look", img, "answer"])
+        assert msgs[0]["role"] == "system"
+        content = msgs[1]["content"]
+        assert content[0]["type"] == "text"
+        assert content[1]["type"] == "image_url"
+        assert content[1]["image_url"]["url"].startswith("data:image/png;base64,")

@@ -1,0 +1,149 @@
+"""Geometry tests: warp invariants, projection math, pcd void-ratio."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wiw_tpu.geo import equirect as E
+from wiw_tpu.geo import pointcloud as PC
+from wiw_tpu.geo import projection as PR
+
+
+def smooth_pano(H=64, W=128, C=3, seed=0):
+    """Band-limited random pano (smooth so bilinear resampling is accurate)."""
+    rng = np.random.default_rng(seed)
+    jj, ii = np.meshgrid(np.arange(W), np.arange(H))
+    lon = (jj + 0.5) / W * 2 * np.pi
+    lat = (ii + 0.5) / H * np.pi
+    img = np.zeros((H, W, C), np.float32)
+    for c in range(C):
+        for k in range(1, 4):
+            a, b = rng.normal(size=2)
+            img[..., c] += a * np.sin(k * lon) * np.sin(lat) + b * np.cos(
+                k * lon
+            ) * np.sin(k * lat)
+    return jnp.asarray(img)
+
+
+class TestEquirect:
+    def test_roll_pano(self):
+        p = smooth_pano()
+        r = E.roll_pano(p, 22.5)
+        np.testing.assert_allclose(
+            np.asarray(r), np.roll(np.asarray(p), 8, axis=-2), atol=1e-6
+        )
+
+    def test_equi2pers_yaw_equals_rolled_front(self):
+        """View at yaw=45deg == front view of the pano rolled by +45deg."""
+        p = smooth_pano()
+        v_yaw = E.equirect_to_perspective(p, yaw=np.pi / 4, height=32, width=32)
+        v_roll = E.equirect_to_perspective(
+            E.roll_pano(p, 45.0), yaw=0.0, height=32, width=32
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_yaw), np.asarray(v_roll), atol=0.02
+        )
+
+    def test_front_view_center_matches_pano_center(self):
+        p = smooth_pano()
+        v = E.equirect_to_perspective(p, fov_deg=90, height=33, width=33)
+        # center of the front view = (lon 0, lat 0) which lies between pano
+        # pixel centers: average the 2x2 neighborhood
+        center_pano = np.asarray(p)[31:33, 63:65].mean(axis=(0, 1))
+        center_view = np.asarray(v)[16, 16]
+        np.testing.assert_allclose(center_view, center_pano, atol=0.05)
+
+    def test_cube_roundtrip(self):
+        p = smooth_pano()
+        faces = E.equirect_to_cube(p, face_size=64)
+        assert faces.shape == (6, 64, 64, 3)
+        back = E.cube_to_equirect(faces, 64, 128)
+        pn, bn = np.asarray(p), np.asarray(back)
+        # compare away from the poles where equirect distortion concentrates
+        err = np.abs(pn[16:48] - bn[16:48]).mean()
+        assert err < 0.05, err
+
+    def test_batched_shapes(self):
+        p = jnp.stack([smooth_pano(seed=0), smooth_pano(seed=1)])
+        v = E.equirect_to_perspective(p, height=16, width=16)
+        assert v.shape == (2, 16, 16, 3)
+        f = E.equirect_to_cube(p, face_size=16)
+        assert f.shape == (2, 6, 16, 16, 3)
+        back = E.cube_to_equirect(f, 32, 64)
+        assert back.shape == (2, 32, 64, 3)
+
+    def test_perspective_views_order(self):
+        p = smooth_pano()
+        views = E.get_perspective_views(p, size=16)
+        assert views.shape == (4, 16, 16, 3)
+        front = E.equirect_to_perspective(p, yaw=0.0, height=16, width=16)
+        np.testing.assert_allclose(np.asarray(views[0]), np.asarray(front), atol=1e-5)
+
+
+class TestProjection:
+    def test_point_in_front_maps_to_center(self):
+        # habitat camera looks along -z; point straight ahead
+        corners = jnp.array([[0.0, 0.0, -5.0]])
+        sph = PR.cartesian_to_spherical(corners)
+        # theta = arctan2(0, 5) = 0; phi = arccos(0) = pi/2
+        np.testing.assert_allclose(np.asarray(sph[0]), [5.0, 0.0, np.pi / 2], atol=1e-6)
+        pix = PR.spherical_to_equirect_pixels(sph, 1024, 576)
+        np.testing.assert_array_equal(np.asarray(pix[0]), [512, 288])
+
+    def test_point_right_maps_to_three_quarters(self):
+        corners = jnp.array([[5.0, 0.0, 0.0]])  # to the right
+        pix = PR.spherical_to_equirect_pixels(
+            PR.cartesian_to_spherical(corners), 1024, 576
+        )
+        np.testing.assert_array_equal(np.asarray(pix[0]), [768, 288])
+
+    def test_world_to_camera_identity(self):
+        pts = jnp.array([[1.0, 2.0, 3.0]])
+        out = PR.world_to_camera(pts, jnp.eye(4))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-6)
+
+
+class TestPointcloud:
+    def test_intrinsics(self):
+        K = PC.habitat_intrinsics(512, 512, 90.0)
+        np.testing.assert_allclose(K[0, 0], 256.0, rtol=1e-6)
+        np.testing.assert_allclose(K[0, 2], 255.5, rtol=1e-6)
+
+    def test_same_frame_reprojection_full_coverage(self):
+        """A frame's own cloud reprojected into itself covers ~everything."""
+        H = W = 32
+        K = jnp.asarray(PC.habitat_intrinsics(W, H))
+        depth = jnp.full((H, W), 2.0)
+        pts, valid = PC.depth_to_points(depth, K)
+        # identity pose; camera frame == world frame
+        ratio = PC.void_ratio_for_frame(pts, valid, K, jnp.eye(4), H, W)
+        assert float(ratio) < 0.05, float(ratio)
+
+    def test_translated_camera_sees_voids(self):
+        """Move the camera back: the old cloud fills only part of the view."""
+        H = W = 32
+        K = jnp.asarray(PC.habitat_intrinsics(W, H))
+        depth = jnp.full((H, W), 2.0)
+        pts, valid = PC.depth_to_points(depth, K)
+        # camera moved backwards along +z (habitat looks down -z)
+        w2c = jnp.eye(4).at[2, 3].set(-2.0)
+        ratio = float(PC.void_ratio_for_frame(pts, valid, K, w2c, H, W))
+        full = float(PC.void_ratio_for_frame(pts, valid, K, jnp.eye(4), H, W))
+        assert ratio > full + 0.1, (ratio, full)
+
+    def test_min_depth_visibility_occlusion(self):
+        # two points on the same pixel: nearer one wins
+        uv = jnp.array([[5, 5], [5, 5]])
+        depth = jnp.array([1.0, 3.0])
+        mask = jnp.array([True, True])
+        vis = PC.min_depth_visibility(uv, depth, mask, 16, 16)
+        assert bool(vis[0]) and not bool(vis[1])
+
+    def test_window_void_ratios_shape(self):
+        H = W = 16
+        K = jnp.asarray(PC.habitat_intrinsics(W, H))
+        depths = jnp.full((3, H, W), 2.0)
+        poses = jnp.tile(jnp.eye(4), (3, 1, 1))
+        ratios = PC.compute_window_void_ratios(depths, poses, K)
+        assert ratios.shape == (3,)
+        assert float(ratios[0]) < 0.05

@@ -1,0 +1,130 @@
+"""End-to-end generation pipeline + trainer tests on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wiw_tpu.models.clip import CLIPVisionConfig
+from wiw_tpu.models.unet import UNetConfig
+from wiw_tpu.models.vae import VAEConfig
+from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline, to_uint8
+
+TINY_GEN = GenerationConfig(
+    height=32, width=64, num_frames=3, num_inference_steps=2,
+)
+
+def tiny_pipeline(action_strategy=None):
+    unet_cfg = UNetConfig(
+        block_out_channels=(16, 32), num_attention_heads=(2, 4),
+        layers_per_block=1, num_frames=3,
+        action_strategy=action_strategy,
+        action_input_channel=3,
+    )
+    pipe = SVDPipeline(
+        unet_cfg,
+        VAEConfig(block_out_channels=(8, 8, 8), layers_per_block=1),
+        CLIPVisionConfig(
+            hidden_size=16, intermediate_size=32, num_layers=1, num_heads=2,
+            patch_size=56, projection_dim=1024,
+        ),
+    )
+    pipe.init_params(jax.random.PRNGKey(0), TINY_GEN)
+    return pipe
+
+
+class TestPipeline:
+    def test_generate_no_action(self):
+        pipe = tiny_pipeline()
+        img = jnp.zeros((1, 32, 64, 3))
+        video = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN)
+        assert video.shape == (1, 3, 32, 64, 3)
+        v = np.asarray(video)
+        assert np.isfinite(v).all() and v.min() >= 0.0 and v.max() <= 1.0
+        u8 = to_uint8(video)
+        assert u8.dtype == np.uint8 and u8.shape == v.shape
+
+    def test_generate_micro_cond_action_sensitivity(self):
+        pipe = tiny_pipeline("micro_cond")
+        img = jnp.zeros((1, 32, 64, 3))
+        a1 = jnp.array([[4, 2, 2]])  # two left turns
+        a2 = jnp.array([[4, 1, 1]])  # forward
+        v1 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=a1)
+        v2 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=a2)
+        assert v1.shape == (1, 3, 32, 64, 3)
+        assert not np.allclose(np.asarray(v1), np.asarray(v2))
+
+    def test_generate_batch2_deterministic(self):
+        pipe = tiny_pipeline()
+        img = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 64, 3)) * 2 - 1
+        v1 = pipe.generate(jax.random.PRNGKey(3), img, TINY_GEN)
+        v2 = pipe.generate(jax.random.PRNGKey(3), img, TINY_GEN)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+class TestTrainer:
+    def _batch(self, B=2, F=3):
+        key = jax.random.PRNGKey(0)
+        return {
+            "pixel_values": jax.random.uniform(key, (B, F, 32, 64, 3)) * 2 - 1,
+            "actions": jnp.asarray(
+                np.random.default_rng(0).integers(1, 4, (B, F)), jnp.int32
+            ),
+        }
+
+    def test_train_step_runs_and_updates(self):
+        from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+        pipe = tiny_pipeline("micro_cond")
+        tr = Trainer(pipe, TrainConfig(learning_rate=1e-3, use_ema=True))
+        state = tr.init_state(pipe.params)
+        frozen = {"vae": pipe.params["vae"], "clip": pipe.params["clip"]}
+        step = tr.make_train_step()
+        before = jax.tree_util.tree_leaves(state["params"])[0].copy()
+        state, metrics = step(state, frozen, self._batch(), jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        after = jax.tree_util.tree_leaves(state["params"])[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+        assert int(state["step"]) == 1
+        assert "ema_params" in state
+
+    def test_train_step_sharded_mesh(self):
+        from wiw_tpu.parallel.mesh import make_mesh
+        from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+        assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+        mesh = make_mesh(dp=4, fsdp=2)
+        pipe = tiny_pipeline("micro_cond")
+        tr = Trainer(pipe, TrainConfig(learning_rate=1e-3), mesh=mesh)
+        state = tr.init_state(pipe.params)
+        frozen = {"vae": pipe.params["vae"], "clip": pipe.params["clip"]}
+        step = tr.make_train_step()
+        batch = self._batch(B=8)
+        state, frozen, batch = tr.place(state, frozen, batch)
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_grad_accum(self):
+        from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+        pipe = tiny_pipeline("micro_cond")
+        tr = Trainer(pipe, TrainConfig(learning_rate=1e-3, grad_accum_steps=2))
+        state = tr.init_state(pipe.params)
+        frozen = {"vae": pipe.params["vae"], "clip": pipe.params["clip"]}
+        step = tr.make_train_step()
+        b = self._batch(B=2)
+        micro = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, x]), b
+        )  # [A=2, B, ...]
+        state, metrics = step(state, frozen, micro, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_trainable_mask_new(self):
+        from wiw_tpu.train.trainer import trainable_mask
+
+        pipe = tiny_pipeline("micro_cond")
+        mask = trainable_mask(pipe.params["unet"], "new")
+        flat = jax.tree_util.tree_leaves_with_path(mask)
+        trainables = [jax.tree_util.keystr(p) for p, v in flat if v]
+        assert any("add_action_proj" in t for t in trainables)
+        assert any("add_embedding_noise" in t for t in trainables)
+        assert not any("conv_in" in t for t in trainables)

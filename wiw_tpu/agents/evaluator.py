@@ -1,0 +1,131 @@
+"""Offline result aggregator: walks per-datum metric files and computes
+task metrics.
+
+Behavioral parity (no code copied) with downstream/evaluator.py:18-385:
+  * AR: accuracy + mean trajectory length
+  * AEQA: LLM-match score (sigma - 1) * 25, plus length-weighted efficiency
+  * IGNav: success rate + SPL = success * L* / max(L*, L)
+The AEQA LLM grading itself needs GPT-4o (evaluator.py:103); the scorer
+callable is injected so tests/offline runs can use a local judge.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Callable, Dict, List, Optional
+
+
+def ar_metrics(records: List[dict]) -> dict:
+    """records: [{'is_correct': bool, 'traj_len': int}, ...]"""
+    if not records:
+        return {"accuracy": 0.0, "mean_traj_len": 0.0, "count": 0}
+    acc = sum(bool(r["is_correct"]) for r in records) / len(records)
+    mtl = sum(float(r["traj_len"]) for r in records) / len(records)
+    return {"accuracy": acc, "mean_traj_len": mtl, "count": len(records)}
+
+
+def aeqa_score(sigma: float) -> float:
+    """GPT match score sigma in [1, 5] -> [0, 100] (evaluator.py:18-25)."""
+    return (sigma - 1.0) * 25.0
+
+
+def aeqa_metrics(records: List[dict]) -> dict:
+    """records: [{'sigma': float, 'traj_len': int, 'max_actions': int}]"""
+    if not records:
+        return {"llm_match": 0.0, "efficiency": 0.0, "count": 0}
+    scores = [aeqa_score(float(r["sigma"])) for r in records]
+    effs = [
+        aeqa_score(float(r["sigma"]))
+        * (1.0 - float(r.get("traj_len", 0)) / max(float(r.get("max_actions", 250)), 1.0))
+        for r in records
+    ]
+    n = len(records)
+    return {
+        "llm_match": sum(scores) / n,
+        "efficiency": sum(effs) / n,
+        "count": n,
+    }
+
+
+def spl(success: bool, shortest_path: float, actual_path: float) -> float:
+    """Success weighted by Path Length (evaluator.py:40-50)."""
+    if not success:
+        return 0.0
+    denom = max(shortest_path, actual_path, 1e-6)
+    return float(shortest_path) / denom
+
+
+def ignav_metrics(records: List[dict]) -> dict:
+    """records: [{'success': bool, 'shortest_path': m, 'actual_path': m}]"""
+    if not records:
+        return {"success_rate": 0.0, "spl": 0.0, "count": 0}
+    n = len(records)
+    sr = sum(bool(r["success"]) for r in records) / n
+    s = sum(
+        spl(bool(r["success"]), float(r["shortest_path"]), float(r["actual_path"]))
+        for r in records
+    ) / n
+    return {"success_rate": sr, "spl": s, "count": n}
+
+
+TASK_METRICS = {"AR": ar_metrics, "AEQA": aeqa_metrics, "IGNav": ignav_metrics}
+
+
+def load_records(states_dir: str) -> List[dict]:
+    """Walk <states_dir>/<scene>/<E|Q*>/metrics.jsonl; last line per datum
+    wins (resumed episodes append)."""
+    records = []
+    for root, _dirs, files in os.walk(states_dir):
+        if "metrics.jsonl" in files:
+            with open(osp.join(root, "metrics.jsonl")) as f:
+                lines = [ln for ln in f if ln.strip()]
+            if lines:
+                records.append(json.loads(lines[-1]))
+    return records
+
+
+class Evaluator:
+    """CLI-style aggregator (downstream/evaluator.py:71-385 parity)."""
+
+    def __init__(self, task: str, exp_id: str, states_root: str = "downstream/states",
+                 llm_scorer: Optional[Callable[[dict], float]] = None):
+        assert task in TASK_METRICS, task
+        self.task = task
+        self.exp_id = exp_id
+        self.states_dir = osp.join(states_root, f"{task}_{exp_id}")
+        self.llm_scorer = llm_scorer
+
+    def evaluate(self) -> Dict:
+        records = load_records(self.states_dir)
+        if self.task == "AEQA" and self.llm_scorer is not None:
+            for r in records:
+                if "sigma" not in r:
+                    r["sigma"] = self.llm_scorer(r)
+        summary = TASK_METRICS[self.task](records)
+        return summary
+
+    def summary_table(self) -> str:
+        s = self.evaluate()
+        header = " | ".join(s.keys())
+        values = " | ".join(
+            f"{v:.3f}" if isinstance(v, float) else str(v) for v in s.values()
+        )
+        return f"{self.task}_{self.exp_id}\n{header}\n{values}"
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", required=True, choices=list(TASK_METRICS))
+    ap.add_argument("--exp_id", required=True)
+    ap.add_argument("--states_root", default="downstream/states")
+    args = ap.parse_args(argv)
+    ev = Evaluator(args.task, args.exp_id, args.states_root)
+    print(ev.summary_table())
+
+
+if __name__ == "__main__":
+    main()

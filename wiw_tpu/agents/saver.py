@@ -1,0 +1,126 @@
+"""Canonical output paths + dataset sharding + media writers.
+
+Behavioral parity (no code copied) with downstream/utils/saver.py:21-520:
+  * path scheme downstream/states/<task>_<exp_id>/<scene>/E<ep>/A<step>/...
+  * AEQA uses Q<question_id> instead of E<episode_id>
+  * `shard_dataset` splits work across parallel solver processes
+  * `get_igenex_save_dirs` makes timestamped PredA-<i> per-candidate dirs
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import os.path as osp
+from typing import List, Optional
+
+import numpy as np
+
+TASKS = ("AR", "AEQA", "VLN", "ObjNav", "IGNav")
+
+
+class Saver:
+    def __init__(self, parallel_ith: Optional[int] = None,
+                 parallel_total: Optional[int] = None,
+                 exp_id: str = "", task: str = "AR",
+                 root: str = "downstream/states"):
+        assert task in TASKS, task
+        self.parallel_ith = parallel_ith
+        self.parallel_total = parallel_total
+        self.exp_id = exp_id
+        self.task = task
+        self.root = root
+
+    # -- paths ----------------------------------------------------------
+    def get_task_path_pref(self) -> str:
+        return osp.join(self.root, f"{self.task}_{self.exp_id}")
+
+    def get_datum_path_pref(self, datum: dict) -> str:
+        if self.task == "AEQA":
+            pref = f"Q{datum['question_id']}"
+        else:
+            pref = f"E{int(datum['episode_id']):03d}"
+        scene = osp.basename(str(datum["scene_id"])).split(".")[0]
+        return osp.join(self.get_task_path_pref(), scene, pref)
+
+    def get_action_path_pref(self, datum: dict, ith_action: int) -> str:
+        return osp.join(self.get_datum_path_pref(datum), f"A{ith_action:03d}")
+
+    def get_image_path(self, datum, ith_action, sensor_type, suffix="") -> str:
+        return osp.join(
+            self.get_action_path_pref(datum, ith_action),
+            f"{sensor_type}{suffix}.png",
+        )
+
+    def get_metric_path(self, datum) -> str:
+        return osp.join(self.get_datum_path_pref(datum), "metrics.jsonl")
+
+    # -- sharding -------------------------------------------------------
+    def shard_dataset(self, data: List) -> List:
+        """Slice the dataset for this parallel process (saver.py:85-135)."""
+        if self.parallel_ith is None or self.parallel_total in (None, 0, 1):
+            return list(data)
+        return [
+            d for i, d in enumerate(data)
+            if i % self.parallel_total == self.parallel_ith
+        ]
+
+    # -- per-candidate WM output dirs ----------------------------------
+    @staticmethod
+    def get_igenex_save_dirs(base_dir: str, action_ids_list: List) -> List[str]:
+        dirs = []
+        stamp = datetime.datetime.now().strftime("%m%d_%H%M%S")
+        for action_id in action_ids_list:
+            path = osp.join(base_dir, f"PredA-{action_id}_{stamp}")
+            os.makedirs(path, exist_ok=True)
+            dirs.append(path)
+        return dirs
+
+
+# -- media writers -----------------------------------------------------
+
+def save_image(path: str, img: np.ndarray) -> None:
+    """uint8 [H, W, C] (or float [0,1]) -> PNG."""
+    from PIL import Image
+
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(img).save(path)
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def save_video(path: str, frames: np.ndarray, fps: int = 7) -> None:
+    """uint8 [T, H, W, C] -> mp4 (falls back to per-frame PNGs if no codec)."""
+    import imageio
+
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+    if frames.dtype != np.uint8:
+        frames = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
+    try:
+        imageio.mimwrite(path, list(frames), fps=fps)
+    except Exception:
+        base = path.rsplit(".", 1)[0]
+        for i, f in enumerate(frames):
+            save_image(f"{base}_frame{i:03d}.png", f)
+
+
+def load_video_frames(path: str) -> np.ndarray:
+    """mp4 -> uint8 [T, H, W, C] (visualize.py:37 parity)."""
+    import imageio
+
+    return np.stack(list(imageio.get_reader(path)), axis=0)
+
+
+def log_metric(path: str, metric: dict) -> None:
+    """Append one JSON metric snapshot (downstream/utils/util.py:441)."""
+    import json
+
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(json.dumps(metric) + "\n")

@@ -1,0 +1,151 @@
+"""Per-episode agent state: column store of per-step observations, actions,
+answers, with history getters.
+
+Behavioral parity (no code copied) with downstream/utils/state_traj.py:9-210
+minus the pandas dependency: rows are plain dicts in insertion order, which
+keeps the hot closed-loop path allocation-free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+
+class State:
+    def __init__(self, columns: Optional[List[str]] = None):
+        self.columns = list(columns or [])
+        self.rows: List[Dict[str, Any]] = []
+        self.action_traj: List[str] = []
+        self.answer_traj: List[Any] = []
+        self.answer_val_traj: List[float] = []
+        self.pending_actions: List[str] = []
+        self._current_state_obs: Optional[Dict[str, Callable]] = None
+        self._best_answer = None
+        self._best_answer_val = 0.0
+        self._position_traj: List = []
+
+    # -- rows -----------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def is_empty(self) -> bool:
+        return len(self.rows) == 0
+
+    def add_new_state(self, new_state: Dict[str, Any],
+                      state_imgs: Optional[Dict[str, Callable]] = None) -> None:
+        for k in new_state:
+            if k not in self.columns:
+                self.columns.append(k)
+        self.rows.append(dict(new_state))
+        self._current_state_obs = state_imgs
+
+    def add_to_recent_state(self, value: Any, key: str, mode: str = "replace") -> None:
+        """Attach derived data (normalized to a list) to the latest row.
+
+        mode 'replace' overwrites; 'extend' extends the existing flat list
+        (state_traj.py:90-114).
+        """
+        assert self.rows, "no state rows yet"
+        if key not in self.columns:
+            self.columns.append(key)
+        if not isinstance(value, list):
+            value = [value]
+        row = self.rows[-1]
+        if mode == "replace":
+            row[key] = value
+        elif mode == "extend":
+            existing = row.get(key)
+            if not isinstance(existing, list):
+                existing = [] if existing is None else [existing]
+            existing.extend(value)
+            row[key] = existing
+        else:
+            raise ValueError(f"unknown mode {mode}")
+
+    def fetch_current_state_obs(self, key: str):
+        if self._current_state_obs is None:
+            return None
+        fn = self._current_state_obs.get(key)
+        return fn() if callable(fn) else fn
+
+    # -- actions / answers ---------------------------------------------
+    def record_past_action(self, action: str) -> None:
+        self.action_traj.append(action)
+
+    def add_pending_actions(self, actions: List[str]) -> None:
+        self.pending_actions.extend(actions)
+
+    def pop_next_pending_action(self) -> Optional[str]:
+        return self.pending_actions.pop(0) if self.pending_actions else None
+
+    def get_pending_action_num(self) -> int:
+        return len(self.pending_actions)
+
+    def add_answer(self, ans: Any, ans_val: Optional[float] = None) -> None:
+        self.answer_traj.append(ans)
+        self.answer_val_traj.append(ans_val if ans_val is not None else 0.0)
+
+    # -- history --------------------------------------------------------
+    def get_from_history(self, key: str) -> List:
+        return [r.get(key) for r in self.rows if r.get(key) is not None]
+
+    def get_from_recent_state(self, key: str):
+        if not self.rows:
+            return None
+        return self.rows[-1].get(key)
+
+    def clean_up_history(self, key: str) -> None:
+        """Drop a key from all but the latest row (context-window pruning,
+        state_traj.py:173-181)."""
+        for r in self.rows[:-1]:
+            r.pop(key, None)
+
+    def get_all_recorded_keys(self) -> List[str]:
+        return list(self.columns)
+
+    # -- best answer ----------------------------------------------------
+    def get_best_answer(self):
+        return self._best_answer
+
+    def set_best_answer(self, ans) -> None:
+        self._best_answer = ans
+
+    def get_best_answer_val(self) -> float:
+        return self._best_answer_val
+
+    def set_best_answer_val(self, val: float) -> None:
+        self._best_answer_val = val
+
+    # -- path length ----------------------------------------------------
+    @property
+    def position_traj(self):
+        return self._position_traj
+
+    def update_position_traj(self, pos) -> None:
+        self._position_traj.append(pos)
+
+    def path_length(self) -> float:
+        import numpy as np
+
+        if len(self._position_traj) < 2:
+            return 0.0
+        pts = np.asarray(self._position_traj, dtype=float)
+        return float(np.linalg.norm(np.diff(pts, axis=0), axis=1).sum())
+
+    # -- persistence ----------------------------------------------------
+    def save_state(self, path: str) -> None:
+        import csv
+
+        with open(path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self.columns)
+            writer.writeheader()
+            for r in self.rows:
+                writer.writerow({k: r.get(k) for k in self.columns})
+
+    def __repr__(self) -> str:
+        if not self.rows:
+            return "(state trajectory is empty)"
+        lines = ["\t".join(self.columns)]
+        for r in self.rows:
+            lines.append("\t".join(str(r.get(k)) for k in self.columns))
+        return "\n".join(lines)

@@ -1,0 +1,221 @@
+"""VLM policy client: OpenAI-compatible chat API with logprob
+classification, action-sequence sampling, and multimodal prompt assembly.
+
+Behavioral parity (no code copied) with downstream/vlm.py + prompts.py:
+  * classification via single-token logprobs over a choice alphabet
+    (letters + Greek for local vLLM; zero-padded digits for commercial,
+    vlm.py:55-65)
+  * N-action-sequence sampling with parse/validate/retry (<= 30 tries) and
+    context-length-aware message pruning (vlm.py:393-449)
+  * random-choice fallback after retries exhaust (vlm.py:256-258)
+  * JSON plan parsing with best-effort repair (vlm.py:317-363)
+  * multimodal message assembly: text + base64 images (prompts.py:171-283)
+
+The HTTP transport is injectable (`transport(messages, **kw) -> response
+dict`) so solvers run against vLLM in production and a scripted fake in
+tests. The real transport uses the `openai` sdk when available.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import random
+import re
+import string
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+# single-token choice alphabet for local models (letters then Greek,
+# vlm.py:55-65)
+LOCAL_CHOICES = list(string.ascii_uppercase) + [
+    chr(c) for c in range(0x391, 0x3AA) if chr(c).isalpha()
+]
+DIGIT_CHOICES = [f"{i:03d}" for i in range(1000)]
+
+
+def encode_image_b64(img: np.ndarray) -> str:
+    from PIL import Image
+
+    if img.dtype != np.uint8:
+        img = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def image_content(img: np.ndarray) -> dict:
+    return {
+        "type": "image_url",
+        "image_url": {"url": f"data:image/png;base64,{encode_image_b64(img)}"},
+    }
+
+
+def build_messages(system: str, user_parts: Sequence) -> List[dict]:
+    """user_parts: strings and/or ndarray images, in display order."""
+    content = []
+    for part in user_parts:
+        if isinstance(part, str):
+            content.append({"type": "text", "text": part})
+        else:
+            content.append(image_content(part))
+    msgs = []
+    if system:
+        msgs.append({"role": "system", "content": system})
+    msgs.append({"role": "user", "content": content})
+    return msgs
+
+
+def parse_json_loose(text: str):
+    """Best-effort JSON extraction/repair (vlm.py:317-363 uses json_repair)."""
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r"\{.*\}", text, re.DOTALL)
+    if m:
+        frag = m.group(0)
+        for fix in (frag, frag.replace("'", '"'),
+                    re.sub(r",\s*([}\]])", r"\1", frag.replace("'", '"'))):
+            try:
+                return json.loads(fix)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+class OpenAITransport:
+    """Thin adapter over the openai sdk for vLLM/commercial endpoints."""
+
+    def __init__(self, base_url: str, api_key: str = "EMPTY",
+                 model: str = "Qwen/Qwen2.5-VL-72B-Instruct-AWQ"):
+        from openai import OpenAI
+
+        self.client = OpenAI(base_url=base_url, api_key=api_key)
+        self.model = model
+
+    def __call__(self, messages, logprobs: bool = False, top_logprobs: int = 20,
+                 max_tokens: int = 512, temperature: float = 1.0) -> dict:
+        resp = self.client.chat.completions.create(
+            model=self.model, messages=messages, max_tokens=max_tokens,
+            temperature=temperature, logprobs=logprobs,
+            top_logprobs=top_logprobs if logprobs else None,
+        )
+        choice = resp.choices[0]
+        out = {"text": choice.message.content}
+        if logprobs and choice.logprobs and choice.logprobs.content:
+            first = choice.logprobs.content[0]
+            out["top_logprobs"] = {
+                t.token: t.logprob for t in first.top_logprobs
+            }
+        return out
+
+
+class VLMClient:
+    def __init__(self, transport: Callable, choice_format: str = "local",
+                 max_retries: int = 30, seed: int = 0):
+        self.transport = transport
+        self.choices = LOCAL_CHOICES if choice_format == "local" else DIGIT_CHOICES
+        self.max_retries = max_retries
+        self.rng = random.Random(seed)
+
+    # -- classification -------------------------------------------------
+    def classify(self, messages: List[dict], num_options: int) -> tuple[int, float]:
+        """Pick among num_options via first-token logprobs; returns
+        (option_index, probability)."""
+        alphabet = self.choices[:num_options]
+        resp = self.transport(messages, logprobs=True, max_tokens=4)
+        lp = resp.get("top_logprobs") or {}
+        scores = {}
+        for tok, logprob in lp.items():
+            t = tok.strip()
+            if t in alphabet:
+                scores[alphabet.index(t)] = max(
+                    scores.get(alphabet.index(t), -1e9), logprob
+                )
+        if not scores:
+            text = (resp.get("text") or "").strip()
+            for i, a in enumerate(alphabet):
+                if text.startswith(a):
+                    return i, 1.0
+            return self.rng.randrange(num_options), 0.0
+        probs = {i: np.exp(v) for i, v in scores.items()}
+        total = sum(probs.values())
+        best = max(probs, key=probs.get)
+        return best, float(probs[best] / max(total, 1e-9))
+
+    # -- action-sequence sampling --------------------------------------
+    def sample_action_seqs(
+        self, messages: List[dict], action_space: List[str], seq_len: int,
+        num_seqs: int,
+    ) -> List[List[str]]:
+        """Ask for num_seqs sequences of seq_len actions; parse + validate
+        with retries; random fallback after exhausting retries."""
+        seqs: List[List[str]] = []
+        trimmed = list(messages)
+        for attempt in range(self.max_retries):
+            if len(seqs) >= num_seqs:
+                break
+            try:
+                resp = self.transport(trimmed, max_tokens=256)
+            except Exception as e:  # context-length pruning (vlm.py:418-446)
+                if "context" in repr(e).lower() and len(trimmed) > 2:
+                    trimmed = [trimmed[0]] + trimmed[2:]
+                    continue
+                raise
+            parsed = self.parse_action_seqs(
+                resp.get("text") or "", action_space, seq_len
+            )
+            for p in parsed:
+                if p not in seqs:
+                    seqs.append(p)
+        while len(seqs) < num_seqs:  # fallback (vlm.py:256-258)
+            seqs.append([self.rng.choice(action_space) for _ in range(seq_len)])
+        return seqs[:num_seqs]
+
+    @staticmethod
+    def parse_action_seqs(text: str, action_space: List[str], seq_len: int
+                          ) -> List[List[str]]:
+        """Extract action sequences from model output: lines or JSON lists
+        whose items all belong to action_space, exactly seq_len long."""
+        results = []
+        js = parse_json_loose(text)
+        candidates = []
+        if isinstance(js, dict):
+            for v in js.values():
+                if isinstance(v, list):
+                    candidates.append(v)
+        elif isinstance(js, list):
+            if js and isinstance(js[0], list):
+                candidates.extend(js)
+            else:
+                candidates.append(js)
+        for line in text.splitlines():
+            parts = [p.strip() for p in re.split(r"[,;>]", line) if p.strip()]
+            if parts:
+                candidates.append(parts)
+        for cand in candidates:
+            cleaned = [str(c).strip() for c in cand]
+            matched = []
+            for c in cleaned:
+                hit = next((a for a in action_space if c == a or c.startswith(a)
+                            or a.startswith(c)), None)
+                if hit is None:
+                    matched = []
+                    break
+                matched.append(hit)
+            if len(matched) == seq_len and matched not in results:
+                results.append(matched)
+        return results
+
+    # -- JSON plans -----------------------------------------------------
+    def plan_json(self, messages: List[dict], required_keys: Sequence[str]
+                  ) -> Optional[dict]:
+        for _ in range(self.max_retries):
+            resp = self.transport(messages, max_tokens=1024)
+            js = parse_json_loose(resp.get("text") or "")
+            if isinstance(js, dict) and all(k in js for k in required_keys):
+                return js
+        return None

@@ -1,0 +1,6 @@
+from wiw_tpu.eval.metrics import (  # noqa: F401
+    evaluate_video_metrics,
+    frechet_distance,
+    psnr,
+    ssim,
+)

@@ -1,0 +1,175 @@
+"""FVD: Frechet Video Distance over I3D features, in JAX.
+
+Parity target: evaluation/FVD/calculate_fvd.py:15-78 — clips of >= 10
+frames, I3D (Inception-v1 inflated 3D, Kinetics-400) feature extraction,
+Frechet distance (eval/metrics.frechet_distance). The reference fetches its
+I3D backends from upstream repos at runtime (they are not vendored,
+SURVEY.md 2.10); here the architecture is native flax and
+`load_i3d_weights` converts the standard `i3d_pretrained_400.pt` torch
+checkpoint when provided (WIW_I3D_WEIGHTS env var or explicit path).
+
+Input convention: videos [B, T, H, W, 3] in [0, 1]; resized to 224x224 and
+rescaled to [-1, 1] like the upstream preprocessors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wiw_tpu.eval.metrics import frechet_distance
+
+# Inception module channel specs: in -> (b0, b1a, b1b, b2a, b2b, b3b)
+_MIXED_SPECS = {
+    "Mixed_3b": (64, 96, 128, 16, 32, 32),
+    "Mixed_3c": (128, 128, 192, 32, 96, 64),
+    "Mixed_4b": (192, 96, 208, 16, 48, 64),
+    "Mixed_4c": (160, 112, 224, 24, 64, 64),
+    "Mixed_4d": (128, 128, 256, 24, 64, 64),
+    "Mixed_4e": (112, 144, 288, 32, 64, 64),
+    "Mixed_4f": (256, 160, 320, 32, 128, 128),
+    "Mixed_5b": (256, 160, 320, 32, 128, 128),
+    "Mixed_5c": (384, 192, 384, 48, 128, 128),
+}
+
+
+class Unit3D(nn.Module):
+    """conv3d (no bias) + batchnorm (inference stats) + relu."""
+
+    features: int
+    kernel: tuple = (1, 1, 1)
+    strides: tuple = (1, 1, 1)
+    use_relu: bool = True
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        pad = tuple((k // 2, k // 2) for k in self.kernel)
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.strides, padding=pad,
+            use_bias=not self.use_bn, name="conv3d",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=True, epsilon=1e-3, name="bn"
+            )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class InceptionModule(nn.Module):
+    spec: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        b0 = Unit3D(self.spec[0], name="b0")(x)
+        b1 = Unit3D(self.spec[1], name="b1a")(x)
+        b1 = Unit3D(self.spec[2], (3, 3, 3), name="b1b")(b1)
+        b2 = Unit3D(self.spec[3], name="b2a")(x)
+        b2 = Unit3D(self.spec[4], (3, 3, 3), name="b2b")(b2)
+        b3 = nn.max_pool(
+            x, (3, 3, 3), strides=(1, 1, 1), padding=((1, 1), (1, 1), (1, 1))
+        )
+        b3 = Unit3D(self.spec[5], name="b3b")(b3)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+class InceptionI3d(nn.Module):
+    """[B, T, 224, 224, 3] in [-1, 1] -> (pooled_1024, logits_400)."""
+
+    num_classes: int = 400
+
+    @nn.compact
+    def __call__(self, x):
+        x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a_7x7")(x)
+        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), ((0, 0), (1, 1), (1, 1)))
+        x = Unit3D(64, name="Conv3d_2b_1x1")(x)
+        x = Unit3D(192, (3, 3, 3), name="Conv3d_2c_3x3")(x)
+        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), ((0, 0), (1, 1), (1, 1)))
+        x = InceptionModule(_MIXED_SPECS["Mixed_3b"], name="Mixed_3b")(x)
+        x = InceptionModule(_MIXED_SPECS["Mixed_3c"], name="Mixed_3c")(x)
+        x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), ((1, 1), (1, 1), (1, 1)))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+            x = InceptionModule(_MIXED_SPECS[name], name=name)(x)
+        x = nn.max_pool(x, (2, 2, 2), (2, 2, 2), "VALID")
+        x = InceptionModule(_MIXED_SPECS["Mixed_5b"], name="Mixed_5b")(x)
+        x = InceptionModule(_MIXED_SPECS["Mixed_5c"], name="Mixed_5c")(x)
+        pooled = jnp.mean(x, axis=(2, 3))  # spatial avg -> [B, T', 1024]
+        logits = Unit3D(
+            self.num_classes, use_relu=False, use_bn=False, name="logits"
+        )(pooled[:, :, None, None, :])[:, :, 0, 0, :]
+        return pooled.mean(axis=1), logits.mean(axis=1)
+
+
+def load_i3d_weights(path: str):
+    """Convert the standard pytorch i3d_pretrained_400 checkpoint."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path_, leaf):
+        node = tree
+        for n in path_[:-1]:
+            node = node.setdefault(n, {})
+        node[path_[-1]] = jnp.asarray(leaf)
+
+    branch_map = {"b0": "b0", "b1a": "b1a", "b1b": "b1b",
+                  "b2a": "b2a", "b2b": "b2b", "b3b": "b3b"}
+    for k, v in sd.items():
+        parts = k.split(".")
+        v = v.numpy()
+        # pytorch_i3d names: e.g. Mixed_3b.b0.conv3d.weight,
+        # Conv3d_1a_7x7.conv3d.weight, logits.conv3d.{weight,bias}
+        mod = parts[0]
+        rest = parts[1:]
+        flax_path = [mod]
+        for r in rest[:-1]:
+            flax_path.append(branch_map.get(r, r))
+        leaf = rest[-1]
+        if "bn" in rest:
+            if leaf in ("weight", "bias"):
+                put(params, flax_path + ["scale" if leaf == "weight" else "bias"], v)
+            elif leaf == "running_mean":
+                put(batch_stats, flax_path + ["mean"], v)
+            elif leaf == "running_var":
+                put(batch_stats, flax_path + ["var"], v)
+        elif leaf == "weight":  # conv3d OIDHW -> DHWIO
+            put(params, flax_path + ["kernel"], v.transpose(2, 3, 4, 1, 0))
+        elif leaf == "bias":
+            put(params, flax_path + ["bias"], v)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+_DEFAULT_I3D = os.environ.get("WIW_I3D_WEIGHTS", "")
+
+
+class FVDEvaluator:
+    def __init__(self, variables=None, weights_path: Optional[str] = None):
+        self.model = InceptionI3d()
+        if variables is None:
+            path = weights_path or _DEFAULT_I3D
+            if path and os.path.exists(path):
+                variables = load_i3d_weights(path)
+        self.variables = variables
+
+    def features(self, videos: jnp.ndarray, use_logits: bool = True):
+        """videos [B, T>=10, H, W, 3] in [0,1] -> features [B, D]."""
+        assert videos.shape[1] >= 10, "FVD needs clips of >= 10 frames"
+        B, T = videos.shape[:2]
+        resized = jax.image.resize(
+            videos, (B, T, 224, 224, videos.shape[-1]), "bilinear"
+        )
+        pooled, logits = self.model.apply(self.variables, resized * 2.0 - 1.0)
+        return logits if use_logits else pooled
+
+    def fvd(self, videos1: jnp.ndarray, videos2: jnp.ndarray) -> float:
+        f1 = self.features(videos1)
+        f2 = self.features(videos2)
+        return float(frechet_distance(f1, f2))

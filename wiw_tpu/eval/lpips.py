@@ -1,0 +1,125 @@
+"""LPIPS perceptual distance (AlexNet backbone + linear heads) in JAX.
+
+Parity target: the `lpips` package as used by
+evaluation/FVD/calculate_lpips.py and the IGNav LPIPS reward
+(solver_IGNav.py:546-596). Weights load from the upstream `lpips` torch
+checkpoints via `load_lpips_weights`; without a checkpoint, `default_lpips`
+returns None and callers skip the metric (same degradation mode the
+reference has when the net download is unavailable).
+
+Input convention: images [N, H, W, 3] in [0, 1]; internally scaled to
+[-1, 1] and normalized by the LPIPS shift/scale constants.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+# lpips normalization constants (net input = (x - shift) / scale on [-1,1])
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+# AlexNet feature stages: (out_channels, kernel, stride, pad) per conv,
+# with maxpool(3,2) before convs 2, 3 and relu taps after each stage
+_ALEX_CHANNELS = (64, 192, 384, 256, 256)
+
+
+class AlexNetFeatures(nn.Module):
+    """AlexNet conv trunk; returns the 5 relu feature maps LPIPS taps."""
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=2, name="conv0")(x)
+        x = nn.relu(x)
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(192, (5, 5), padding=2, name="conv1")(x)
+        x = nn.relu(x)
+        feats.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(384, (3, 3), padding=1, name="conv2")(x)
+        x = nn.relu(x)
+        feats.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, name="conv3")(x)
+        x = nn.relu(x)
+        feats.append(x)
+        x = nn.Conv(256, (3, 3), padding=1, name="conv4")(x)
+        x = nn.relu(x)
+        feats.append(x)
+        return feats
+
+
+class LPIPS(nn.Module):
+    """Feature distance with learned per-channel linear heads."""
+
+    @nn.compact
+    def __call__(self, img1, img2):
+        net = AlexNetFeatures(name="net")
+        x1 = (img1 * 2.0 - 1.0 - _SHIFT) / _SCALE
+        x2 = (img2 * 2.0 - 1.0 - _SHIFT) / _SCALE
+        f1s, f2s = net(x1), net(x2)
+        total = 0.0
+        for i, (f1, f2) in enumerate(zip(f1s, f2s)):
+            n1 = f1 / jnp.sqrt(jnp.sum(f1**2, -1, keepdims=True) + 1e-10)
+            n2 = f2 / jnp.sqrt(jnp.sum(f2**2, -1, keepdims=True) + 1e-10)
+            diff = (n1 - n2) ** 2
+            w = self.param(
+                f"lin{i}", nn.initializers.ones, (diff.shape[-1],), jnp.float32
+            )
+            # 1x1 conv head then spatial mean (lpips 'lin' layers)
+            total = total + jnp.mean(
+                jnp.sum(diff * jnp.maximum(w, 0.0)[None, None, None], axis=-1),
+                axis=(1, 2),
+            )
+        return total
+
+
+def load_lpips_weights(path: str):
+    """Convert the upstream lpips AlexNet checkpoint (torch .pth) into our
+    param tree. Requires torch (CPU) to unpickle."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    params = {"net": {}, }
+    # lpips lin heads: lin{i}.model.1.weight of shape [1, C, 1, 1]
+    for i in range(5):
+        key = f"lin{i}.model.1.weight"
+        if key in sd:
+            params[f"lin{i}"] = jnp.asarray(
+                sd[key].numpy().reshape(-1)
+            )
+    # alexnet trunk weights ship separately (torchvision); converted when
+    # provided as net.features.N.weight entries
+    conv_map = {0: "conv0", 3: "conv1", 6: "conv2", 8: "conv3", 10: "conv4"}
+    for n, name in conv_map.items():
+        wkey, bkey = f"net.features.{n}.weight", f"net.features.{n}.bias"
+        if wkey in sd:
+            params["net"][name] = {
+                "kernel": jnp.asarray(sd[wkey].numpy().transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(sd[bkey].numpy()),
+            }
+    return params
+
+
+_DEFAULT_WEIGHTS = os.environ.get("WIW_LPIPS_WEIGHTS", "")
+
+
+def default_lpips() -> Optional[Callable]:
+    """Returns a callable (img1, img2) -> [N] distances, or None if no
+    weights are available."""
+    if not _DEFAULT_WEIGHTS or not os.path.exists(_DEFAULT_WEIGHTS):
+        return None
+    model = LPIPS()
+    params = load_lpips_weights(_DEFAULT_WEIGHTS)
+    return lambda a, b: model.apply({"params": params}, a, b)
+
+
+def lpips_with_params(params) -> Callable:
+    model = LPIPS()
+    return lambda a, b: model.apply({"params": params}, a, b)

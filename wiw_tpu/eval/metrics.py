@@ -1,0 +1,114 @@
+"""Video quality metrics: PSNR / SSIM / LPIPS / FVD, in JAX.
+
+Behavioral parity targets (no code copied):
+  * PSNR per frame over [0,1] videos: evaluation/FVD/calculate_psnr.py:6-50
+  * SSIM with 11x11 gaussian window (sigma 1.5, K1=.01, K2=.03, L=1),
+    per-channel mean: evaluation/FVD/calculate_ssim.py
+  * LPIPS (AlexNet backbone + linear heads): evaluation/FVD/calculate_lpips.py
+    — also the IGNav online reward (solver_IGNav.py:546-596)
+  * FVD = Frechet distance between I3D features of >=10-frame clips:
+    evaluation/FVD/calculate_fvd.py:15-78
+  * harness contract `evaluate_video_metrics(videos1, videos2, ...)` over
+    [B, T, C, H, W]-style batches: evaluation/FVD/cal_4metrics.py:9-78
+    (ours uses channels-last [B, T, H, W, C])
+
+All metrics are pure jnp and jit-friendly; FVD's matrix sqrt uses an
+eigendecomposition (symmetric PSD product trick) instead of scipy.sqrtm.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr(video1: jnp.ndarray, video2: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, H, W, C] in [0,1] -> per-(batch,frame) PSNR [B, T] in dB."""
+    mse = jnp.mean((video1 - video2) ** 2, axis=(-3, -2, -1))
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x**2) / (2 * sigma**2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def _filter2(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Valid-mode 2D correlation over [N, H, W] maps."""
+    k = kernel[None, None]  # OIHW
+    out = jax.lax.conv_general_dilated(
+        img[:, None], k, (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[:, 0]
+
+
+def ssim(video1: jnp.ndarray, video2: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, H, W, C] in [0,1] -> per-(batch,frame) SSIM [B, T]."""
+    B, T, H, W, C = video1.shape
+    x = video1.transpose(0, 1, 4, 2, 3).reshape(B * T * C, H, W)
+    y = video2.transpose(0, 1, 4, 2, 3).reshape(B * T * C, H, W)
+    k = _gaussian_kernel()
+    C1, C2 = 0.01**2, 0.03**2
+    mu_x, mu_y = _filter2(x, k), _filter2(y, k)
+    mu_x2, mu_y2, mu_xy = mu_x**2, mu_y**2, mu_x * mu_y
+    sx = _filter2(x * x, k) - mu_x2
+    sy = _filter2(y * y, k) - mu_y2
+    sxy = _filter2(x * y, k) - mu_xy
+    m = ((2 * mu_xy + C1) * (2 * sxy + C2)) / (
+        (mu_x2 + mu_y2 + C1) * (sx + sy + C2)
+    )
+    return m.reshape(B, T, C, -1).mean(axis=(2, 3))
+
+
+def frechet_distance(
+    feats1: jnp.ndarray, feats2: jnp.ndarray, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Frechet distance between feature sets [N1, D], [N2, D].
+
+    ||mu1-mu2||^2 + tr(S1 + S2 - 2 sqrt(S1 S2)); the cross term uses the
+    symmetric form sqrt(S1^1/2 S2 S1^1/2) via eigendecomposition (exact for
+    PSD inputs, XLA-friendly; replaces scipy.linalg.sqrtm).
+    """
+    mu1, mu2 = feats1.mean(0), feats2.mean(0)
+    c1 = jnp.cov(feats1, rowvar=False) + eps * jnp.eye(feats1.shape[1])
+    c2 = jnp.cov(feats2, rowvar=False) + eps * jnp.eye(feats2.shape[1])
+
+    def psd_sqrt(m):
+        w, v = jnp.linalg.eigh(m)
+        return (v * jnp.sqrt(jnp.maximum(w, 0.0))) @ v.T
+
+    s1h = psd_sqrt(c1)
+    cross = psd_sqrt(s1h @ c2 @ s1h)
+    diff = mu1 - mu2
+    return diff @ diff + jnp.trace(c1) + jnp.trace(c2) - 2.0 * jnp.trace(cross)
+
+
+def evaluate_video_metrics(
+    videos1: jnp.ndarray,
+    videos2: jnp.ndarray,
+    metrics: tuple[str, ...] = ("ssim", "psnr", "lpips"),
+    lpips_fn=None,
+) -> dict:
+    """Harness parity with cal_4metrics.evaluate_video_metrics: returns a
+    dict of per-metric means over [B, T, H, W, C] in [0,1]. FVD is computed
+    separately (needs an I3D feature extractor; see eval/fvd.py)."""
+    out = {}
+    if "psnr" in metrics:
+        out["psnr"] = float(jnp.mean(psnr(videos1, videos2)))
+    if "ssim" in metrics:
+        out["ssim"] = float(jnp.mean(ssim(videos1, videos2)))
+    if "lpips" in metrics:
+        if lpips_fn is None:
+            from wiw_tpu.eval.lpips import default_lpips
+
+            lpips_fn = default_lpips()
+        if lpips_fn is not None:
+            B, T = videos1.shape[:2]
+            flat1 = videos1.reshape(B * T, *videos1.shape[2:])
+            flat2 = videos2.reshape(B * T, *videos2.shape[2:])
+            out["lpips"] = float(jnp.mean(lpips_fn(flat1, flat2)))
+    return out
