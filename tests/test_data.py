@@ -1,0 +1,143 @@
+"""Data layer tests over a synthetic on-disk trajectory tree."""
+
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from wiw_tpu.data import dataset_utils as du
+from wiw_tpu.data.dataset import (
+    StraightDataset,
+    TrajectoryDataset,
+    WeightedDataset,
+    assign_sample_weights,
+    iterate_batches,
+)
+
+
+@pytest.fixture()
+def traj_root(tmp_path):
+    """<root>/sceneA/traj-0/waypoint-0/step-k_type-rgb.png + metadata.json."""
+    from PIL import Image
+
+    root = tmp_path / "data"
+    for scene, traj, way, n, actions in [
+        ("sceneA", 0, 0, 8, [4, 1, 1, 2, 1, 1, 3, 1]),
+        ("sceneA", 1, 0, 6, [4, 1, 1, 1, 1, 1]),
+        ("sceneB", 0, 2, 5, [4, 2, 2, 1, 1]),
+    ]:
+        d = root / scene / f"traj-{traj}" / f"waypoint-{way}"
+        os.makedirs(d)
+        steps = {}
+        for k in range(n):
+            img = Image.fromarray(
+                np.full((12, 24, 3), 10 * k, np.uint8)
+            )
+            img.save(d / f"step-{k}_type-rgb.png")
+            steps[f"step-{k}"] = {
+                "action": ["stop", "move_forward", "turn_left", "turn_right"][
+                    [4, 1, 2, 3].index(actions[k])
+                ],
+                "coord": [0, 0, 0],
+            }
+        with open(d / "metadata.json", "w") as f:
+            json.dump({"steps": {f"waypoint-{way}": steps}}, f)
+        # overlap json for WeightedDataset (window size 4)
+        with open(d / "overlap_Nframe-4_1.json", "w") as f:
+            json.dump(
+                {"VoidRatio": {f"StartStep-{s}": [0.1 * s, 0.1 * s]
+                               for s in range(max(1, n - 4 + 1))}},
+                f,
+            )
+    return str(root)
+
+
+class TestDatasetUtils:
+    def test_glob_and_sorted_frames(self, traj_root):
+        metas = du.glob_all_imgleaf_folders(traj_root)
+        assert len(metas) == 3
+        folder = osp.dirname(metas[0])
+        frames = du.get_sorted_frame_paths(folder)
+        assert frames[0] == "step-0_type-rgb.png"
+        assert [int(f.split("-")[1].split("_")[0]) for f in frames] == sorted(
+            int(f.split("-")[1].split("_")[0]) for f in frames
+        )
+
+    def test_get_actions(self, traj_root):
+        folder = osp.join(traj_root, "sceneA", "traj-0", "waypoint-0")
+        acts = du.get_actions("sceneA", "0", "0", folder, [0, 3, 6])
+        assert acts == [4, 2, 3]
+
+    def test_pixel_values_range(self, traj_root):
+        folder = osp.join(traj_root, "sceneA", "traj-0", "waypoint-0")
+        px = du.get_pixel_values(folder, ["step-0_type-rgb.png"], width=24, height=12)
+        assert px.shape == (1, 12, 24, 3)
+        assert px.min() >= -1.0 and px.max() <= 1.0
+        u8 = du.revert_pixel_values(px)
+        assert u8.dtype == np.uint8
+
+    def test_action_conversions(self):
+        acts = [4, 1, 2, 3, 1]
+        rev = du.action_reverse_convert(acts)
+        assert rev == [4, 1, 2, 3, 1][:1] + [1, 2, 3, 1][::-1][:0] + rev[1:]
+        # explicit: inverse of [1,2,3,1] reversed = inv([1,3,2,1]... check:
+        # a[1:] = [1,2,3,1]; reversed = [1,3,2,1]; inverted = [1,2,3,1]
+        assert rev == [4, 1, 2, 3, 1] or rev == [4, 1, 2, 3, 1]
+        np.testing.assert_array_equal(du.action_flip_convert([1, 2, 3, 4]), [1, 3, 2, 4])
+
+    def test_reverse_convert_explicit(self):
+        # forward, left, left, right
+        acts = [4, 1, 2, 2, 3]
+        rev = du.action_reverse_convert(acts)
+        # reversed transitions: inv(3), inv(2), inv(2), inv(1) = 2, 3, 3, 1
+        assert rev == [4, 2, 3, 3, 1]
+
+
+class TestDatasets:
+    def test_trajectory_dataset_window(self, traj_root):
+        ds = TrajectoryDataset([traj_root], sample_frames=4, width=24, height=12,
+                               fix_seed=True)
+        item = ds[0]
+        assert item["pixel_values"].shape == (4, 12, 24, 3)
+        assert item["actions"].shape == (4,)
+        assert len(item["frame_paths"]) == 4
+        # frames are consecutive: pixel value step = 10/127.5 increments
+        v0 = item["pixel_values"][0, 0, 0, 0]
+        v1 = item["pixel_values"][1, 0, 0, 0]
+        np.testing.assert_allclose(v1 - v0, 10 / 127.5, atol=1e-5)
+
+    def test_weighted_dataset(self, traj_root):
+        ds = WeightedDataset([traj_root], sample_frames=4, width=24, height=12,
+                             fix_seed=True, weighted_method="exponential",
+                             cutoff_thr=0.45)
+        item = ds[0]
+        assert item["pixel_values"].shape == (4, 12, 24, 3)
+        # cutoff excludes windows with mean void ratio >= 0.45
+        for (folder, step), w in zip(ds.traj_entries, ds.sample_weights):
+            s = int(step.split("-")[-1])
+            if 0.1 * s >= 0.45:
+                assert w == 0.0
+
+    def test_straight_dataset(self, traj_root):
+        ds = StraightDataset([traj_root], sample_frames=4, width=24, height=12,
+                             fix_seed=True)
+        item = ds[0]
+        assert np.all(item["actions"][1:] == 1)
+
+    def test_iterate_batches(self, traj_root):
+        ds = TrajectoryDataset([traj_root], sample_frames=4, width=24, height=12,
+                               fix_seed=True)
+        batches = list(iterate_batches(ds, batch_size=2, num_steps=3))
+        assert len(batches) == 3
+        assert batches[0]["pixel_values"].shape == (2, 4, 12, 24, 3)
+        assert batches[0]["actions"].shape == (2, 4)
+
+    def test_weights_scheme(self):
+        ratios = {"t1": {"StartStep-0": 0.1, "StartStep-1": 0.5},
+                  "t2": {"StartStep-0": 0.3}}
+        entries, w = assign_sample_weights(ratios, method="linear", cutoff=0.45)
+        assert len(entries) == 3
+        assert w[1] == 0.0  # cutoff
+        assert w[0] > w[2] > 0  # lower void ratio -> higher weight

@@ -1,0 +1,59 @@
+"""C++ framing shim tests: build, roundtrip, big-array integrity."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from wiw_tpu.serve import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("g++ unavailable; native shim not built")
+    return lib
+
+
+class TestNativeFraming:
+    def test_build_and_exact_io(self, lib):
+        r, w = os.pipe()
+        data = b"hello framing"
+        import ctypes
+
+        assert lib.wiw_write_exact(w, data, len(data)) == len(data)
+        buf = ctypes.create_string_buffer(len(data))
+        assert lib.wiw_read_exact(r, buf, len(data)) == len(data)
+        assert buf.raw == data
+        os.close(r); os.close(w)
+
+    def test_frame_roundtrip_small(self, lib):
+        r, w = os.pipe()
+        obj = {"save_dirs": ["a", "b"], "x": 42}
+        t = threading.Thread(target=native.write_frame_fd, args=(w, obj))
+        t.start()
+        out = native.read_frame_fd(r)
+        t.join()
+        assert out == obj
+        os.close(r); os.close(w)
+
+    def test_frame_roundtrip_big_array(self, lib):
+        r, w = os.pipe()
+        arr = np.random.randint(0, 255, (2, 14, 3, 128, 128), np.uint8)
+        obj = {"pred_frames": arr, "save_dirs": ["d"] * 2}
+        t = threading.Thread(target=native.write_frame_fd, args=(w, obj))
+        t.start()
+        out = native.read_frame_fd(r)
+        t.join()
+        np.testing.assert_array_equal(out["pred_frames"], arr)
+        assert out["save_dirs"] == ["d", "d"]
+        os.close(r); os.close(w)
+
+    def test_eof_detection(self, lib):
+        r, w = os.pipe()
+        os.close(w)
+        with pytest.raises(EOFError):
+            native.read_frame_fd(r)
+        os.close(r)

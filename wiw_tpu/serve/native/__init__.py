@@ -1,0 +1,134 @@
+"""ctypes bindings for the C++ framing shim, with transparent build + pure-
+Python fallback (wiw_tpu/serve/protocol.py stays the source of truth for
+the wire format)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pickle
+import struct
+import subprocess
+import threading
+
+_DIR = os.path.dirname(__file__)
+_SRC = os.path.join(_DIR, "framing.cpp")
+_SO = os.path.join(_DIR, "libwiwframing.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the shim; returns None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.wiw_read_exact.restype = ctypes.c_int64
+        lib.wiw_read_exact.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64
+        ]
+        lib.wiw_write_exact.restype = ctypes.c_int64
+        lib.wiw_write_exact.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64
+        ]
+        lib.wiw_write_frame.restype = ctypes.c_int64
+        lib.wiw_write_frame.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+        ]
+        lib.wiw_read_frame_len.restype = ctypes.c_int64
+        lib.wiw_read_frame_len.argtypes = [ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def write_frame_fd(fd: int, obj) -> None:
+    """Frame = 4B len + pickle5 + out-of-band buffers, gather-written by the
+    shim (single writev path, zero payload concatenation)."""
+    lib = get_lib()
+    if lib is None:
+        from wiw_tpu.serve.protocol import write_pickled_fd
+
+        write_pickled_fd(fd, obj)
+        return
+    buffers: list[pickle.PickleBuffer] = []
+    payload = pickle.dumps(obj, protocol=5, buffer_callback=buffers.append)
+    raws = [b.raw() for b in buffers]
+    # sub-header: pickle length + buffer count/lengths so the reader can
+    # reconstruct buffer boundaries
+    sub = struct.pack(">II", len(payload), len(raws)) + b"".join(
+        struct.pack(">Q", r.nbytes) for r in raws
+    )
+    segs = [sub, payload] + raws
+    keepalive = []  # ctypes buffer objects must outlive the call
+    ptrs, lens = [], []
+    for s in segs:
+        if isinstance(s, bytes):
+            cb = (ctypes.c_char * len(s)).from_buffer_copy(s)
+            n = len(s)
+        else:  # memoryview over the numpy array — zero-copy when writable
+            try:
+                cb = (ctypes.c_char * s.nbytes).from_buffer(s)
+            except TypeError:  # readonly buffer
+                cb = (ctypes.c_char * s.nbytes).from_buffer_copy(s)
+            n = s.nbytes
+        keepalive.append(cb)
+        ptrs.append(ctypes.cast(cb, ctypes.c_char_p))
+        lens.append(n)
+    seg_arr = (ctypes.c_char_p * len(segs))(*ptrs)
+    len_arr = (ctypes.c_int64 * len(segs))(*lens)
+    r = lib.wiw_write_frame(fd, seg_arr, len_arr, len(segs))
+    del keepalive
+    if r < 0:
+        raise OSError("wiw_write_frame failed")
+
+
+def read_frame_fd(fd: int):
+    lib = get_lib()
+    if lib is None:
+        from wiw_tpu.serve.protocol import read_pickled_fd
+
+        return read_pickled_fd(fd)
+    total = lib.wiw_read_frame_len(fd)
+    if total == -1:
+        raise EOFError("fd closed")
+    if total < 0:
+        raise OSError("read_frame_len failed")
+    buf = ctypes.create_string_buffer(int(total))
+    if lib.wiw_read_exact(fd, buf, total) < 0:
+        raise EOFError("fd closed mid-frame")
+    raw = memoryview(buf)[:total]
+    plen, nbuf = struct.unpack(">II", raw[:8])
+    off = 8 + 8 * nbuf
+    blens = [
+        struct.unpack(">Q", raw[8 + 8 * i : 16 + 8 * i])[0] for i in range(nbuf)
+    ]
+    payload = raw[off : off + plen]
+    off += plen
+    bufs = []
+    for bl in blens:
+        bufs.append(raw[off : off + bl])
+        off += bl
+    return pickle.loads(payload, buffers=bufs)

@@ -1,0 +1,113 @@
+// Native framing shim for the WM serving plane.
+//
+// The wire format (4-byte big-endian length + payload; pickle-5 payloads
+// with out-of-band raw buffers — see wiw_tpu/serve/protocol.py) moves
+// 50-200 MB uint8 frame tensors per request (SURVEY.md "hard parts" #4).
+// Python-level os.read/os.write loops hold the GIL per chunk and add a
+// bytearray reassembly copy; these helpers do exact-length I/O in C with
+// no intermediate copies, called via ctypes with the GIL released, so the
+// manager's receiver/sender threads overlap with the TPU feeding path.
+//
+// Build: g++ -O3 -shared -fPIC framing.cpp -o libwiwframing.so
+
+#include <cerrno>
+#include <cstdint>
+#include <cstring>
+#include <sys/socket.h>
+#include <sys/uio.h>
+#include <unistd.h>
+
+extern "C" {
+
+// Read exactly n bytes from fd into buf. Returns n on success, -1 on EOF
+// mid-frame, -2 on error (errno preserved).
+int64_t wiw_read_exact(int fd, char *buf, int64_t n) {
+  int64_t got = 0;
+  while (got < n) {
+    ssize_t r = read(fd, buf + got, static_cast<size_t>(n - got));
+    if (r == 0) return -1;
+    if (r < 0) {
+      if (errno == EINTR) continue;
+      return -2;
+    }
+    got += r;
+  }
+  return got;
+}
+
+// Write exactly n bytes. Returns n on success, -2 on error.
+int64_t wiw_write_exact(int fd, const char *buf, int64_t n) {
+  int64_t put = 0;
+  while (put < n) {
+    ssize_t w = write(fd, buf + put, static_cast<size_t>(n - put));
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      return -2;
+    }
+    put += w;
+  }
+  return put;
+}
+
+// Gather-write a frame: 4-byte big-endian total length, then k segments.
+// segs/lens describe the payload pieces (e.g. pickle bytes + raw numpy
+// buffers) — written with writev, no concatenation copy.
+// Returns total payload bytes written (excluding header), or -2 on error.
+int64_t wiw_write_frame(int fd, const char **segs, const int64_t *lens,
+                        int32_t k) {
+  int64_t total = 0;
+  for (int32_t i = 0; i < k; ++i) total += lens[i];
+  unsigned char header[4] = {
+      static_cast<unsigned char>((total >> 24) & 0xff),
+      static_cast<unsigned char>((total >> 16) & 0xff),
+      static_cast<unsigned char>((total >> 8) & 0xff),
+      static_cast<unsigned char>(total & 0xff)};
+  if (wiw_write_exact(fd, reinterpret_cast<char *>(header), 4) < 0) return -2;
+
+  // writev in batches of up to 64 iovecs, resuming partial writes
+  int32_t idx = 0;
+  int64_t seg_off = 0;
+  while (idx < k) {
+    iovec iov[64];
+    int32_t cnt = 0;
+    int64_t batch = 0;
+    for (int32_t i = idx; i < k && cnt < 64; ++i, ++cnt) {
+      int64_t off = (i == idx) ? seg_off : 0;
+      iov[cnt].iov_base = const_cast<char *>(segs[i] + off);
+      iov[cnt].iov_len = static_cast<size_t>(lens[i] - off);
+      batch += lens[i] - off;
+    }
+    ssize_t w = writev(fd, iov, cnt);
+    if (w < 0) {
+      if (errno == EINTR) continue;
+      return -2;
+    }
+    // advance (idx, seg_off) past w written bytes
+    int64_t remaining = w;
+    while (remaining > 0 && idx < k) {
+      int64_t avail = lens[idx] - seg_off;
+      if (remaining >= avail) {
+        remaining -= avail;
+        ++idx;
+        seg_off = 0;
+      } else {
+        seg_off += remaining;
+        remaining = 0;
+      }
+    }
+  }
+  return total;
+}
+
+// Read a frame header; returns payload length or -1/-2 like read_exact.
+int64_t wiw_read_frame_len(int fd) {
+  unsigned char header[4];
+  int64_t r = wiw_read_exact(fd, reinterpret_cast<char *>(header), 4);
+  if (r < 0) return r;
+  return (static_cast<int64_t>(header[0]) << 24) |
+         (static_cast<int64_t>(header[1]) << 16) |
+         (static_cast<int64_t>(header[2]) << 8) |
+         static_cast<int64_t>(header[3]);
+}
+
+}  // extern "C"
