@@ -41,11 +41,18 @@ def build(height, width, frames, steps):
     atids = jnp.tile(jnp.array([[6.0, 127.0, 0.02]]), (2 * B, 1))
     action_ids = jnp.zeros((2 * B, frames, frames))
 
-    params = model.init(
+    # single jitted init: one XLA program on-device instead of thousands of
+    # per-op dispatches through the TPU tunnel
+    def init_fn(key, s, t, c, a, ai):
+        p = model.init(key, s, t, c, a, ai)["params"]
+        return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+
+    params = jax.jit(init_fn)(
         jax.random.PRNGKey(0), sample[:2], timestep[:2], context[:2],
         atids[:2], action_ids[:2],
-    )["params"]
-    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    )
+    jax.block_until_ready(params)
+    print("params initialized", file=sys.stderr)
 
     sigmas = S.karras_sigmas(steps)
     guidance = S.guidance_scales(frames)[None, :, None, None, None]

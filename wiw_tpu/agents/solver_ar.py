@@ -1,0 +1,191 @@
+"""Active Recognition solver (MP3D).
+
+Behavioral parity (no code copied) with downstream/solver_AR.py:44-831:
+  * answerer VLM classifies the target among the dataset's object set with
+    a probability; recognition stops at `recog_thres=0.95` or max 10
+    actions (solver_AR.py:800-815)
+  * with probability `tts_ratio`, a WM look-ahead runs first: planner-N
+    proposes `query_num=2` 4-action sequences, the WM imagines 14 frames
+    per candidate, the GT 3D bbox is projected into each imagined pano
+    (rotated per candidate prefix) and the crops join the VLM context
+    (forward_with_WM, solver_AR.py:526-600)
+  * then one step executes: planner picks a single action, the agent moves
+    (solver_AR.py:374-442)
+  * metrics: accuracy + mean trajectory length (solver_AR.py:239-272)
+
+The SAM2 mask-propagation stage is optional: when a sam2 client is given,
+imagined clips are sent for bbox propagation over the generated video
+(generate_bbox_for_preds, solver_base.py:215-239); otherwise the projected
+bbox crops are used directly.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional
+
+import numpy as np
+
+from wiw_tpu.agents.saver import log_metric
+from wiw_tpu.agents.solver import (
+    ACTION_TEXT,
+    Solver,
+    SolverConfig,
+    text_to_action_name,
+)
+from wiw_tpu.agents.state import State
+from wiw_tpu.geo.projection import project_bbox_to_pano
+
+
+class ARSolver(Solver):
+    def __init__(self, config: SolverConfig, sim, vlm=None,
+                 object_set: Optional[List[str]] = None,
+                 recog_thres: float = 0.95, max_action_num: int = 10,
+                 tts_ratio: float = 1.0, query_num: int = 2,
+                 lookahead: int = 4, sam2_client=None,
+                 use_heuristic_policy: bool = True, seed: int = 0):
+        config.look_ahead_action_num = lookahead
+        config.query_num = query_num
+        config.task = "AR"
+        super().__init__(config, sim)
+        self.vlm = vlm
+        self.object_set = object_set or []
+        self.recog_thres = recog_thres
+        self.max_action_num = max_action_num
+        self.tts_ratio = tts_ratio
+        self.sam2_client = sam2_client
+        self.use_heuristic_policy = use_heuristic_policy
+        self.rng = random.Random(seed)
+
+    # ------------------------------------------------------------------
+    def recognize(self, st: State, extra_images: List[np.ndarray]) -> tuple:
+        """Classify the target category; returns (answer, prob)."""
+        if self.vlm is None:
+            return self.object_set[0] if self.object_set else "", 0.0
+        from wiw_tpu.agents.vlm import build_messages
+
+        parts = ["What is the target object? Options:"]
+        parts += [f"{chr(65+i)}. {o}" for i, o in enumerate(self.object_set)]
+        parts.append(self.sim.get_pano())
+        parts.extend(extra_images)
+        idx, prob = self.vlm.classify(
+            build_messages("You are an active recognition agent.", parts),
+            len(self.object_set),
+        )
+        return self.object_set[idx], prob
+
+    def propose_candidates(self, st: State) -> List[List[str]]:
+        past = list(st.action_traj)
+        if self.use_heuristic_policy or self.vlm is None:
+            seqs, _ = self.heur_sample_next_action_seqs(past, self.cfg.query_num)
+            return seqs
+        from wiw_tpu.agents.vlm import build_messages
+
+        space = list(ACTION_TEXT.values())[:3]
+        msgs = build_messages(
+            "Propose exploratory action sequences.", [self.sim.get_pano()]
+        )
+        return self.vlm.sample_action_seqs(
+            msgs, space, self.cfg.look_ahead_action_num, self.cfg.query_num
+        )
+
+    # ------------------------------------------------------------------
+    def bbox_crops_from_imagination(self, pred_frames: np.ndarray,
+                                    datum: dict,
+                                    init_turn_degrees: dict) -> List[np.ndarray]:
+        """Project the GT 3D bbox into imagined panos and crop
+        (prepare_gt_bbox_coord, solver_AR.py:713-788)."""
+        corners = datum.get("bbox_corners_world")
+        cam_to_world = datum.get("cam_to_world")
+        if corners is None or cam_to_world is None:
+            return []
+        crops = []
+        import jax.numpy as jnp
+
+        B, T = pred_frames.shape[:2]
+        H, W = pred_frames.shape[-2], pred_frames.shape[-1]
+        box = project_bbox_to_pano(
+            jnp.asarray(corners, jnp.float32),
+            jnp.asarray(cam_to_world, jnp.float32), W, H,
+        )
+        x0, x1 = int(box["x_min"]), int(box["x_max"])
+        y0, y1 = int(box["y_min"]), int(box["y_max"])
+        for b in range(B):
+            # rotate bbox x-coords by the candidate's initial turn
+            shift = int(round(W * init_turn_degrees.get(b, 0.0) / 360.0))
+            xa, xb = (x0 + shift) % W, (x1 + shift) % W
+            frame = np.transpose(pred_frames[b, -1], (1, 2, 0))
+            if xa < xb and y0 < y1:
+                crop = frame[max(y0, 0):min(y1, H), xa:xb]
+                if crop.size:
+                    crops.append(crop)
+        return crops
+
+    def propagate_masks(self, output_dict: dict, bbox: dict) -> Optional[dict]:
+        """Send imagined clips to the SAM2 server for mask propagation
+        (solver_base.py:215-239)."""
+        if self.sam2_client is None:
+            return None
+        return self.sam2_client.send_batch({
+            "bbox_coords": np.asarray(
+                [[bbox["x_min"], bbox["y_min"], bbox["x_max"], bbox["y_max"]]]
+            ),
+            "save_dirs": output_dict["save_dirs"],
+            "pred_frames": output_dict["pred_frames"],
+        })
+
+    def forward_with_WM(self, datum: dict, st: State, save_dir: str
+                        ) -> List[np.ndarray]:
+        candidates = self.propose_candidates(st)
+        init_deg, _, _ = self.get_action_info_from_prior(candidates)
+        out = self.imagine_by_model_type(candidates, save_dir)
+        crops = self.bbox_crops_from_imagination(
+            out["pred_frames"], datum, init_deg
+        )
+        st.add_to_recent_state(
+            out.get("save_dirs", []), key="pred_save_paths"
+        ) if st.rows else None
+        return crops
+
+    def pick_next_action(self, st: State) -> str:
+        if self.vlm is not None and not self.use_heuristic_policy:
+            from wiw_tpu.agents.vlm import build_messages
+
+            space = list(ACTION_TEXT.values())[:3]
+            seqs = self.vlm.sample_action_seqs(
+                build_messages("Pick the next action.", [self.sim.get_pano()]),
+                space, 1, 1,
+            )
+            return seqs[0][0]
+        act, _ = self.heur_sample_next_action(list(st.action_traj),
+                                              self.rng.randrange(1 << 30))
+        return act
+
+    # ------------------------------------------------------------------
+    def run_episode(self, datum: dict, save_dir: str) -> dict:
+        st = State()
+        st.add_new_state({"step": 0})
+        target = datum.get("target_category", "")
+        answer, prob = "", 0.0
+        steps = 0
+        while steps < self.max_action_num:
+            extra = []
+            if self.rng.random() < self.tts_ratio:
+                extra = self.forward_with_WM(datum, st, save_dir)
+            answer, prob = self.recognize(st, extra)
+            st.add_answer(answer, prob)
+            if prob >= self.recog_thres:
+                break
+            action_text = self.pick_next_action(st)
+            self.sim.step(text_to_action_name(action_text))
+            st.record_past_action(action_text)
+            steps += 1
+            st.add_new_state({"step": steps})
+        metrics = {
+            "is_correct": bool(answer == target),
+            "traj_len": steps,
+            "answer": answer,
+            "target": target,
+        }
+        log_metric(self.saver.get_metric_path(datum), metrics)
+        return metrics

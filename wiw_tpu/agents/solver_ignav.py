@@ -1,0 +1,167 @@
+"""Image-Goal Navigation solver.
+
+Behavioral parity (no code copied) with downstream/solver_IGNav.py:47-848:
+  * planner proposes `query_num=3` candidate 5-action sequences (heuristic
+    sampler or VLM planner-N, solver_IGNav.py:129-130)
+  * the WM imagines each candidate; the reward is 1 - LPIPS(goal image,
+    final imagined frame) per candidate, pick max
+    (`fetch_action_by_LPIPS`, solver_IGNav.py:546-596)
+  * execute max(len - 2, 1) prefix of the winning sequence
+    (solver_IGNav.py:530-543)
+  * an answerer VLM (or injected checker) decides stop; episode metrics are
+    success + SPL (evaluator.py:40-50)
+
+The perceptual reward is injectable: LPIPS when weights are available
+(wiw_tpu/eval/lpips.py), with a pixel-MSE fallback so the closed loop stays
+runnable without pretrained nets.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from wiw_tpu.agents.saver import log_metric
+from wiw_tpu.agents.solver import (
+    ACTION_TEXT,
+    Solver,
+    SolverConfig,
+    text_to_action_name,
+)
+from wiw_tpu.agents.state import State
+
+
+def mse_reward(goal: np.ndarray, frame: np.ndarray) -> float:
+    """Fallback perceptual reward: negative mean squared error in [0,1]."""
+    g = goal.astype(np.float32) / 255.0
+    f = frame.astype(np.float32) / 255.0
+    if g.shape != f.shape:
+        from PIL import Image
+
+        f = np.asarray(
+            Image.fromarray(frame).resize((g.shape[1], g.shape[0]))
+        ).astype(np.float32) / 255.0
+    return 1.0 - float(np.mean((g - f) ** 2))
+
+
+def lpips_reward_fn():
+    """1 - LPIPS(goal, frame) when weights exist, else None."""
+    from wiw_tpu.eval.lpips import default_lpips
+
+    fn = default_lpips()
+    if fn is None:
+        return None
+
+    import jax.numpy as jnp
+
+    def reward(goal: np.ndarray, frame: np.ndarray) -> float:
+        g = jnp.asarray(goal, jnp.float32)[None] / 255.0
+        f = jnp.asarray(frame, jnp.float32)[None] / 255.0
+        if g.shape != f.shape:
+            import jax
+
+            f = jax.image.resize(f, g.shape, "bilinear")
+        return 1.0 - float(fn(g, f)[0])
+
+    return reward
+
+
+class IGNavSolver(Solver):
+    def __init__(self, config: SolverConfig, sim, vlm=None,
+                 reward_fn: Optional[Callable] = None,
+                 success_checker: Optional[Callable] = None,
+                 max_action_num: int = 50,
+                 lookahead: int = 5, query_num: int = 3,
+                 use_heuristic_policy: bool = True):
+        config.look_ahead_action_num = lookahead
+        config.query_num = query_num
+        config.task = "IGNav"
+        super().__init__(config, sim)
+        self.vlm = vlm
+        self.reward_fn = reward_fn or lpips_reward_fn() or mse_reward
+        self.success_checker = success_checker
+        self.max_action_num = max_action_num
+        self.use_heuristic_policy = use_heuristic_policy
+
+    # ------------------------------------------------------------------
+    def propose_candidates(self, st: State) -> List[List[str]]:
+        past = [a for acts in st.action_traj for a in acts] \
+            if st.action_traj and isinstance(st.action_traj[0], list) \
+            else list(st.action_traj)
+        if self.use_heuristic_policy or self.vlm is None:
+            seqs, _ = self.heur_sample_next_action_seqs(past, self.cfg.query_num)
+            return seqs
+        from wiw_tpu.agents.vlm import build_messages
+
+        space = list(ACTION_TEXT.values())[:3]
+        msgs = build_messages(
+            "You are an embodied navigation planner.",
+            ["Propose action sequences to reach the goal image.",
+             self.sim.get_pano()],
+        )
+        return self.vlm.sample_action_seqs(
+            msgs, space, self.cfg.look_ahead_action_num, self.cfg.query_num
+        )
+
+    def pick_by_reward(self, goal_img: np.ndarray, pred_frames: np.ndarray,
+                       candidates: List[List[str]]) -> int:
+        """pred_frames: [B, T, C, H, W] uint8; reward on each candidate's
+        final frame (solver_IGNav.py:546-596)."""
+        rewards = []
+        for i in range(pred_frames.shape[0]):
+            final = np.transpose(pred_frames[i, -1], (1, 2, 0))  # HWC
+            rewards.append(self.reward_fn(goal_img, final))
+        return int(np.argmax(rewards))
+
+    def check_stop(self, st: State, goal_img: np.ndarray) -> bool:
+        if self.success_checker is not None:
+            return bool(self.success_checker(self.sim, goal_img))
+        if self.vlm is not None:
+            from wiw_tpu.agents.vlm import build_messages
+
+            msgs = build_messages(
+                "Decide whether the agent has reached the goal.",
+                ["Current view:", self.sim.get_pano(), "Goal:", goal_img,
+                 "Answer 'stop' if reached, 'continue' otherwise."],
+            )
+            idx, _ = self.vlm.classify(msgs, 2)
+            return idx == 0
+        return False
+
+    # ------------------------------------------------------------------
+    def run_episode(self, datum: dict, goal_img: np.ndarray,
+                    save_dir: str) -> dict:
+        st = State()
+        actions_taken = 0
+        success = False
+        st.update_position_traj(list(np.atleast_1d(
+            self.sim.get_agent_state()[0]
+        )))
+        while actions_taken < self.max_action_num:
+            if self.check_stop(st, goal_img):
+                success = True
+                break
+            candidates = self.propose_candidates(st)
+            out = self.imagine_by_model_type(candidates, save_dir)
+            best = self.pick_by_reward(goal_img, out["pred_frames"], candidates)
+            seq = candidates[best]
+            executed = seq[: max(len(seq) - 2, 1)]
+            for action_text in executed:
+                self.sim.step(text_to_action_name(action_text))
+                actions_taken += 1
+            st.record_past_action(executed)
+            st.add_new_state({"step": actions_taken})
+            st.update_position_traj(list(np.atleast_1d(
+                self.sim.get_agent_state()[0]
+            )))
+
+        shortest = float(datum.get("shortest_path", st.path_length() or 1.0))
+        metrics = {
+            "success": success,
+            "shortest_path": shortest,
+            "actual_path": st.path_length(),
+            "traj_len": actions_taken,
+        }
+        log_metric(self.saver.get_metric_path(datum), metrics)
+        return metrics

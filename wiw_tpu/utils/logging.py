@@ -1,0 +1,49 @@
+"""Process logging: tee stdout/stderr/warnings to per-process log files.
+
+Behavioral parity (no code copied) with downstream/utils/logger.py:20-70:
+every long-running process (manager, workers, solvers) calls
+`setup_logger(exp_id, role)` and gets its streams mirrored to
+<log_root>/<exp_id>/<role>_<pid>.log while still printing to the console.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+import warnings
+
+
+class _Tee:
+    def __init__(self, stream, logfile):
+        self.stream = stream
+        self.logfile = logfile
+
+    def write(self, data):
+        self.stream.write(data)
+        self.logfile.write(data)
+        self.logfile.flush()
+
+    def flush(self):
+        self.stream.flush()
+        self.logfile.flush()
+
+    def fileno(self):
+        return self.stream.fileno()
+
+    def isatty(self):
+        return getattr(self.stream, "isatty", lambda: False)()
+
+
+def setup_logger(exp_id: str, role: str, log_root: str = "logs") -> str:
+    """Tee stdout/stderr (and warnings) into a per-process file; returns
+    the log path."""
+    os.makedirs(os.path.join(log_root, exp_id), exist_ok=True)
+    stamp = datetime.datetime.now().strftime("%m%d_%H%M%S")
+    path = os.path.join(log_root, exp_id, f"{role}_{os.getpid()}_{stamp}.log")
+    f = open(path, "a", buffering=1)
+    sys.stdout = _Tee(sys.__stdout__, f)
+    sys.stderr = _Tee(sys.__stderr__, f)
+    warnings.simplefilter("default")
+    print(f"[logger] {role} pid={os.getpid()} -> {path}")
+    return path

@@ -1,0 +1,195 @@
+"""The action-conditioned SVD world-model worker (reference: `igenex` /
+`igenex_manip`, FTsvd/eval_inference.py:85-351).
+
+Implements `input_dict -> output_dict` for the WM serving contract:
+  in : {b_action [B,F] or [B,F,8], save_dirs, request_model_name,
+        b_image? [B,C,H,W] uint8, return_objects?}
+  out: {save_dirs, pred_frames? uint8 [B,T,C,H,W]}
+
+Runs either in-process behind the manager's continuous micro-batching
+executor (the TPU-native deployment: weights resident in HBM, one compiled
+generation fn per resolution bucket) or as a subprocess via
+`worker_main` for protocol parity with the reference launcher.
+
+Conditioning frames come from `b_image` or `<save_dir>/cond_rgb.png`
+(api_models/__init__.py:185-224); outputs are resized to
+(out_width, out_height) and written to save_dirs unless return_objects.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+class SVDActionWorker:
+    def __init__(
+        self,
+        unet_path: str = "",
+        svd_path: str = "",
+        task_type: str = "navigation",
+        action_strategy: str = "micro_cond",
+        action_input_channel: int = 14,
+        width: int = 1024,
+        height: int = 576,
+        num_frames: int = 14,
+        num_inference_steps: int = 30,
+        out_width: int = 480,
+        out_height: int = 480,
+        dtype: str = "bfloat16",
+        seed: int = 0,
+    ):
+        import jax
+
+        from wiw_tpu.models.unet import UNetConfig
+        from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+
+        self.task_type = task_type
+        self.out_size = (out_width, out_height)
+        self.gen = GenerationConfig(
+            height=height, width=width, num_frames=num_frames,
+            num_inference_steps=num_inference_steps, task_type=task_type,
+        )
+        unet_cfg = UNetConfig(
+            num_frames=num_frames,
+            action_strategy=action_strategy,
+            action_input_channel=action_input_channel,
+            dtype=dtype,
+        )
+        self.pipe = SVDPipeline(unet_cfg)
+        self._key = jax.random.PRNGKey(seed)
+        if unet_path:
+            self._load_weights(unet_path, svd_path)
+        else:
+            print("[svd_action] no unet_path: random-init weights (debug)")
+            self.pipe.init_params(jax.random.PRNGKey(0), self.gen)
+
+    def _load_weights(self, unet_path: str, svd_path: str):
+        """Converted diffusers checkpoints: unet from the fine-tuned dir,
+        vae/image_encoder from the SVD base dir."""
+        from wiw_tpu.models import convert as C
+
+        params = {}
+        params["unet"] = C.load_unet(osp.join(unet_path, "unet")
+                                     if osp.isdir(osp.join(unet_path, "unet"))
+                                     else unet_path)
+        params["vae"] = C.convert_state_dict(
+            C.load_safetensors_dir(osp.join(svd_path, "vae"))
+        )
+        params["clip"] = C.convert_state_dict(
+            C.load_safetensors_dir(osp.join(svd_path, "image_encoder"))
+        )
+        self.pipe.params = params
+
+    # ------------------------------------------------------------------
+    def _load_cond_images(self, input_dict: dict) -> np.ndarray:
+        """[B, H, W, 3] float in [-1, 1] from b_image or cond_rgb.png."""
+        if "b_image" in input_dict and input_dict["b_image"] is not None:
+            imgs = np.asarray(input_dict["b_image"])
+            if imgs.ndim == 4 and imgs.shape[1] in (3, 4):  # BCHW -> BHWC
+                imgs = np.transpose(imgs[:, :3], (0, 2, 3, 1))
+        else:
+            from wiw_tpu.agents.saver import load_image
+
+            imgs = np.stack([
+                load_image(osp.join(d, "cond_rgb.png"))
+                for d in input_dict["save_dirs"]
+            ])
+        from PIL import Image
+
+        H, W = self.gen.height, self.gen.width
+        resized = np.stack([
+            np.asarray(Image.fromarray(im.astype(np.uint8)).resize((W, H)))
+            for im in imgs
+        ])
+        return resized.astype(np.float32) / 127.5 - 1.0
+
+    def __call__(self, input_dict: dict) -> dict:
+        import jax
+        import jax.numpy as jnp
+
+        from wiw_tpu.sampling.pipeline import to_uint8
+
+        actions = np.asarray(input_dict["b_action"])
+        save_dirs = list(input_dict["save_dirs"])
+        return_objects = input_dict.get("return_objects")
+        images = self._load_cond_images(input_dict)
+
+        self._key, sub = jax.random.split(self._key)
+        video = self.pipe.generate(
+            sub, jnp.asarray(images), self.gen,
+            actions=jnp.asarray(actions),
+        )
+        frames = to_uint8(video)  # [B, F, H, W, 3]
+
+        # resize to the serving output resolution (workers_cfg.py:14-16)
+        from PIL import Image
+
+        ow, oh = self.out_size
+        B, F = frames.shape[:2]
+        out = np.empty((B, F, oh, ow, 3), np.uint8)
+        for b in range(B):
+            for f in range(F):
+                out[b, f] = np.asarray(
+                    Image.fromarray(frames[b, f]).resize((ow, oh))
+                )
+        result = {"save_dirs": save_dirs}
+        if return_objects and any(return_objects):
+            result["pred_frames"] = np.transpose(out, (0, 1, 4, 2, 3))  # BTCHW
+        else:
+            from wiw_tpu.agents.saver import save_video
+
+            for b, d in enumerate(save_dirs):
+                save_video(osp.join(d, "pred.mp4"), out[b])
+        return result
+
+
+def main(argv: Optional[list] = None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unet_path", default="")
+    ap.add_argument("--svd_path", default="")
+    ap.add_argument("--task_type", default="navigation")
+    ap.add_argument("--action_strategy", default="micro_cond")
+    ap.add_argument("--action_input_channel", type=int, default=14)
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--num_frames", type=int, default=14)
+    ap.add_argument("--num_inference_steps", type=int, default=30)
+    ap.add_argument("--out_width", type=int, default=480)
+    ap.add_argument("--out_height", type=int, default=480)
+    ap.add_argument("--debug", action="store_true")
+    args, _unknown = ap.parse_known_args(argv)
+
+    worker = SVDActionWorker(
+        unet_path=args.unet_path, svd_path=args.svd_path,
+        task_type=args.task_type, action_strategy=args.action_strategy,
+        action_input_channel=args.action_input_channel,
+        width=args.width, height=args.height, num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps,
+        out_width=args.out_width, out_height=args.out_height,
+    )
+    if args.debug:
+        # smoke test without the manager (reference --debug path,
+        # svd_model.py:87-123)
+        b = 1
+        out = worker({
+            "b_action": np.full((b, args.num_frames), 1, np.int64),
+            "b_image": np.zeros((b, 3, 64, 64), np.uint8),
+            "save_dirs": ["/tmp/wiw_debug"],
+            "request_model_name": "igenex",
+            "return_objects": [True],
+        })
+        print("debug pred_frames:", out["pred_frames"].shape)
+        return
+    from wiw_tpu.serve.worker import main_from_argv
+
+    main_from_argv(worker)
+
+
+if __name__ == "__main__":
+    main()
