@@ -1,0 +1,141 @@
+"""Trajectory-collection pipeline + config system tests."""
+
+import json
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from wiw_tpu.data import collect as C
+from wiw_tpu.data import dataset_utils as du
+from wiw_tpu.utils import config as CFG
+
+
+class GridEnv:
+    """2-D grid world NavEnv fake: positions on integer grid, unit moves."""
+
+    def __init__(self, size=6, seed=0):
+        self.size = size
+        self.rng = np.random.default_rng(seed)
+        self.pos = np.zeros(3)
+        self.heading = 0.0
+
+    def sample_navigable_point(self):
+        return np.array([self.rng.integers(0, self.size),
+                         0.0, self.rng.integers(0, self.size)], float)
+
+    def geodesic_distance(self, a, b):
+        return float(abs(a[0] - b[0]) + abs(a[2] - b[2]))  # manhattan
+
+    def shortest_path_actions(self, start, goal):
+        acts = []
+        dx = int(round(goal[0] - start[0]))
+        dz = int(round(goal[2] - start[2]))
+        acts += ["move_forward"] * abs(dx)
+        if dz:
+            acts += ["turn_left"] + ["move_forward"] * abs(dz)
+        return acts or ["move_forward"]
+
+    def step(self, action):
+        if action == "move_forward":
+            self.pos[0] += 1
+        elif action == "turn_left":
+            self.heading += 90
+        return self.observe()
+
+    def observe(self):
+        img = np.full((8, 16, 3), int(self.pos[0]) * 10 % 255, np.uint8)
+        return {"rgb": img, "depth": np.ones((8, 16), np.float32)}
+
+    def agent_pose(self):
+        return {"position": self.pos.copy(), "camera": [0, 0, 0, 1]}
+
+    def reset_to(self, p):
+        self.pos = np.asarray(p, float).copy()
+
+
+class TestTrajectorySynthesis:
+    def test_leaf_candidates_prefers_periphery(self):
+        # 3 colinear points: endpoints are leafier than the middle
+        d = np.array([[0, 1, 2], [1, 0, 1], [2, 1, 0]], float)
+        ranked = [i for i, _ in C.find_leaf_candidates(d)]
+        assert ranked[-1] == 1  # middle point scored lowest
+
+    def test_select_leaves_radius_filter(self):
+        d = np.array([[0, 0.5, 5], [0.5, 0, 5], [5, 5, 0]], float)
+        chosen = C.select_leaves(d, num_leaves=2, min_radius=2.0)
+        assert len(chosen) == 2
+        assert d[chosen[0], chosen[1]] >= 2.0
+
+    def test_order_waypoints_middle_neighbor(self):
+        pts = [np.array([i, 0, 0], float) for i in range(4)]
+        d = np.abs(np.subtract.outer(range(4), range(4))).astype(float)
+        order = C.order_waypoints(pts, d, start=0, dist_thr=2.0)
+        assert order[0] == 0 and sorted(order) == [0, 1, 2, 3]
+        assert order[1] == 2  # distance 2 == dist_thr is the best neighbor
+
+    def test_sample_points_min_separation(self):
+        env = GridEnv()
+        pts = C.sample_nav_points(env, 5, min_sep=1.0)
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                assert np.linalg.norm(pts[i] - pts[j]) >= 1.0
+
+
+class TestCollection:
+    def test_collect_scene_produces_trainable_layout(self, tmp_path):
+        env = GridEnv()
+        coll = C.TrajectoryCollector(env, str(tmp_path), "sceneX",
+                                     num_save_threads=2)
+        coll.collect_scene(num_points=5, num_trajs=1)
+        metas = du.glob_all_imgleaf_folders(str(tmp_path))
+        assert metas, "no metadata written"
+        folder = osp.dirname(metas[0])
+        frames = du.get_sorted_frame_paths(folder)
+        assert frames
+        with open(metas[0]) as f:
+            meta = json.load(f)
+        steps = next(iter(meta["steps"].values()))
+        assert all("action" in v and "coord" in v for v in steps.values())
+        # actions parse into valid ids
+        way = folder.split("-")[-1]
+        ids = du.get_actions("sceneX", "0", way, folder,
+                             [int(f.split("-")[1].split("_")[0]) for f in frames[:2]])
+        assert all(i in (1, 2, 3, 4) for i in ids)
+
+    def test_near_black_ratio(self):
+        img = np.zeros((4, 4, 3), np.uint8)
+        img[0, 0] = 200
+        assert abs(C.near_black_ratio(img) - 15 / 16) < 1e-6
+
+
+class TestConfig:
+    def test_registry_modes(self):
+        assert CFG.WM_REGISTRY["igenex"]["mode"] == "action"
+        assert CFG.WM_REGISTRY["se3ds"]["mode"] == "camera"
+        assert CFG.WM_REGISTRY["GTsim"]["mode"] == "GTsim"
+
+    def test_parse_extra_cli(self):
+        out = CFG.parse_extra_cli(["--a=1", "--b", "2", "--flag"])
+        assert out == {"a": "1", "b": "2", "flag": "true"}
+
+    def test_load_deployment_with_overrides(self, tmp_path):
+        cfg_path = tmp_path / "dep.json"
+        cfg_path.write_text(json.dumps({
+            "servers": {"wm": {"port": 7000,
+                               "worker": {"wm_type": "igenex",
+                                          "out_width": 480}}},
+            "solver": {"task": "AR", "wm_type": "igenex"},
+        }))
+        cfg = CFG.load_deployment(str(cfg_path))
+        assert cfg.servers["wm"].worker.out_width == 480
+        cfg2 = CFG.load_deployment(
+            str(cfg_path), overrides={"solver.worker_num": "4"}
+        )
+        assert cfg2.solver.worker_num == 4
+
+    def test_world_model_type_resolution(self):
+        s = CFG.SolverRunConfig(wm_type="se3ds")
+        assert s.resolved_world_model_type() == "camera"
+        s2 = CFG.SolverRunConfig(wm_type="igenex", world_model_type="GTsim")
+        assert s2.resolved_world_model_type() == "GTsim"

@@ -1,0 +1,117 @@
+"""Detection worker tests: mask filtering, template tracking, grounding
+fallback, end-to-end sam2 server contract."""
+
+import numpy as np
+
+from wiw_tpu.workers.detection_utils import (
+    draw_bbox,
+    filter_detections,
+    mask_containment,
+    mask_iou,
+    mask_to_bbox,
+)
+from wiw_tpu.workers.grounding_worker import GroundingWorker
+from wiw_tpu.workers.sam2_worker import SAM2Worker, TemplateTracker
+
+
+class TestMaskUtils:
+    def test_iou_and_containment(self):
+        a = np.zeros((10, 10)); a[2:6, 2:6] = 1
+        b = np.zeros((10, 10)); b[4:8, 4:8] = 1
+        assert abs(mask_iou(a, a) - 1.0) < 1e-9
+        assert 0 < mask_iou(a, b) < 1
+        inner = np.zeros((10, 10)); inner[3:5, 3:5] = 1
+        assert mask_containment(inner, a) == 1.0
+
+    def test_filter_keeps_higher_score(self):
+        m = np.zeros((10, 10)); m[2:8, 2:8] = 1
+        dets = [
+            {"label": "a", "score": 0.9, "mask": m},
+            {"label": "b", "score": 0.5, "mask": m.copy()},
+        ]
+        kept = filter_detections(dets)
+        assert len(kept) == 1 and kept[0]["label"] == "a"
+
+    def test_mask_to_bbox(self):
+        m = np.zeros((10, 10)); m[3:6, 2:9] = 1
+        bb = mask_to_bbox(m)
+        assert (bb["x_min"], bb["x_max"], bb["y_min"], bb["y_max"]) == (2, 8, 3, 5)
+
+    def test_draw_bbox_wraps(self):
+        img = np.zeros((10, 20, 3), np.uint8)
+        out = draw_bbox(img, {"x_min": 17, "x_max": 3, "y_min": 2, "y_max": 7})
+        assert out[2, 18].tolist() == [255, 0, 0]
+        assert out[2, 1].tolist() == [255, 0, 0]
+
+
+class TestTemplateTracker:
+    def test_tracks_moving_square(self):
+        T, H, W = 5, 48, 64
+        frames = np.zeros((T, H, W, 3), np.uint8)
+        for t in range(T):
+            x = 10 + 3 * t
+            frames[t, 20:30, x:x + 10] = 255
+        tracker = TemplateTracker(search_radius=8)
+        masks, boxes = tracker.track(frames, np.array([10, 20, 20, 30]))
+        assert masks.shape == (T, H, W)
+        for t in range(T):
+            x_expected = 10 + 3 * t
+            assert abs(int(boxes[t, 0]) - x_expected) <= 2, (t, boxes[t])
+
+    def test_degenerate_bbox(self):
+        frames = np.zeros((3, 16, 16, 3), np.uint8)
+        masks, boxes = TemplateTracker().track(frames, np.array([5, 5, 5, 5]))
+        assert masks.sum() == 0
+
+
+class TestSAM2WorkerContract:
+    def test_contract_shapes(self, tmp_path):
+        worker = SAM2Worker(save_visualizations=False)
+        B, T, H, W = 2, 4, 32, 32
+        frames = np.zeros((B, T, 3, H, W), np.uint8)
+        frames[:, :, :, 10:20, 10:20] = 200
+        out = worker({
+            "bbox_coords": np.array([[10, 10, 20, 20], [10, 10, 20, 20]]),
+            "save_dirs": [str(tmp_path / "a"), str(tmp_path / "b")],
+            "pred_frames": frames,
+        })
+        assert out["masks"].shape == (B, T, H, W)
+        assert out["bboxes"].shape == (B, T, 4)
+        assert out["masks"].dtype == np.uint8
+
+    def test_behind_manager(self, tmp_path):
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer, WMClient
+
+        worker = SAM2Worker(save_visualizations=False)
+        server = ManagerServer(
+            [InProcessExecutor(worker)], port=17610, server_type="sam2",
+        )
+        port = server.start()
+        try:
+            client = WMClient(port=port, server_type="sam2")
+            frames = np.zeros((1, 3, 3, 24, 24), np.uint8)
+            frames[:, :, :, 5:12, 5:12] = 255
+            out = client.send_batch({
+                "bbox_coords": np.array([[5, 5, 12, 12]]),
+                "save_dirs": [str(tmp_path)],
+                "pred_frames": frames,
+            })
+            assert out["masks"].shape == (1, 3, 24, 24)
+            client.close()
+        finally:
+            server.stop()
+
+
+class TestGrounding:
+    def test_blob_fallback_detects_colored_region(self, tmp_path):
+        from wiw_tpu.agents.saver import save_image
+
+        img = np.full((32, 32, 3), 128, np.uint8)
+        img[8:20, 8:20] = [255, 0, 0]  # saturated red blob
+        save_image(str(tmp_path / "frame0.png"), img)
+        worker = GroundingWorker()
+        out = worker({"save_dirs": [str(tmp_path)]})
+        dets = out["detections"][0]
+        assert dets, "no detections"
+        bb = dets[0]["bbox"]
+        assert 6 <= bb["x_min"] <= 10 and 18 <= bb["x_max"] <= 21

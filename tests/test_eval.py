@@ -1,0 +1,100 @@
+"""Eval metric tests: PSNR/SSIM analytic cases, Frechet distance exactness,
+I3D/LPIPS architecture shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiw_tpu.eval import metrics as M
+
+
+class TestPSNR:
+    def test_identical_videos_high_psnr(self):
+        v = jnp.zeros((1, 2, 8, 8, 3)) + 0.5
+        p = np.asarray(M.psnr(v, v))
+        assert p.shape == (1, 2)
+        assert (p > 100).all()
+
+    def test_known_mse(self):
+        v1 = jnp.zeros((1, 1, 4, 4, 3))
+        v2 = jnp.full((1, 1, 4, 4, 3), 0.1)
+        # mse = 0.01 -> psnr = 20*log10(1/0.1) = 20
+        np.testing.assert_allclose(np.asarray(M.psnr(v1, v2))[0, 0], 20.0, atol=1e-3)
+
+
+class TestSSIM:
+    def test_identical_is_one(self):
+        key = jax.random.PRNGKey(0)
+        v = jax.random.uniform(key, (1, 2, 16, 16, 3))
+        s = np.asarray(M.ssim(v, v))
+        np.testing.assert_allclose(s, 1.0, atol=1e-4)
+
+    def test_noise_lowers_ssim(self):
+        key = jax.random.PRNGKey(0)
+        v = jax.random.uniform(key, (1, 1, 32, 32, 1))
+        noisy = jnp.clip(v + 0.3 * jax.random.normal(jax.random.PRNGKey(1), v.shape), 0, 1)
+        s = float(np.asarray(M.ssim(v, noisy)).mean())
+        assert 0.0 < s < 0.9
+
+
+class TestFrechet:
+    def test_identical_distributions_zero(self):
+        rng = np.random.default_rng(0)
+        f = jnp.asarray(rng.normal(size=(500, 8)))
+        d = float(M.frechet_distance(f, f))
+        assert abs(d) < 1e-3
+
+    def test_mean_shift_exact(self):
+        # same covariance, mean shift mu -> FD = ||mu||^2
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(4000, 4))
+        shift = np.array([1.0, 0, 0, 0])
+        d = float(M.frechet_distance(jnp.asarray(a), jnp.asarray(a + shift)))
+        np.testing.assert_allclose(d, 1.0, atol=0.05)
+
+    def test_variance_difference(self):
+        # 1-D gaussians: FD = (s1 - s2)^2 for zero means
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(20000, 1)) * 1.0
+        b = rng.normal(size=(20000, 1)) * 2.0
+        d = float(M.frechet_distance(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(d, 1.0, atol=0.1)
+
+
+class TestHarness:
+    def test_evaluate_video_metrics_dict(self):
+        key = jax.random.PRNGKey(0)
+        v1 = jax.random.uniform(key, (2, 3, 16, 16, 3))
+        v2 = jnp.clip(v1 + 0.05, 0, 1)
+        out = M.evaluate_video_metrics(v1, v2, metrics=("psnr", "ssim"))
+        assert set(out) == {"psnr", "ssim"}
+        assert out["psnr"] > 20 and 0.5 < out["ssim"] <= 1.0
+
+
+class TestLPIPSArch:
+    def test_random_params_forward(self):
+        from wiw_tpu.eval.lpips import LPIPS
+
+        model = LPIPS()
+        a = jnp.zeros((2, 64, 64, 3))
+        b = jnp.ones((2, 64, 64, 3)) * 0.5
+        params = model.init(jax.random.PRNGKey(0), a, b)["params"]
+        d_same = model.apply({"params": params}, a, a)
+        d_diff = model.apply({"params": params}, a, b)
+        assert d_same.shape == (2,)
+        np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-5)
+        assert (np.asarray(d_diff) > 0).all()
+
+
+@pytest.mark.slow
+class TestI3DArch:
+    def test_feature_shapes(self):
+        from wiw_tpu.eval.fvd import InceptionI3d
+
+        model = InceptionI3d()
+        v = jnp.zeros((1, 10, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), v)
+        pooled, logits = model.apply(variables, v)
+        assert pooled.shape == (1, 1024)
+        assert logits.shape == (1, 400)

@@ -60,7 +60,8 @@ def dot_product_attention(
             _is_tpu()
             and q.shape[2] >= _PALLAS_MIN_SEQ
             and k.shape[2] >= _PALLAS_MIN_SEQ
-            and q.shape[-1] % 128 == 0  # flash kernel wants lane-aligned head dim
+            and q.shape[2] % 128 == 0
+            and k.shape[2] % 128 == 0
         )
     if use_pallas:
         flash = _flash_attention_fn()

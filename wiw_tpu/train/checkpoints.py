@@ -1,0 +1,84 @@
+"""Checkpoint save/restore with keep-limit pruning and resume.
+
+Behavioral parity (no code copied) with the reference's Accelerate
+checkpointing (train_svd.py:986-1062, :790-822):
+  * save every `checkpointing_steps` under <dir>/checkpoint-<step>
+  * prune to `checkpoints_total_limit` oldest-first
+  * resume from 'latest' or an explicit path, with explicit LR re-override
+    handled by the trainer (optax schedules are pure functions of step)
+
+Uses Orbax; the saved tree is the full TrainState pytree (params,
+opt_state, ema, step), sharded arrays restored to their mesh placement.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import re
+from typing import Any, Optional
+
+import jax
+
+
+def _ckpt_steps(root: str):
+    if not osp.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+class CheckpointManager:
+    def __init__(self, root: str, total_limit: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        self.root = osp.abspath(root)
+        self.total_limit = total_limit
+        os.makedirs(self.root, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, step: int, state: Any) -> str:
+        path = osp.join(self.root, f"checkpoint-{step}")
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        self._prune()
+        return path
+
+    def _prune(self):
+        if self.total_limit is None:
+            return
+        steps = _ckpt_steps(self.root)
+        while len(steps) > self.total_limit:
+            victim = steps.pop(0)
+            import shutil
+
+            shutil.rmtree(osp.join(self.root, f"checkpoint-{victim}"),
+                          ignore_errors=True)
+
+    def latest_step(self) -> Optional[int]:
+        steps = _ckpt_steps(self.root)
+        return steps[-1] if steps else None
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        """Restore into the structure/shardings of `state_like`.
+
+        step=None restores the latest ('latest' semantics,
+        train_svd.py:793-808)."""
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {self.root}")
+        path = osp.join(self.root, f"checkpoint-{step}")
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                getattr(x, "shape", ()), getattr(x, "dtype", None),
+                sharding=getattr(x, "sharding", None),
+            )
+            if hasattr(x, "shape") else x,
+            state_like,
+        )
+        return self._ckptr.restore(path, abstract)

