@@ -1,0 +1,81 @@
+"""Post-processing + visualization tests."""
+
+import numpy as np
+
+from wiw_tpu.agents import visualize as V
+from wiw_tpu.agents.postprocess import (
+    compute_horizontal_rotation,
+    generate_aligned_bbox_frames,
+    post_process_output_aeqa,
+    post_process_output_ignav,
+    roll_frames,
+)
+
+
+class TestAlignment:
+    def test_horizontal_rotation_centers_mask(self):
+        masks = np.zeros((2, 1, 16, 64), np.uint8)
+        masks[0, 0, 4:8, 10:14] = 1  # bbox center x=11.5 -> shift 20.5
+        # mask 1 empty -> NaN
+        angles, shifts = compute_horizontal_rotation(masks)
+        assert shifts[0] == 32 - 11.5
+        np.testing.assert_allclose(angles[0], shifts[0] / 64 * 360)
+        assert np.isnan(shifts[1])
+
+    def test_roll_frames(self):
+        frames = np.zeros((1, 4, 8, 3), np.uint8)
+        frames[0, :, 1] = 255
+        out = roll_frames(frames, np.array([2.0]))
+        assert (out[0, :, 3] == 255).all()
+
+    def test_aligned_frames_discard_after_nan(self):
+        rgbs = np.random.randint(0, 255, (3, 32, 64, 3), np.uint8)
+        masks = np.zeros((3, 1, 32, 64), np.uint8)
+        masks[0, 0, 10:16, 20:30] = 1
+        masks[1, 0, 10:16, 40:50] = 1
+        # frame 2 empty -> discarded
+        crops, boxes = generate_aligned_bbox_frames(
+            rgbs, masks, img_size=(16, 16)
+        )
+        assert crops is not None and crops.shape[0] <= 2
+        assert len(boxes) == crops.shape[0]
+        for bb in boxes:
+            # aligned: bbox roughly centered horizontally
+            cx = (bb["x_min"] + bb["x_max"]) / 2
+            assert abs(cx - 8) <= 4, bb
+
+    def test_all_empty_masks(self):
+        rgbs = np.zeros((2, 16, 32, 3), np.uint8)
+        masks = np.zeros((2, 1, 16, 32), np.uint8)
+        crops, boxes = generate_aligned_bbox_frames(rgbs, masks)
+        assert crops is None and boxes is None
+
+    def test_task_selectors(self):
+        frames = np.random.randint(0, 255, (2, 5, 3, 8, 8), np.uint8)
+        ig = post_process_output_ignav(frames)
+        assert len(ig) == 2 and ig[0].shape == (8, 8, 3)
+        np.testing.assert_array_equal(
+            ig[0], np.transpose(frames[0, -1], (1, 2, 0))
+        )
+        ae = post_process_output_aeqa(frames, frame_index=3)
+        np.testing.assert_array_equal(
+            ae[1], np.transpose(frames[1, 3], (1, 2, 0))
+        )
+
+
+class TestVisualize:
+    def test_montage_shapes(self):
+        obs = [np.zeros((16, 16, 3), np.uint8)] * 2
+        imag = [[np.zeros((8, 8, 3), np.uint8)] * 2, []]
+        m = V.episode_montage(obs, imag, captions=["step 0", "step 1"])
+        assert m.ndim == 3 and m.shape[2] == 3
+        assert m.shape[0] > 16 and m.shape[1] > 16
+
+    def test_overlay_and_text(self):
+        img = np.zeros((8, 8, 3), np.uint8)
+        mask = np.zeros((8, 8), bool)
+        mask[2:4, 2:4] = True
+        out = V.overlay_mask(img, mask)
+        assert out[3, 3, 1] > 0 and out[0, 0, 1] == 0
+        txt = V.annotate_text(img, "x")
+        assert txt.shape == img.shape

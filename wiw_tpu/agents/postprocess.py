@@ -1,0 +1,141 @@
+"""Post-processing of imagined panos: mask-centered alignment + perspective
+crops for the VLM context.
+
+Behavioral parity (no code copied) with downstream/utils/igenex_util.py:
+  * compute_horizontal_rotation (:473-519): per-mask pano yaw that centers
+    the object — shift = W/2 - bbox_center_x; angle = shift/W * 360;
+    empty mask -> NaN (frames after the first NaN are discarded)
+  * generate_aligned_bbox_frames (:665-721): roll each frame by its shift,
+    take the front perspective crop, draw the mask bbox
+  * post_process_output_{ar,aeqa,ignav}: task-specific selections of the
+    aligned crops / raw frames (:177-355)
+
+Warps go through wiw_tpu.geo (XLA) instead of equilib.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from wiw_tpu.workers.detection_utils import draw_bbox, mask_to_bbox
+
+
+def compute_horizontal_rotation(masks: np.ndarray, img_hfov: float = 360.0
+                                ) -> Tuple[np.ndarray, np.ndarray]:
+    """masks [B, 1, H, W] (or [B, C, H, W], first channel used) ->
+    (angles_deg [B], pixel_shifts [B]); NaN for empty masks."""
+    B = masks.shape[0]
+    W = masks.shape[-1]
+    angles = np.full(B, np.nan)
+    shifts = np.full(B, np.nan)
+    center = W / 2.0
+    for i in range(B):
+        xs = np.nonzero(masks[i, 0])[1]
+        if xs.size:
+            bbox_center = (xs.min() + xs.max()) / 2.0
+            shifts[i] = center - bbox_center
+            angles[i] = shifts[i] / W * img_hfov
+    return angles, shifts
+
+
+def roll_frames(frames: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    """Roll each [H, W, C] frame horizontally by its per-frame shift."""
+    out = np.empty_like(frames)
+    for i, s in enumerate(shifts):
+        out[i] = np.roll(frames[i], int(round(s)), axis=1)
+    return out
+
+
+def front_crop(pano: np.ndarray, hfov_deg: float = 90.0,
+               size: Tuple[int, int] = (384, 512)) -> np.ndarray:
+    """Front perspective view of a pano frame [H, W, C] via the XLA warp."""
+    import jax.numpy as jnp
+
+    from wiw_tpu.geo.equirect import equirect_to_perspective
+
+    h, w = size
+    view = equirect_to_perspective(
+        jnp.asarray(pano.astype(np.float32)), fov_deg=hfov_deg,
+        height=h, width=w,
+    )
+    return np.clip(np.asarray(view), 0, 255).astype(pano.dtype)
+
+
+def generate_aligned_bbox_frames(
+    rgb_frames: np.ndarray,
+    mask_frames: np.ndarray,
+    per_hfov: float = 90.0,
+    img_size: Tuple[int, int] = (384, 512),
+    with_bbox: bool = True,
+) -> Tuple[Optional[np.ndarray], Optional[List[dict]]]:
+    """rgb [N, H, W, C] panos + masks [N, 1, H, W] -> aligned front crops
+    [M, h, w, C] with bboxes drawn, and the crop-space bbox dicts.
+
+    Frames from the first empty mask onward are discarded
+    (igenex_util.py:683-695).
+    """
+    angles, shifts = compute_horizontal_rotation(mask_frames)
+    nan_idx = np.where(np.isnan(shifts))[0]
+    cut = nan_idx[0] if len(nan_idx) else len(shifts)
+    if cut == 0:
+        return None, None
+    rgbs = roll_frames(rgb_frames[:cut], shifts[:cut])
+    # normalize masks to 0/255 before warping (reference scales by 255,
+    # igenex_util.py:699)
+    mask_u8 = (np.transpose(mask_frames[:cut], (0, 2, 3, 1)) > 0).astype(
+        np.uint8
+    ) * 255
+    masks = roll_frames(mask_u8, shifts[:cut])
+    crops, bboxes = [], []
+    for i in range(cut):
+        crop = front_crop(rgbs[i], per_hfov, img_size)
+        mcrop = front_crop(masks[i].astype(np.uint8), per_hfov, img_size)
+        bb = mask_to_bbox(mcrop[..., 0] > 127)
+        if bb["x_max"] > bb["x_min"] and bb["y_max"] > bb["y_min"]:
+            if with_bbox:
+                crop = draw_bbox(crop, bb)
+            crops.append(crop)
+            bboxes.append(bb)
+    if not crops:
+        return None, None
+    return np.stack(crops), bboxes
+
+
+def mp4_to_frames(path: str) -> np.ndarray:
+    """Saved WM clip -> uint8 [T, H, W, C] (visualize.py:37 parity)."""
+    from wiw_tpu.agents.saver import load_video_frames
+
+    return load_video_frames(path)
+
+
+def post_process_output_ar(pred_frames: np.ndarray, masks: np.ndarray,
+                           per_hfov: float = 90.0,
+                           img_size: Tuple[int, int] = (384, 512)):
+    """AR: aligned bbox crops of each candidate's clip
+    (igenex_util.py:177-208). pred_frames [B,T,C,H,W], masks [B,T,H,W]."""
+    out = []
+    for b in range(pred_frames.shape[0]):
+        rgbs = np.transpose(pred_frames[b], (0, 2, 3, 1))
+        m = masks[b][:, None]
+        crops, boxes = generate_aligned_bbox_frames(
+            rgbs, m, per_hfov, img_size
+        )
+        out.append({"crops": crops, "bboxes": boxes})
+    return out
+
+
+def post_process_output_ignav(pred_frames: np.ndarray) -> List[np.ndarray]:
+    """IGNav: the raw final frames per candidate feed the LPIPS reward
+    (igenex_util.py ignav path)."""
+    return [np.transpose(pred_frames[b, -1], (1, 2, 0))
+            for b in range(pred_frames.shape[0])]
+
+
+def post_process_output_aeqa(pred_frames: np.ndarray,
+                             frame_index: int = -1) -> List[np.ndarray]:
+    """AEQA: one late frame per plan (frame 13 of 14,
+    solver_AEQA.py:1031-1071)."""
+    return [np.transpose(pred_frames[b, frame_index], (1, 2, 0))
+            for b in range(pred_frames.shape[0])]

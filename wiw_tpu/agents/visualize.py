@@ -1,0 +1,84 @@
+"""Visualization helpers: frame annotation + episode montages.
+
+Behavioral parity (no code copied) with downstream/utils/visualize.py:
+  * mp4 -> frame extraction (:37) — see postprocess.mp4_to_frames
+  * frame/text/mask annotators (:155-300)
+  * AR episode montage: per-step rows of (obs, imagined candidates,
+    answer) (:342 visualize_ar_baseline)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def annotate_text(img: np.ndarray, text: str,
+                  xy=(4, 4), color=(255, 255, 0)) -> np.ndarray:
+    from PIL import Image, ImageDraw
+
+    pil = Image.fromarray(np.asarray(img, np.uint8))
+    ImageDraw.Draw(pil).text(xy, text, fill=tuple(color))
+    return np.asarray(pil)
+
+
+def overlay_mask(img: np.ndarray, mask: np.ndarray,
+                 color=(0, 255, 0), alpha: float = 0.4) -> np.ndarray:
+    out = np.asarray(img, np.float32).copy()
+    on = np.asarray(mask, bool)
+    out[on] = (1 - alpha) * out[on] + alpha * np.asarray(color, np.float32)
+    return out.astype(np.uint8)
+
+
+def hstack_frames(frames: Sequence[np.ndarray], pad: int = 2,
+                  pad_value: int = 255) -> np.ndarray:
+    """Stack frames horizontally, padding heights to the max."""
+    H = max(f.shape[0] for f in frames)
+    padded = []
+    for f in frames:
+        f = np.asarray(f, np.uint8)
+        if f.shape[0] < H:
+            f = np.pad(f, ((0, H - f.shape[0]), (0, 0), (0, 0)),
+                       constant_values=pad_value)
+        padded.append(f)
+        padded.append(np.full((H, pad, f.shape[2]), pad_value, np.uint8))
+    return np.concatenate(padded[:-1], axis=1)
+
+
+def vstack_rows(rows: Sequence[np.ndarray], pad: int = 2,
+                pad_value: int = 255) -> np.ndarray:
+    W = max(r.shape[1] for r in rows)
+    padded = []
+    for r in rows:
+        if r.shape[1] < W:
+            r = np.pad(r, ((0, 0), (0, W - r.shape[1]), (0, 0)),
+                       constant_values=pad_value)
+        padded.append(r)
+        padded.append(np.full((pad, W, r.shape[2]), pad_value, np.uint8))
+    return np.concatenate(padded[:-1], axis=0)
+
+
+def episode_montage(
+    observations: Sequence[np.ndarray],
+    imaginations: Optional[Sequence[Sequence[np.ndarray]]] = None,
+    captions: Optional[Sequence[str]] = None,
+) -> np.ndarray:
+    """Per-step rows: [obs | imagined candidates...], captioned
+    (visualize_ar_baseline parity)."""
+    rows: List[np.ndarray] = []
+    for i, obs in enumerate(observations):
+        cells = [np.asarray(obs, np.uint8)]
+        if imaginations is not None and i < len(imaginations):
+            cells.extend(np.asarray(c, np.uint8) for c in imaginations[i])
+        row = hstack_frames(cells)
+        if captions is not None and i < len(captions):
+            row = annotate_text(row, captions[i])
+        rows.append(row)
+    return vstack_rows(rows)
+
+
+def save_montage(path: str, montage: np.ndarray) -> None:
+    from wiw_tpu.agents.saver import save_image
+
+    save_image(path, montage)
