@@ -1,0 +1,97 @@
+"""Manipulation stack tests: interpolation, plan construction, closed-loop
+episodes with fake env (+ WM-ranked variant against a fake WM server)."""
+
+import numpy as np
+import pytest
+
+from wiw_tpu.manip.env import MANIP_TASKS, FakeManipEnv
+from wiw_tpu.manip.evaluator import ManipEvaluator, aggregate_results
+from wiw_tpu.manip.planner import (
+    construct_action_seqs,
+    interpolate_7dof,
+    slerp,
+)
+
+
+class TestInterpolation:
+    def test_slerp_endpoints(self):
+        q0 = np.array([0, 0, 0, 1.0])
+        q1 = np.array([0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)])  # 90 deg z
+        np.testing.assert_allclose(slerp(q0, q1, 0.0), q0, atol=1e-6)
+        np.testing.assert_allclose(np.abs(slerp(q0, q1, 1.0)), np.abs(q1), atol=1e-6)
+        mid = slerp(q0, q1, 0.5)
+        assert abs(np.linalg.norm(mid) - 1.0) < 1e-6
+
+    def test_interpolate_7dof_linear_xyz(self):
+        start = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        end = np.array([1, 2, 3, 0, 0, 0, 1.0])
+        traj = interpolate_7dof(start, end, 5, include_end=True)
+        assert traj.shape == (5, 7)
+        np.testing.assert_allclose(traj[0, :3], [0, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(traj[-1, :3], [1, 2, 3], atol=1e-6)
+        np.testing.assert_allclose(traj[2, :3], [0.5, 1, 1.5], atol=1e-6)
+
+
+class TestConstructActionSeqs:
+    def test_budget_distribution_and_anchors(self):
+        init = [0, 0, 0, 0, 0, 0, 1, 0]
+        plan = [
+            [0, 0, 0.1, 0, 0, 0, 1, 0],
+            [0.1, 0, 0.1, 0, 0, 0, 1, 1],
+            [0.2, 0, 0.0, 0, 0, 0, 1, 1],
+        ]
+        seqs, anchors = construct_action_seqs(init, [plan], out_seq_len=14)
+        arr = np.asarray(seqs[0])
+        assert arr.shape == (14, 8)
+        # 14 over 3 sub-goals -> [4, 5, 5]; anchors cumulative, last = 13
+        assert anchors[0][-1] == 13
+        assert anchors[0] == [4, 9, 13]
+        # final pose hits the last keypose
+        np.testing.assert_allclose(arr[-1, :3], [0.2, 0, 0.0], atol=1e-5)
+        # gripper switches when commanded
+        assert arr[0, 7] == 0 and arr[-1, 7] == 1
+
+    def test_single_subgoal(self):
+        init = [0, 0, 0, 0, 0, 0, 1, 0]
+        plan = [[1, 0, 0, 0, 0, 0, 1, 1]]
+        seqs, anchors = construct_action_seqs(init, [plan], out_seq_len=6)
+        arr = np.asarray(seqs[0])
+        assert arr.shape == (6, 8)
+        assert anchors[0] == [5]
+        np.testing.assert_allclose(arr[-1, :3], [1, 0, 0], atol=1e-5)
+
+
+class TestClosedLoop:
+    def test_vlm_base_episode_succeeds(self, tmp_path):
+        env = FakeManipEnv(tol=0.2)
+        ev = ManipEvaluator(env, "vlm-base", out_dir=str(tmp_path))
+        r = ev.run_episode(MANIP_TASKS[0], 0, 0)
+        assert r["success"], r
+
+    def test_igenex_variant_with_fake_wm(self, tmp_path):
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer, WMClient
+
+        def fake_wm(input_dict):
+            acts = np.asarray(input_dict["b_action"])
+            b, t = acts.shape[:2]
+            return {"save_dirs": list(input_dict["save_dirs"]),
+                    "pred_frames": np.zeros((b, t, 3, 16, 16), np.uint8)}
+
+        server = ManagerServer([InProcessExecutor(fake_wm)], port=17710)
+        port = server.start()
+        try:
+            env = FakeManipEnv(tol=0.2)
+            client = WMClient(port=port)
+            ev = ManipEvaluator(env, "vlm-igenex", wm_client=client,
+                                out_dir=str(tmp_path))
+            r = ev.run_episode(MANIP_TASKS[1], 0, 0)
+            assert r["success"], r
+        finally:
+            server.stop()
+
+    def test_aggregate(self, tmp_path):
+        env = FakeManipEnv(tol=0.25)
+        ev = ManipEvaluator(env, "vlm-base", out_dir=str(tmp_path))
+        summary = ev.evaluate(tasks=MANIP_TASKS[:2], variations=1, episodes=2)
+        assert set(summary) >= {MANIP_TASKS[0], MANIP_TASKS[1], "overall"}
+        assert summary["overall"]["episodes"] == 4

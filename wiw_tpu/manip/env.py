@@ -1,0 +1,100 @@
+"""Manipulation environment surface + fake implementation.
+
+Behavioral parity (no code copied) with
+downstream/world-in-world-manip/wiw_manip/envs/: the RLBench/AMSolver
+wrapper exposes reset-to-task/variation, keypose stepping, and success
+checks over the benchmark tasks (envs/eb_man_utils.py:20-30 task list).
+`RLBenchManipEnv` adapts the real simulator when installed; `FakeManipEnv`
+is a deterministic kinematic world for tests and GTsim-style oracles.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Protocol
+
+import numpy as np
+
+MANIP_TASKS = [
+    "slide_block_to_color_target",
+    "insert_onto_square_peg",
+    "push_buttons",
+    "stack_cups",
+]
+DIFF_TASKS = MANIP_TASKS[:3]
+
+
+class ManipEnv(Protocol):
+    def reset(self, task: str, variation: int) -> dict: ...
+
+    def observe(self) -> dict: ...  # {"rgb", "pose" [8]}
+
+    def step_to_pose(self, pose: np.ndarray) -> dict: ...
+
+    def success(self) -> bool: ...
+
+    def instruction(self) -> str: ...
+
+
+class FakeManipEnv:
+    """Kinematic fake: the end-effector teleports to commanded poses; the
+    task succeeds when the gripper closes within `tol` of the target."""
+
+    def __init__(self, image_size: int = 64, tol: float = 0.05, seed: int = 0):
+        self.image_size = image_size
+        self.tol = tol
+        self.rng = np.random.default_rng(seed)
+        self.reset(MANIP_TASKS[0], 0)
+
+    def reset(self, task: str, variation: int) -> dict:
+        self.task = task
+        self.variation = variation
+        self.pose = np.array([0.2, 0.0, 1.0, 0, 0, 0, 1, 0], np.float32)
+        r = np.random.default_rng(hash((task, variation)) % (2**32))
+        self.target = np.array(
+            [r.uniform(-0.1, 0.5), r.uniform(-0.3, 0.3), r.uniform(0.8, 1.2)],
+            np.float32,
+        )
+        self._succeeded = False
+        return self.observe()
+
+    def observe(self) -> dict:
+        s = self.image_size
+        img = np.full((s, s, 3), 40, np.uint8)
+        # target blob position projected to image coords
+        tx = int((self.target[1] + 0.5) * (s - 8))
+        ty = int((1.3 - self.target[2]) * (s - 8) + 4)
+        img[np.clip(ty, 0, s - 4):np.clip(ty + 4, 0, s),
+            np.clip(tx, 0, s - 4):np.clip(tx + 4, 0, s)] = [200, 50, 50]
+        ex = int((self.pose[1] + 0.5) * (s - 8))
+        ey = int((1.3 - self.pose[2]) * (s - 8) + 4)
+        img[np.clip(ey, 0, s - 4):np.clip(ey + 4, 0, s),
+            np.clip(ex, 0, s - 4):np.clip(ex + 4, 0, s)] = [50, 200, 50]
+        return {"rgb": img, "pose": self.pose.copy()}
+
+    def step_to_pose(self, pose: np.ndarray) -> dict:
+        self.pose = np.asarray(pose, np.float32).copy()
+        if (self.pose[7] > 0.5
+                and np.linalg.norm(self.pose[:3] - self.target) < self.tol):
+            self._succeeded = True
+        return self.observe()
+
+    def success(self) -> bool:
+        return self._succeeded
+
+    def instruction(self) -> str:
+        return f"{self.task.replace('_', ' ')} (variation {self.variation})"
+
+
+def make_rlbench_env(headless: bool = True):
+    """Real RLBench env when installed (gated import)."""
+    try:
+        from rlbench.environment import Environment  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "rlbench is not installed; use FakeManipEnv or install "
+            "RLBench/PyRep (docs/01_setup_env.md:162-189 in the reference)"
+        ) from e
+    raise NotImplementedError(
+        "RLBench adapter: wire Environment+task handles here on a machine "
+        "with CoppeliaSim"
+    )

@@ -1,0 +1,122 @@
+"""Manipulation evaluators: episode loops + result aggregation.
+
+Behavioral parity (no code copied) with
+wiw_manip/evaluator/base_evaluator.py:30-355 + aggregate_results.py:
+  * evaluator variants = solver_env configs: vlm-base (VLM keypose plans
+    executed directly), vlm-igenex (plans ranked by WM imagination),
+    diff-base / diff-igenex (policy proposals, optionally WM-ranked)
+  * per-task/variation episode loops writing result jsons
+  * `aggregate_results` summarizes success rates per task
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from wiw_tpu.manip.env import MANIP_TASKS
+from wiw_tpu.manip.planner import IgenexManipPlanner, VLMKeyposePlanner
+
+
+class ManipEvaluator:
+    def __init__(self, env, solver_env: str = "vlm-base",
+                 wm_client=None, vlm=None, out_dir: str = "manip_results",
+                 max_plan_rounds: int = 3):
+        assert solver_env in ("vlm-base", "vlm-igenex", "diff-base",
+                              "diff-igenex"), solver_env
+        self.env = env
+        self.solver_env = solver_env
+        self.out_dir = out_dir
+        self.max_plan_rounds = max_plan_rounds
+        self.keypose = VLMKeyposePlanner(vlm)
+        self.igenex = (
+            IgenexManipPlanner(wm_client, vlm, self.keypose)
+            if "igenex" in solver_env and wm_client is not None else None
+        )
+
+    def run_episode(self, task: str, variation: int, episode: int) -> dict:
+        obs = self.env.reset(task, variation)
+        instruction = self.env.instruction()
+        success = False
+        for _round in range(self.max_plan_rounds):
+            target_hint = getattr(self.env, "target", None)
+            if self.igenex is not None:
+                save_dirs = [
+                    osp.join(self.out_dir, task, f"v{variation}",
+                             f"e{episode}", f"cand{i}")
+                    for i in range(self.keypose.num_candidates)
+                ]
+                for d in save_dirs:
+                    os.makedirs(d, exist_ok=True)
+                _plan, traj = self.igenex.plan(
+                    obs["rgb"], obs["pose"], instruction, save_dirs,
+                    target_hint=target_hint,
+                )
+            else:
+                plans = self.keypose.propose(
+                    obs["rgb"], instruction, obs["pose"],
+                    target_hint=target_hint,
+                )
+                from wiw_tpu.manip.planner import construct_action_seqs
+
+                traj = np.asarray(
+                    construct_action_seqs(obs["pose"], [plans[0]])[0][0],
+                    np.float32,
+                )
+            for pose in traj:
+                obs = self.env.step_to_pose(pose)
+                if self.env.success():
+                    success = True
+                    break
+            if success:
+                break
+        result = {"task": task, "variation": variation, "episode": episode,
+                  "success": success}
+        self._write_result(result)
+        return result
+
+    def _write_result(self, result: dict):
+        d = osp.join(self.out_dir, result["task"])
+        os.makedirs(d, exist_ok=True)
+        path = osp.join(
+            d, f"v{result['variation']}_e{result['episode']}.json"
+        )
+        with open(path, "w") as f:
+            json.dump(result, f)
+
+    def evaluate(self, tasks: Optional[List[str]] = None,
+                 variations: int = 1, episodes: int = 1) -> Dict:
+        for task in tasks or MANIP_TASKS:
+            for v in range(variations):
+                for e in range(episodes):
+                    self.run_episode(task, v, e)
+        return aggregate_results(self.out_dir)
+
+
+def aggregate_results(out_dir: str) -> Dict:
+    """Walk result jsons -> per-task + overall success rates."""
+    per_task: Dict[str, List[bool]] = {}
+    for root, _dirs, files in os.walk(out_dir):
+        for f in files:
+            if f.endswith(".json"):
+                try:
+                    with open(osp.join(root, f)) as fh:
+                        r = json.load(fh)
+                except (json.JSONDecodeError, OSError):
+                    continue
+                if "success" in r and "task" in r:
+                    per_task.setdefault(r["task"], []).append(bool(r["success"]))
+    summary = {
+        task: {"success_rate": float(np.mean(v)), "episodes": len(v)}
+        for task, v in per_task.items()
+    }
+    allv = [s for v in per_task.values() for s in v]
+    summary["overall"] = {
+        "success_rate": float(np.mean(allv)) if allv else 0.0,
+        "episodes": len(allv),
+    }
+    return summary

@@ -1,0 +1,192 @@
+"""Manipulation planners: keypose plans -> WM-imagined pose trajectories.
+
+Behavioral parity (no code copied) with
+downstream/world-in-world-manip/wiw_manip/planner/:
+  * VLMPlanner (vlm_planner.py): VLM proposes end-effector keypose plans
+    as JSON lists of [x, y, z, qx, qy, qz, qw, grip]
+  * IgenexPlanner (igenex_planner.py:53-728):
+      - `construct_action_seqs` (:194-252): distribute the 14-frame budget
+        over |plan| sub-goals ([base+1]*r tail-weighted), slerp/lerp the
+        7-DoF pose per segment, switch the gripper at each segment's last
+        frame; anchors mark sub-goal frames
+      - query the WM server with [B, 14, 8] pose tensors (the same framed
+        protocol; worker = igenex_manip, 448x448)
+      - `get_best_action`: show imagined anchor frames to the VLM to rank
+        candidates; `get_revise_message` asks for plan revision
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from wiw_tpu.core.actions import quat_to_rotmat
+
+
+def slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
+    """Quaternion slerp (xyzw)."""
+    q0 = q0 / np.linalg.norm(q0)
+    q1 = q1 / np.linalg.norm(q1)
+    dot = float(np.dot(q0, q1))
+    if dot < 0:
+        q1, dot = -q1, -dot
+    if dot > 0.9995:
+        out = q0 + t * (q1 - q0)
+        return out / np.linalg.norm(out)
+    theta0 = np.arccos(np.clip(dot, -1, 1))
+    theta = theta0 * t
+    s0 = np.cos(theta) - dot * np.sin(theta) / np.sin(theta0)
+    s1 = np.sin(theta) / np.sin(theta0)
+    return s0 * q0 + s1 * q1
+
+
+def interpolate_7dof(start: np.ndarray, end: np.ndarray, num_points: int,
+                     include_end: bool) -> np.ndarray:
+    """[7] -> [num_points, 7]: linear xyz + slerp quaternion."""
+    ts = (np.linspace(0.0, 1.0, num_points) if include_end
+          else np.linspace(0.0, 1.0, num_points, endpoint=False))
+    out = np.empty((len(ts), 7), np.float32)
+    for i, t in enumerate(ts):
+        out[i, :3] = (1 - t) * start[:3] + t * end[:3]
+        out[i, 3:7] = slerp(np.asarray(start[3:7], float),
+                            np.asarray(end[3:7], float), float(t))
+    return out
+
+
+def construct_action_seqs(
+    init_pose: Sequence[float],
+    b_action_plans: Sequence[Sequence[Sequence[float]]],
+    out_seq_len: int = 14,
+) -> Tuple[List[List[List[float]]], List[List[int]]]:
+    """Keypose plans -> per-candidate [out_seq_len, 8] pose trajectories +
+    anchor frame indices (igenex_planner.py:194-252 semantics)."""
+    batch, anchors_all = [], []
+    for plan in b_action_plans:
+        n = len(plan)
+        assert n > 0
+        base, rem = divmod(out_seq_len, n)
+        step_nums = [base + (1 if i >= n - rem else 0) for i in range(n)]
+        current = np.asarray(init_pose, np.float32)
+        segs, anchors = [], []
+        for j, (end_pose, step_num) in enumerate(zip(plan, step_nums)):
+            end = np.asarray(end_pose, np.float32)
+            last = j == n - 1
+            traj = interpolate_7dof(
+                current[:7], end[:7],
+                num_points=step_num if last else step_num + 1,
+                include_end=last,
+            )
+            if not last:
+                traj = traj[:step_num]
+            change_idx = step_num - 1 if last else step_num
+            grip = np.where(
+                np.arange(step_num) < change_idx, current[7], end[7]
+            ).astype(np.float32)[:, None]
+            segs.append(np.concatenate([traj, grip], axis=-1))
+            anchors.append(
+                out_seq_len - 1 if last
+                else (anchors[-1] + step_num if anchors else step_num)
+            )
+            current = end
+        batch.append(np.vstack(segs)[:out_seq_len].tolist())
+        anchors_all.append(anchors)
+    return batch, anchors_all
+
+
+class VLMKeyposePlanner:
+    """Propose candidate keypose plans via the VLM (vlm_planner.py parity);
+    falls back to jittered straight-line plans without a VLM."""
+
+    def __init__(self, vlm=None, num_candidates: int = 3, seed: int = 0):
+        self.vlm = vlm
+        self.num_candidates = num_candidates
+        self.rng = np.random.default_rng(seed)
+
+    def propose(self, obs_image: np.ndarray, instruction: str,
+                init_pose: Sequence[float],
+                target_hint: Optional[Sequence[float]] = None
+                ) -> List[List[List[float]]]:
+        if self.vlm is not None:
+            from wiw_tpu.agents.vlm import build_messages
+
+            js = self.vlm.plan_json(
+                build_messages(
+                    "You are a robot manipulation planner. Output JSON "
+                    '{"plans": [[[x,y,z,qx,qy,qz,qw,grip], ...], ...]}.',
+                    [f"Instruction: {instruction}", obs_image],
+                ),
+                ["plans"],
+            )
+            if js and js.get("plans"):
+                return js["plans"][: self.num_candidates]
+        # fallback: move toward target_hint (or forward) with jitter
+        init = np.asarray(init_pose, np.float32)
+        target = (np.asarray(target_hint, np.float32) if target_hint is not None
+                  else init[:3] + np.array([0.1, 0, -0.1], np.float32))
+        plans = []
+        for _ in range(self.num_candidates):
+            jit = self.rng.normal(0, 0.02, 3).astype(np.float32)
+            above = np.concatenate([target + [0, 0, 0.1] + jit, init[3:7], [init[7]]])
+            grasp = np.concatenate([target + jit, init[3:7], [1.0 - init[7]]])
+            plans.append([above.tolist(), grasp.tolist()])
+        return plans
+
+
+class IgenexManipPlanner:
+    """Rank keypose plans by WM imagination (igenex_planner.py parity)."""
+
+    def __init__(self, wm_client, vlm=None, keypose_planner=None,
+                 out_seq_len: int = 14, request_model_name: str = "igenex_manip"):
+        self.wm = wm_client
+        self.vlm = vlm
+        self.keypose_planner = keypose_planner or VLMKeyposePlanner(vlm)
+        self.out_seq_len = out_seq_len
+        self.request_model_name = request_model_name
+
+    def imagine(self, obs_image: np.ndarray, init_pose, plans, save_dirs):
+        action_seqs, anchors = construct_action_seqs(
+            init_pose, plans, self.out_seq_len
+        )
+        b_image = np.transpose(
+            np.repeat(obs_image[None], len(plans), axis=0), (0, 3, 1, 2)
+        )
+        out = self.wm.send_batch({
+            "b_action": np.asarray(action_seqs, np.float32),
+            "b_image": b_image,
+            "save_dirs": save_dirs,
+            "request_model_name": self.request_model_name,
+            "return_objects": [True] * len(plans),
+        })
+        return out, anchors
+
+    def get_best_action(self, imagined: np.ndarray, anchors, plans,
+                        instruction: str) -> int:
+        """Rank candidates; VLM over anchor frames when available, else the
+        first plan (deterministic fallback)."""
+        if self.vlm is None:
+            return 0
+        from wiw_tpu.agents.vlm import build_messages
+
+        parts = [f"Instruction: {instruction}",
+                 "Candidate rollouts (anchor frames):"]
+        for b in range(imagined.shape[0]):
+            for a in anchors[b]:
+                parts.append(np.transpose(imagined[b, a], (1, 2, 0)))
+        idx, _ = self.vlm.classify(
+            build_messages("Pick the rollout most likely to succeed.", parts),
+            imagined.shape[0],
+        )
+        return idx
+
+    def plan(self, obs_image: np.ndarray, init_pose, instruction: str,
+             save_dirs: List[str], target_hint=None):
+        plans = self.keypose_planner.propose(
+            obs_image, instruction, init_pose, target_hint
+        )
+        out, anchors = self.imagine(obs_image, init_pose, plans, save_dirs)
+        best = self.get_best_action(
+            out.get("pred_frames"), anchors, plans, instruction
+        ) if out.get("pred_frames") is not None else 0
+        action_seqs, _ = construct_action_seqs(init_pose, plans, self.out_seq_len)
+        return plans[best], np.asarray(action_seqs[best], np.float32)
