@@ -164,3 +164,48 @@ class TestEndToEnd:
             assert p2 == p1 + 1
         finally:
             s1.stop(); s2.stop()
+
+
+class TestStatsAndWorkerBase:
+    def test_stats_endpoint(self):
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer, WMClient
+        from wiw_tpu.serve.protocol import read_framed, write_framed
+
+        server = ManagerServer([InProcessExecutor(fake_wm_task)], port=17530)
+        port = server.start()
+        try:
+            c = WMClient(port=port)
+            c.send_batch({
+                "b_action": np.ones((2, 3), np.int64),
+                "save_dirs": ["a", "b"], "request_model_name": "fake",
+            })
+            c.connect()
+            write_framed(c._sock, {"__stats__": True})
+            stats = read_framed(c._sock)
+            assert stats["requests"] == 1 and stats["items"] == 2
+            assert stats["latency_avg"] > 0
+            c.close()
+        finally:
+            server.stop()
+
+    def test_worker_model_base_contract(self, tmp_path):
+        from wiw_tpu.workers.base import WorkerModelBase
+
+        class Echo(WorkerModelBase):
+            width = height = 16
+            out_width = out_height = 8
+
+            def generate(self, images, actions, prompts):
+                assert prompts and prompts[0].startswith("Follow this sequence")
+                b = images.shape[0]
+                return np.repeat(images[:, None], 3, axis=1)
+
+        w = Echo()
+        out = w({
+            "b_action": np.ones((2, 3), np.int64),
+            "b_image": np.zeros((2, 3, 16, 16), np.uint8),
+            "save_dirs": ["x", "y"],
+            "request_model_name": "echo",
+            "return_objects": [True, True],
+        })
+        assert out["pred_frames"].shape == (2, 3, 3, 8, 8)

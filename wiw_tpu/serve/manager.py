@@ -192,6 +192,30 @@ class ManagerServer:
         self._clients: Dict[int, "ClientHandler"] = {}
         self._next_client = 0
         self._stop = threading.Event()
+        # observability (the reference has none, SURVEY.md section 5):
+        # per-request latency + counters, queryable in-band via
+        # {"__stats__": True}
+        self._stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0, "items": 0, "errors": 0,
+            "latency_sum": 0.0, "latency_max": 0.0,
+        }
+
+    def record_latency(self, seconds: float, items: int, error: bool = False):
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["items"] += items
+            self.stats["latency_sum"] += seconds
+            self.stats["latency_max"] = max(self.stats["latency_max"], seconds)
+            if error:
+                self.stats["errors"] += 1
+
+    def get_stats(self) -> dict:
+        with self._stats_lock:
+            s = dict(self.stats)
+        s["latency_avg"] = s["latency_sum"] / max(s["requests"], 1)
+        s["pending"] = sum(e.pending for e in self.executors)
+        return s
 
     # ------------------------------------------------------------------
     def start(self) -> int:
@@ -268,12 +292,20 @@ class ClientHandler(threading.Thread):
         self.server = server
         self.batcher = Batcher(batch_size=server.batch_size)
         self._send_lock = threading.Lock()
+        self._recv_times: Dict[int, float] = {}
+        self._batch_counter = 0
 
     def run(self):
         try:
             while True:
                 input_dict = read_framed(self.conn)
+                if isinstance(input_dict, dict) and input_dict.get("__stats__"):
+                    with self._send_lock:
+                        write_framed(self.conn, self.server.get_stats())
+                    continue
                 check_inputdict(input_dict, self.server.server_type)
+                self._recv_times[self._batch_counter] = time.time()
+                self._batch_counter += 1
                 for tid, sub in self.batcher.split_batch(input_dict):
                     self.server.dispatch(self.client_id, tid, sub)
         except (EOFError, OSError):
@@ -295,6 +327,13 @@ class ClientHandler(threading.Thread):
                 check_outputdict(ready)
             except Exception:
                 pass  # surface malformed worker output to the client as-is
+            sent_batch = min(self._recv_times) if self._recv_times else None
+            if sent_batch is not None:
+                t0 = self._recv_times.pop(sent_batch)
+                self.server.record_latency(
+                    time.time() - t0, len(ready.get("save_dirs", [])),
+                    error="error" in ready,
+                )
             with self._send_lock:
                 try:
                     write_framed(self.conn, ready)
