@@ -1,0 +1,6 @@
+#!/bin/bash
+# Habitat trajectory collection (reference: scripts/data_collect.sh).
+# Requires habitat-sim on the host; renders pano trajectories into the
+# training layout consumed by wiw_tpu/data/dataset.py.
+set -euo pipefail
+exec python -m wiw_tpu.data.collect_cli "$@"

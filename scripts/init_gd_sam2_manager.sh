@@ -1,0 +1,18 @@
+#!/bin/bash
+# GroundingSAM2 detection manager on port 6002 (reference: init_solvers.sh
+# gd_sam2 branch). YOLO_WEIGHTS/SAM2_CKPT select the torch backends; the
+# blob-detector fallback runs without them.
+set -euo pipefail
+exec python - "$@" <<'PY'
+import os, time
+from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+from wiw_tpu.workers.grounding_worker import GroundingWorker
+
+worker = GroundingWorker(yolo_weights=os.environ.get("YOLO_WEIGHTS", ""))
+server = ManagerServer([InProcessExecutor(worker)], port=6002,
+                       server_type="gd_sam2")
+port = server.start()
+print(f"[gd_sam2 manager] serving on :{port}", flush=True)
+while True:
+    time.sleep(5)
+PY

@@ -1,0 +1,19 @@
+#!/bin/bash
+# SAM2 mask-propagation manager on port 6001 (reference:
+# downstream/scripts/init_sam2_manager.sh). Uses the sam2 torch backend when
+# SAM2_CKPT is set, else the built-in template-tracker fallback.
+set -euo pipefail
+exec python - "$@" <<'PY'
+import sys
+from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+from wiw_tpu.workers.sam2_worker import SAM2Worker
+import os, time
+
+worker = SAM2Worker(checkpoint=os.environ.get("SAM2_CKPT", ""))
+server = ManagerServer([InProcessExecutor(worker)], port=6001,
+                       server_type="sam2")
+port = server.start()
+print(f"[sam2 manager] serving on :{port}", flush=True)
+while True:
+    time.sleep(5)
+PY

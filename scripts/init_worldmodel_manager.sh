@@ -1,0 +1,11 @@
+#!/bin/bash
+# WM manager launcher (reference: downstream/scripts/init_worldmodel_manager.sh).
+# Default port 7000 auto-increments if busy (handled inside the server).
+#
+# Usage: scripts/init_worldmodel_manager.sh <wm_type> [extra flags...]
+#   scripts/init_worldmodel_manager.sh igenex --unet_path ckpts/svd_dagger \
+#       --svd_path ckpts/svd-img2vid
+set -euo pipefail
+WM_TYPE="${1:-igenex}"
+shift || true
+exec python -m wiw_tpu.serve.server_cli --wm_type "$WM_TYPE" --port 7000 "$@"

@@ -1,0 +1,14 @@
+#!/bin/bash
+# SVD-dagger post-training (reference: FTsvd/train_svd.sh).
+# The reference recipe: bf16, per-device batch 1, grad-accum 4, lr 2e-5,
+# 14 frames @ 1024x576, DeepSpeed ZeRO-1 on 4xH100 -> here: pjit over the
+# TPU mesh with fsdp sharding (ZeRO-equivalent).
+set -euo pipefail
+DATA_ROOT="${1:?usage: train_svd.sh <data_root> [extra flags]}"
+shift
+exec python -m wiw_tpu.train.train_cli \
+  --data_root "$DATA_ROOT" \
+  --width 1024 --height 576 --sample_frames 14 \
+  --per_device_batch 1 --grad_accum 4 --learning_rate 2e-5 \
+  --weighted_dataset --fsdp 2 \
+  "$@"

@@ -1,0 +1,89 @@
+"""Solver launch: shared argparse + multiprocess episode sharding.
+
+Behavioral parity (no code copied) with solver_base.py:850-917:
+  * `build_common_arg_parser`: the shared CLI surface (exp_id, task, WM
+    host/port, wm_type, worker_num, parallel sharding, use_heur, ...)
+  * `launch_multiprocessing`: spawn `worker_num` processes, each owning a
+    dataset shard (parallel_ith/parallel_total via Saver.shard_dataset)
+    and its own sockets; staggered starts; solvers skip episodes whose
+    metric files already exist (resume semantics, solver_AR.py:191-201)
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing as mp
+import os.path as osp
+import time
+from typing import Callable, List
+
+
+def build_common_arg_parser(defaults: dict | None = None) -> argparse.ArgumentParser:
+    d = defaults or {}
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--exp_id", default=d.get("exp_id", "debug"))
+    ap.add_argument("--task", default=d.get("task", "AR"))
+    ap.add_argument("--dataset_path", default=d.get("dataset_path", ""))
+    ap.add_argument("--wm_type", default=d.get("wm_type", "igenex"))
+    ap.add_argument("--world_model_type", default=d.get("world_model_type", ""))
+    ap.add_argument("--WM_host", default=d.get("WM_host", "127.0.0.1"))
+    ap.add_argument("--WM_port", type=int, default=d.get("WM_port", 7000))
+    ap.add_argument("--sam2_port", type=int, default=d.get("sam2_port", 6001))
+    ap.add_argument("--gd_sam2_port", type=int, default=d.get("gd_sam2_port", 6002))
+    ap.add_argument("--vllm_hosts", nargs="*", default=d.get("vllm_hosts", []))
+    ap.add_argument("--worker_num", type=int, default=d.get("worker_num", 1))
+    ap.add_argument("--query_num", type=int, default=d.get("query_num", 2))
+    ap.add_argument("--look_ahead_action_num", type=int,
+                    default=d.get("look_ahead_action_num", 4))
+    ap.add_argument("--use_heur", action="store_true")
+    ap.add_argument("--TTS_ratio", type=float, default=d.get("TTS_ratio", 1.0))
+    ap.add_argument("--states_root", default=d.get("states_root", "downstream/states"))
+    ap.add_argument("--spawn_stagger_secs", type=float,
+                    default=d.get("spawn_stagger_secs", 2.0))
+    return ap
+
+
+def episode_done(saver, datum: dict) -> bool:
+    """Resume: skip episodes with existing metric files
+    (solver_AR.py:191-201)."""
+    return osp.exists(saver.get_metric_path(datum))
+
+
+def run_shard(run_one: Callable, episodes: List[dict], args,
+              parallel_ith: int, parallel_total: int) -> None:
+    """One process: iterate this shard's episodes, skipping finished ones."""
+    from wiw_tpu.agents.saver import Saver
+    from wiw_tpu.utils.logging import setup_logger
+
+    setup_logger(args.exp_id, f"solver_{args.task}_{parallel_ith}")
+    saver = Saver(parallel_ith, parallel_total, args.exp_id, args.task,
+                  root=args.states_root)
+    shard = saver.shard_dataset(episodes)
+    for i, datum in enumerate(shard):
+        if episode_done(saver, datum):
+            print(f"[shard {parallel_ith}] skip finished {i}")
+            continue
+        try:
+            run_one(datum, args, parallel_ith)
+        except Exception as e:
+            print(f"[shard {parallel_ith}] episode {i} failed: {e!r}")
+
+
+def launch_multiprocessing(run_one: Callable, episodes: List[dict], args
+                           ) -> None:
+    """Spawn worker_num solver processes over dataset shards with staggered
+    starts (solver_base.py:887-917)."""
+    n = max(1, args.worker_num)
+    if n == 1:
+        run_shard(run_one, episodes, args, 0, 1)
+        return
+    ctx = mp.get_context("spawn")
+    procs = []
+    for i in range(n):
+        p = ctx.Process(target=run_shard,
+                        args=(run_one, episodes, args, i, n))
+        p.start()
+        procs.append(p)
+        time.sleep(args.spawn_stagger_secs)
+    for p in procs:
+        p.join()

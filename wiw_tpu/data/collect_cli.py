@@ -1,0 +1,177 @@
+"""Data-collection CLI + habitat-sim NavEnv adapter.
+
+Behavioral parity (no code copied) with habitat_data/HabitatRender.py's
+entry (mp.spawn over scenes, per-scene trajectory synthesis + rendering;
+:882-934) on top of wiw_tpu/data/collect.TrajectoryCollector. The pano
+comes from 6 cubemap faces warped through wiw_tpu.geo (XLA) instead of the
+habitat-baselines CubeMap2Equirect transformer stack.
+
+habitat-sim is a host-side C++ dependency; its absence leaves the fake-env
+path (tests) fully functional.
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing as mp
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+class HabitatNavEnv:
+    """NavEnv over habitat-sim with cubemap pano rendering."""
+
+    def __init__(self, scene_path: str, pano_height: int = 576,
+                 pano_width: int = 1024, face_size: int = 512,
+                 forward_m: float = 0.2, turn_deg: float = 22.5):
+        try:
+            import habitat_sim
+        except ImportError as e:
+            raise ImportError(
+                "habitat-sim is not installed on this host; data collection "
+                "needs it (the environment, not the framework)"
+            ) from e
+        self._hs = habitat_sim
+        self.pano_hw = (pano_height, pano_width)
+        self.face_size = face_size
+        cfg = self._make_config(scene_path, forward_m, turn_deg)
+        self.sim = habitat_sim.Simulator(cfg)
+        self.agent = self.sim.get_agent(0)
+        self._pathfinder = self.sim.pathfinder
+
+    def _make_config(self, scene_path, forward_m, turn_deg):
+        hs = self._hs
+        backend = hs.SimulatorConfiguration()
+        backend.scene_id = scene_path
+        backend.enable_physics = False
+        sensors = []
+        # 6 cubemap faces: yaw 0/90/180/270 + up/down (simulator.py:72-167
+        # semantics; orientations in radians)
+        orientations = {
+            "front": [0, 0, 0], "left": [0, np.pi / 2, 0],
+            "back": [0, np.pi, 0], "right": [0, -np.pi / 2, 0],
+            "up": [np.pi / 2, 0, 0], "down": [-np.pi / 2, 0, 0],
+        }
+        for name, orient in orientations.items():
+            for kind, suffix in ((hs.SensorType.COLOR, "rgb"),
+                                 (hs.SensorType.DEPTH, "depth")):
+                spec = hs.CameraSensorSpec()
+                spec.uuid = f"{suffix}_{name}"
+                spec.sensor_type = kind
+                spec.resolution = [self.face_size, self.face_size]
+                spec.hfov = 90
+                spec.orientation = orient
+                spec.position = [0, 1.5, 0]
+                sensors.append(spec)
+        agent_cfg = hs.agent.AgentConfiguration()
+        agent_cfg.sensor_specifications = sensors
+        agent_cfg.action_space = {
+            "move_forward": hs.agent.ActionSpec(
+                "move_forward", hs.agent.ActuationSpec(amount=forward_m)),
+            "turn_left": hs.agent.ActionSpec(
+                "turn_left", hs.agent.ActuationSpec(amount=turn_deg)),
+            "turn_right": hs.agent.ActionSpec(
+                "turn_right", hs.agent.ActuationSpec(amount=turn_deg)),
+        }
+        return self._hs.Configuration(backend, [agent_cfg])
+
+    # -- NavEnv surface -------------------------------------------------
+    def sample_navigable_point(self):
+        return np.asarray(self._pathfinder.get_random_navigable_point())
+
+    def geodesic_distance(self, a, b):
+        path = self._hs.ShortestPath()
+        path.requested_start = np.asarray(a, np.float32)
+        path.requested_end = np.asarray(b, np.float32)
+        self._pathfinder.find_path(path)
+        return float(path.geodesic_distance)
+
+    def shortest_path_actions(self, start, goal) -> List[str]:
+        from habitat_sim.nav import GreedyGeodesicFollower
+
+        follower = GreedyGeodesicFollower(
+            self._pathfinder, self.agent,
+            forward_key="move_forward", left_key="turn_left",
+            right_key="turn_right",
+        )
+        try:
+            return [a for a in follower.find_path(np.asarray(goal, np.float32))
+                    if a is not None]
+        except Exception:
+            return []
+
+    def _pano_from_faces(self, obs, prefix="rgb"):
+        import jax.numpy as jnp
+
+        from wiw_tpu.geo.equirect import FACE_ORDER, cube_to_equirect
+
+        faces = np.stack([
+            np.asarray(obs[f"{prefix}_{name}"])[..., :3] for name in FACE_ORDER
+        ]).astype(np.float32)
+        pano = cube_to_equirect(jnp.asarray(faces), *self.pano_hw)
+        return np.clip(np.asarray(pano), 0, 255).astype(np.uint8)
+
+    def observe(self) -> dict:
+        obs = self.sim.get_sensor_observations()
+        depth = np.asarray(obs.get("depth_front"))
+        return {"rgb": self._pano_from_faces(obs), "depth": depth}
+
+    def step(self, action: str) -> dict:
+        self.sim.step(action)
+        return self.observe()
+
+    def agent_pose(self) -> dict:
+        st = self.agent.get_state()
+        return {"position": np.asarray(st.position),
+                "camera": list(map(float, st.rotation.components))}
+
+    def reset_to(self, point) -> None:
+        st = self.agent.get_state()
+        st.position = np.asarray(point, np.float32)
+        self.agent.set_state(st)
+
+
+def _collect_scene(scene_path: str, out_root: str, args) -> None:
+    from wiw_tpu.data.collect import TrajectoryCollector
+
+    scene_id = os.path.basename(scene_path).split(".")[0]
+    env = HabitatNavEnv(scene_path, pano_height=args.pano_height,
+                        pano_width=args.pano_width)
+    coll = TrajectoryCollector(env, out_root, scene_id,
+                               num_save_threads=args.num_recoder)
+    coll.collect_scene(num_points=args.num_points, num_trajs=args.num_trajs)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", nargs="+", required=True)
+    ap.add_argument("--out_root", required=True)
+    ap.add_argument("--num_processes", type=int, default=1)
+    ap.add_argument("--num_points", type=int, default=24)
+    ap.add_argument("--num_trajs", type=int, default=4)
+    ap.add_argument("--num_recoder", type=int, default=2)
+    ap.add_argument("--pano_height", type=int, default=1000)
+    ap.add_argument("--pano_width", type=int, default=2000)
+    args = ap.parse_args(argv)
+
+    if args.num_processes <= 1:
+        for scene in args.scenes:
+            _collect_scene(scene, args.out_root, args)
+        return
+    ctx = mp.get_context("spawn")
+    procs = []
+    for i, scene in enumerate(args.scenes):
+        p = ctx.Process(target=_collect_scene,
+                        args=(scene, args.out_root, args))
+        p.start()
+        procs.append(p)
+        if len(procs) >= args.num_processes:
+            procs.pop(0).join()
+    for p in procs:
+        p.join()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Generation + video-metric evaluation CLI.
+
+Behavioral parity (no code copied) with FTsvd/eval_inference.py (the
+standalone eval tool role) and the training-time validation harness
+(train_svd.py:1140-1193): generate clips from conditioning images with an
+action sequence, save gen-vs-GT videos, and report SSIM/PSNR/LPIPS (+FVD
+when I3D weights are available).
+
+Usage:
+  python -m wiw_tpu.sampling.eval_cli --cond image1.png image2.png \
+      --actions 1,1,2,2,1 --unet_path ... --svd_path ... --out_dir gen/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cond", nargs="+", required=True,
+                    help="conditioning image path(s)")
+    ap.add_argument("--gt", nargs="*", default=[],
+                    help="optional ground-truth clip dirs/mp4s for metrics")
+    ap.add_argument("--actions", default="",
+                    help="comma-separated action ids per frame (nav)")
+    ap.add_argument("--unet_path", default="")
+    ap.add_argument("--svd_path", default="")
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--num_frames", type=int, default=14)
+    ap.add_argument("--num_inference_steps", type=int, default=30)
+    ap.add_argument("--action_strategy", default="micro_cond")
+    ap.add_argument("--out_dir", default="generated")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from wiw_tpu.agents.saver import save_video
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline, to_uint8
+
+    gen = GenerationConfig(
+        height=args.height, width=args.width, num_frames=args.num_frames,
+        num_inference_steps=args.num_inference_steps,
+    )
+    unet_cfg = UNetConfig(
+        num_frames=args.num_frames, action_strategy=args.action_strategy or None,
+        dtype="bfloat16",
+    )
+    pipe = SVDPipeline(unet_cfg)
+    if args.unet_path:
+        from wiw_tpu.models import convert as C
+
+        pipe.params = {
+            "unet": C.load_unet(args.unet_path),
+            "vae": C.convert_state_dict(
+                C.load_safetensors_dir(osp.join(args.svd_path, "vae"))),
+            "clip": C.convert_state_dict(
+                C.load_safetensors_dir(osp.join(args.svd_path, "image_encoder"))),
+        }
+    else:
+        print("[eval] no unet_path: random weights (pipeline smoke run)")
+        pipe.init_params(jax.random.PRNGKey(0), gen)
+
+    imgs = np.stack([
+        np.asarray(Image.open(p).convert("RGB").resize((args.width, args.height)))
+        for p in args.cond
+    ]).astype(np.float32) / 127.5 - 1.0
+
+    actions = None
+    if args.actions:
+        ids = [int(x) for x in args.actions.split(",")]
+        ids = (ids + [1] * args.num_frames)[: args.num_frames]
+        actions = jnp.tile(jnp.asarray(ids)[None], (imgs.shape[0], 1))
+
+    video = pipe.generate(
+        jax.random.PRNGKey(args.seed), jnp.asarray(imgs), gen, actions=actions
+    )
+    frames = to_uint8(video)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i in range(frames.shape[0]):
+        save_video(osp.join(args.out_dir, f"gen_{i:02d}.mp4"), frames[i])
+    print(f"saved {frames.shape[0]} clips to {args.out_dir}")
+
+    if args.gt:
+        from wiw_tpu.agents.postprocess import mp4_to_frames
+        from wiw_tpu.eval.metrics import evaluate_video_metrics
+
+        gts = np.stack([mp4_to_frames(p)[: args.num_frames] for p in args.gt])
+        m = evaluate_video_metrics(
+            jnp.asarray(frames, jnp.float32) / 255.0,
+            jnp.asarray(gts, jnp.float32) / 255.0,
+        )
+        print(json.dumps(m))
+        with open(osp.join(args.out_dir, "metrics.json"), "w") as f:
+            json.dump(m, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""torch .pt/.bin checkpoint -> .safetensors converter CLI.
+
+Behavioral parity (no code copied) with utils/pt_to_safetensors_cosmos.py:
+converts arbitrary torch state dicts (handles nested 'state_dict'/'module'
+wrappers and shared-storage duplication) so fine-tuned checkpoints load via
+models/convert.load_safetensors_dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+
+
+def convert(src: str, dst: str = "") -> str:
+    import numpy as np
+    import torch
+    from safetensors.numpy import save_file
+
+    sd = torch.load(src, map_location="cpu", weights_only=True)
+    for wrapper in ("state_dict", "module", "model"):
+        if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+    flat = {}
+    for k, v in sd.items():
+        if not hasattr(v, "numpy"):
+            continue
+        arr = v.detach().cpu().contiguous().numpy()
+        flat[k] = np.array(arr)  # force-own the buffer (breaks sharing)
+    dst = dst or osp.splitext(src)[0] + ".safetensors"
+    save_file(flat, dst)
+    return dst
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("--dst", default="")
+    args = ap.parse_args(argv)
+    out = convert(args.src, args.dst)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
