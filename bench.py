@@ -21,6 +21,9 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build(height, width, frames, steps):
     from wiw_tpu.core import schedule as S

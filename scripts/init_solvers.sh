@@ -1,0 +1,10 @@
+#!/bin/bash
+# Solver launcher (reference: downstream/scripts/init_solvers.sh).
+# Usage: scripts/init_solvers.sh <task> <dataset> <exp_id> [extra flags...]
+set -euo pipefail
+TASK="${1:?task (AR|AEQA|IGNav)}"
+DATASET="${2:?dataset path}"
+EXP_ID="${3:?exp id}"
+shift 3
+exec python -m wiw_tpu.agents.run_solver \
+  --task "$TASK" --dataset_path "$DATASET" --exp_id "$EXP_ID" "$@"

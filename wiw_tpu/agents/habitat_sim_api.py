@@ -1,0 +1,102 @@
+"""Eval-time habitat simulator adapter for the solvers.
+
+Behavioral parity (no code copied) with downstream/simulator.py:72-443:
+  * perspective front sensors (512^2, hfov 90) + 6x cubemap faces
+    (rgb/depth/semantic), unit actions forward 0.2 m / turn 22.5 deg
+  * equirect pano at 576x1024 ("genex model resolution",
+    simulator.py:220-234) via wiw_tpu.geo cube_to_equirect
+  * navmesh-checked teleporting (set_agent_coordinates, :321-336)
+  * per-scene simulator caching (solver_base.py:55-75)
+
+Exposes the SimulatorAPI surface (wiw_tpu/agents/solver.py) so solvers are
+agnostic to habitat vs fakes. habitat-sim must be installed on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from wiw_tpu.agents.solver import SimulatorAPI
+
+_SIM_CACHE: Dict[str, "HabitatSolverSim"] = {}
+
+
+def get_simulator(scene_path: str, **kw) -> "HabitatSolverSim":
+    """Per-scene cached simulator (solver_base.py:55-75)."""
+    if scene_path not in _SIM_CACHE:
+        for old in list(_SIM_CACHE):
+            _SIM_CACHE.pop(old).close()
+        _SIM_CACHE[scene_path] = HabitatSolverSim(scene_path, **kw)
+    return _SIM_CACHE[scene_path]
+
+
+class HabitatSolverSim(SimulatorAPI):
+    def __init__(self, scene_path: str, pano_height: int = 576,
+                 pano_width: int = 1024, face_size: int = 512):
+        from wiw_tpu.data.collect_cli import HabitatNavEnv
+
+        self._env = HabitatNavEnv(
+            scene_path, pano_height=pano_height, pano_width=pano_width,
+            face_size=face_size,
+        )
+        self.pano_hw = (pano_height, pano_width)
+
+    # -- SimulatorAPI ---------------------------------------------------
+    def get_pano(self) -> np.ndarray:
+        return self._env.observe()["rgb"]
+
+    def step(self, action: str) -> None:
+        name = {"forward": "move_forward"}.get(action, action)
+        if name in ("move_forward", "turn_left", "turn_right"):
+            self._env.step(name)
+
+    def get_agent_state(self):
+        st = self._env.agent.get_state()
+        return (np.asarray(st.position), st.rotation)
+
+    def set_agent_state(self, state) -> None:
+        import habitat_sim
+
+        pos, rot = state
+        self._env.agent.set_state(
+            habitat_sim.AgentState(position=np.asarray(pos, np.float32),
+                                   rotation=rot)
+        )
+
+    # -- extras used by solvers ----------------------------------------
+    def get_front_view(self, size: int = 512) -> np.ndarray:
+        obs = self._env.sim.get_sensor_observations()
+        return np.asarray(obs["rgb_front"])[..., :3]
+
+    def get_depth(self) -> np.ndarray:
+        return self._env.observe()["depth"]
+
+    def teleport(self, position, rotation=None) -> bool:
+        """Navmesh-checked teleport (simulator.py:321-336)."""
+        p = np.asarray(position, np.float32)
+        if not self._env._pathfinder.is_navigable(p):
+            snapped = self._env._pathfinder.snap_point(p)
+            if not np.isfinite(snapped).all():
+                return False
+            p = np.asarray(snapped, np.float32)
+        st = self._env.agent.get_state()
+        st.position = p
+        if rotation is not None:
+            st.rotation = rotation
+        self._env.agent.set_state(st)
+        return True
+
+    def geodesic_distance(self, a, b) -> float:
+        return self._env.geodesic_distance(a, b)
+
+    def shortest_path_actions(self, goal):
+        pose = self._env.agent_pose()["position"]
+        return self._env.shortest_path_actions(pose, goal)
+
+    def close(self):
+        try:
+            self._env.sim.close()
+        except Exception:
+            pass

@@ -1,0 +1,110 @@
+"""Solver CLI entry (reference: python -m downstream.solver_AR etc. via
+init_solvers.sh): builds the task solver from the common arg parser, loads
+the episode dataset, and launches the multiprocess episode loop.
+
+Usage:
+  python -m wiw_tpu.agents.run_solver --task AR --dataset_path episodes_AR.json.gz \
+      --exp_id exp1 --wm_type igenex --use_heur
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+
+
+def _build_sim(datum, args):
+    if args.world_model_type == "GTsim" or args.simulator == "fake":
+        from wiw_tpu.agents.solver import FakeSimulator
+
+        return FakeSimulator(seed=hash(str(datum.get("scene_id"))) % 997)
+    from wiw_tpu.agents.habitat_sim_api import get_simulator
+
+    return get_simulator(str(datum["scene_id"]))
+
+
+def _build_vlm(args):
+    if not args.vllm_hosts:
+        return None
+    from wiw_tpu.agents.vlm import OpenAITransport, VLMClient
+
+    host = args.vllm_hosts[0]
+    base = host if host.startswith("http") else f"http://{host}/v1"
+    return VLMClient(OpenAITransport(base_url=base))
+
+
+def run_one_episode(datum, args, shard_idx):
+    from wiw_tpu.agents.solver import SolverConfig
+
+    cfg = SolverConfig(
+        exp_id=args.exp_id, task=args.task,
+        world_model_type=args.world_model_type or "action",
+        look_ahead_action_num=args.look_ahead_action_num,
+        query_num=args.query_num,
+        wm_host=args.WM_host, wm_port=args.WM_port,
+        request_model_name=args.wm_type,
+        states_root=args.states_root,
+    )
+    sim = _build_sim(datum, args)
+    vlm = _build_vlm(args)
+    save_dir = osp.join(args.states_root, f"{args.task}_{args.exp_id}", "wm")
+    if args.task == "AR":
+        from wiw_tpu.agents.solver_ar import ARSolver
+
+        solver = ARSolver(cfg, sim, vlm=vlm,
+                          object_set=args.object_set or ["object"],
+                          tts_ratio=args.TTS_ratio,
+                          use_heuristic_policy=args.use_heur)
+        return solver.run_episode(datum, save_dir)
+    if args.task == "AEQA":
+        from wiw_tpu.agents.solver_aeqa import AEQASolver
+        from wiw_tpu.serve.manager import WMClient
+
+        detector = (WMClient(args.WM_host, args.gd_sam2_port, "gd_sam2")
+                    if args.use_detector else None)
+        solver = AEQASolver(cfg, sim, vlm=vlm, detector_client=detector)
+        return solver.run_episode(datum, save_dir)
+    if args.task == "IGNav":
+        from wiw_tpu.agents.datasets import IGDataset
+        from wiw_tpu.agents.saver import load_image
+        from wiw_tpu.agents.solver_ignav import IGNavSolver
+
+        solver = IGNavSolver(cfg, sim, vlm=vlm,
+                             use_heuristic_policy=args.use_heur)
+        goal = load_image(datum["goal_image_path"]) if "goal_image_path" in datum \
+            else sim.get_pano()
+        return solver.run_episode(datum, goal, save_dir)
+    raise ValueError(f"unknown task {args.task}")
+
+
+def main(argv=None):
+    from wiw_tpu.agents.launch import build_common_arg_parser, launch_multiprocessing
+
+    ap = build_common_arg_parser()
+    ap.add_argument("--simulator", default="habitat", choices=["habitat", "fake"])
+    ap.add_argument("--object_set", nargs="*", default=[])
+    ap.add_argument("--use_detector", action="store_true")
+    ap.add_argument("--max_episodes", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from wiw_tpu.agents.datasets import AEQADataset, ARDataset, IGDataset
+
+    if args.task == "AR":
+        ds = ARDataset(args.dataset_path)
+        if not args.object_set:
+            args.object_set = ds.object_set
+    elif args.task == "AEQA":
+        ds = AEQADataset(args.dataset_path)
+    else:
+        ds = IGDataset(args.dataset_path)
+    episodes = list(ds.episodes)
+    if args.max_episodes:
+        episodes = episodes[: args.max_episodes]
+    launch_multiprocessing(run_one_episode, episodes, args)
+
+    from wiw_tpu.agents.evaluator import Evaluator
+
+    print(Evaluator(args.task, args.exp_id, args.states_root).summary_table())
+
+
+if __name__ == "__main__":
+    main()
