@@ -80,18 +80,18 @@ def build(height, width, frames, steps):
         return out
 
     latents = jax.random.normal(jax.random.PRNGKey(1), (B, frames, h, w, 4)) * sigmas[0]
-    fn = jax.jit(denoise)
+    # return a scalar so timing can force a real device->host sync (the
+    # axon relay's block_until_ready does not actually synchronize)
+    fn = jax.jit(lambda p, l: denoise(p, l).sum())
     return fn, params, latents
 
 
 def run(height, width, frames=14, steps=25, reps=3):
     fn, params, latents = build(height, width, frames, steps)
-    out = fn(params, latents)
-    out.block_until_ready()  # compile + warmup
+    float(fn(params, latents))  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(params, latents)
-    out.block_until_ready()
+        float(fn(params, latents))  # float() forces full sync
     dt = (time.perf_counter() - t0) / reps
     return dt
 

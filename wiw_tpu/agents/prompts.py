@@ -1,0 +1,88 @@
+"""Task prompt templates + assembly for the VLM policy.
+
+Role parity (no text copied) with downstream/prompts.py:95-445 and the 13
+prompt files under downstream/lm/prompts/{task,aux,high_level}: each task
+has a planner prompt (propose action sequences), an answerer prompt
+(recognize / decide stop / answer), and auxiliary prompts (imagination
+framing, surround-view annotation). Text is original; the contract (slots,
+option formats, JSON keys) matches what the solvers parse.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from wiw_tpu.agents.solver import ACTION_TEXT
+
+UNIT_NOTE = (
+    "Each action is atomic: 'forward 0.2m' moves 0.2 meters ahead; "
+    "'turn_left 22.5\N{DEGREE SIGN}' and 'turn_right 22.5\N{DEGREE SIGN}' rotate in place."
+)
+
+
+def action_space_text(include_stop: bool = False) -> str:
+    """Numbered action menu (construct_action_space_text parity)."""
+    names = ["forward", "turn_left", "turn_right"] + (
+        ["stop"] if include_stop else []
+    )
+    return "\n".join(
+        f"{i + 1}. {ACTION_TEXT[n]}" for i, n in enumerate(names)
+    )
+
+
+def planner_prompt(task: str, seq_len: int, num_seqs: int) -> str:
+    goals = {
+        "AR": "gather better views of the target object to identify it",
+        "AEQA": "explore toward places that can answer the question",
+        "IGNav": "move toward the location shown in the goal image",
+    }
+    return (
+        f"You control an embodied agent. Your goal: {goals.get(task, 'explore')}.\n"
+        f"{UNIT_NOTE}\n"
+        f"Available actions:\n{action_space_text()}\n"
+        f"Propose {num_seqs} distinct action sequences of exactly {seq_len} "
+        f"actions each, one sequence per line, actions separated by commas."
+    )
+
+
+def answerer_prompt_ar(options: Sequence[str]) -> str:
+    lines = "\n".join(f"{chr(65 + i)}. {o}" for i, o in enumerate(options))
+    return (
+        "Identify the target object highlighted by the bounding box.\n"
+        f"Options:\n{lines}\n"
+        "Reply with the single option letter only."
+    )
+
+
+def answerer_prompt_ignav() -> str:
+    return (
+        "Compare the current view with the goal image. If the agent has "
+        "arrived at the location shown in the goal image, answer 'stop'; "
+        "otherwise answer 'continue'. Answer with one word."
+    )
+
+
+def highlevel_prompt_aeqa(question: str) -> str:
+    return (
+        f"Question: {question}\n"
+        "You see annotated surround views and, when present, imagined future "
+        "views from a world model.\n"
+        "Reply with JSON containing exactly these keys: "
+        '"Reason", "Action Plan" (a list of up to 4 actions from the menu), '
+        '"Chosen View" (an integer), "Chosen Landmark" (a string), '
+        '"Answer" (empty string until you are confident).\n'
+        f"Action menu:\n{action_space_text()}"
+    )
+
+
+def imagination_context_note(num_candidates: int) -> str:
+    return (
+        f"The next {num_candidates} image groups are IMAGINED futures "
+        "produced by a world model for candidate action sequences, in order. "
+        "They are predictions, not real observations."
+    )
+
+
+def surround_view_labels(num_views: int = 4) -> List[str]:
+    names = ["front", "left", "right", "back"]
+    return [f"view {i} ({names[i % 4]})" for i in range(num_views)]

@@ -45,6 +45,11 @@ class VAEConfig:
     def jdtype(self):
         return jnp.dtype(self.dtype)
 
+    @property
+    def spatial_scale(self) -> int:
+        """Total spatial downsampling: one 2x per non-final encoder level."""
+        return 2 ** (len(self.block_out_channels) - 1)
+
 
 class VAEAttention(nn.Module):
     """Single-head spatial self-attention with GroupNorm + residual

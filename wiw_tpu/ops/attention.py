@@ -28,11 +28,36 @@ def _is_tpu() -> bool:
         return False
 
 
-@functools.lru_cache(maxsize=None)
-def _flash_attention_fn():
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+def _best_block(seq: int, cap: int = 1024) -> int:
+    """Largest divisor of `seq` that is a multiple of 128 and <= cap.
 
-    return flash_attention
+    The kernel's default block picks poorly for our shapes (~5x slower at
+    seq 9216 / head_dim 64 on v5e than 1024-blocks, measured)."""
+    best = 128
+    b = 128
+    while b <= cap:
+        if seq % b == 0:
+            best = b
+        b += 128
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_attention_fn(q_seq: int, kv_seq: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    bq = _best_block(q_seq)
+    bkv = _best_block(kv_seq)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkv,
+        block_q_dkv=bq, block_k_dkv=bkv,
+        block_q_dq=bq, block_k_dq=bkv, block_k_major_dq=bkv,
+    )
+    return functools.partial(flash_attention, block_sizes=bs)
 
 
 def _xla_attention(q, k, v, scale):
@@ -64,7 +89,7 @@ def dot_product_attention(
             and k.shape[2] % 128 == 0
         )
     if use_pallas:
-        flash = _flash_attention_fn()
+        flash = _flash_attention_fn(q.shape[2], k.shape[2])
         return flash(q, k, v, causal=False, sm_scale=scale)
     return _xla_attention(q, k, v, scale)
 

@@ -36,7 +36,7 @@ from wiw_tpu.models.clip import CLIPVisionConfig, CLIPVisionModel, preprocess_fo
 from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
 from wiw_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
 
-VAE_SCALE = 8  # spatial downsampling of the VAE
+VAE_SCALE = 8  # spatial downsampling of the standard SVD VAE
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,7 +78,8 @@ class SVDPipeline:
         """Random-init all three towers (for tests / fresh training)."""
         cfg = self.unet_config
         F = cfg.num_frames
-        h, w = gen.height // VAE_SCALE, gen.width // VAE_SCALE
+        scale = self.vae_config.spatial_scale
+        h, w = gen.height // scale, gen.width // scale
         k1, k2, k3 = jax.random.split(key, 3)
         action_ids = None
         if cfg.action_strategy == "micro_cond":
@@ -145,7 +146,8 @@ class SVDPipeline:
         cfg = self.unet_config
         B, H, W, _ = image.shape
         F = gen.num_frames
-        h, w = H // VAE_SCALE, W // VAE_SCALE
+        scale = self.vae_config.spatial_scale
+        h, w = H // scale, W // scale
         p = params
         k_noise, k_aug, k_lat = jax.random.split(key, 3)
 

@@ -179,7 +179,8 @@ class Trainer:
         frames = batch["pixel_values"]
         actions = batch.get("actions")
         B, F = frames.shape[:2]
-        h, w = frames.shape[2] // 8, frames.shape[3] // 8
+        scale = pipe.vae_config.spatial_scale
+        h, w = frames.shape[2] // scale, frames.shape[3] // scale
         keys = jax.random.split(key, 6)
 
         # VAE encode target frames (frozen) -> scaled latents
