@@ -270,3 +270,54 @@ class TestVLM:
         assert content[0]["type"] == "text"
         assert content[1]["type"] == "image_url"
         assert content[1]["image_url"]["url"].startswith("data:image/png;base64,")
+
+
+class TestLLMMatch:
+    def test_sigma_parsing_and_fallback(self):
+        from wiw_tpu.agents.llm_match import (
+            make_llm_scorer,
+            parse_sigma,
+            token_overlap_sigma,
+        )
+
+        assert parse_sigma("5") == 5.0
+        assert parse_sigma("Score: 3 because...") == 3.0
+        assert parse_sigma("nope") is None
+        assert token_overlap_sigma("the red sofa", "the red sofa") == 5.0
+        assert token_overlap_sigma("red", "blue") == 1.0
+
+        calls = []
+
+        def transport(messages, **kw):
+            calls.append(messages)
+            return {"text": "4"}
+
+        scorer = make_llm_scorer(transport)
+        sigma = scorer({"question": "color?", "gt_answer": "red",
+                        "answer": "reddish"})
+        assert sigma == 4.0 and calls
+
+    def test_fallback_when_transport_fails(self):
+        from wiw_tpu.agents.llm_match import make_llm_scorer
+
+        def bad(messages, **kw):
+            raise RuntimeError("down")
+
+        scorer = make_llm_scorer(bad)
+        sigma = scorer({"question": "q", "gt_answer": "red sofa",
+                        "answer": "red sofa"})
+        assert sigma == 5.0
+
+
+class TestSemanticBbox:
+    def test_largest_component_wins(self):
+        import numpy as _np
+
+        from wiw_tpu.agents.semantic_bbox import target_bbox_from_semantic
+
+        sem = _np.zeros((32, 32), _np.int32)
+        sem[2:6, 2:6] = 7          # small fragment (16 px)
+        sem[10:28, 10:28] = 7      # big component
+        bb = target_bbox_from_semantic(sem, [7])
+        assert bb == {"x_min": 10, "x_max": 27, "y_min": 10, "y_max": 27}
+        assert target_bbox_from_semantic(sem, [99]) is None

@@ -1,0 +1,72 @@
+"""AEQA answer grading: LLM-match score sigma in [1, 5].
+
+Behavioral parity (no code copied) with the open-eqa `llm_match` scorer the
+reference calls (downstream/evaluator.py:7,103): an LLM judge compares the
+agent's answer with the ground truth for the question and returns an
+integer 1-5; the task metric is (sigma - 1) * 25
+(wiw_tpu/agents/evaluator.aeqa_score).
+
+The transport is any OpenAI-compatible callable (GPT-4o in the reference;
+a local vLLM judge works identically). A deterministic token-overlap
+fallback keeps offline evaluation runnable.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+
+def build_judge_prompt(question: str, gt_answer: str, answer: str) -> str:
+    return (
+        "You are grading an embodied question-answering agent.\n"
+        f"Question: {question}\n"
+        f"Reference answer: {gt_answer}\n"
+        f"Agent answer: {answer}\n"
+        "Score how well the agent answer matches the reference on a 1-5 "
+        "scale (5 = fully correct, 1 = completely wrong). Reply with the "
+        "single digit only."
+    )
+
+
+def parse_sigma(text: str) -> Optional[float]:
+    m = re.search(r"[1-5]", text or "")
+    return float(m.group(0)) if m else None
+
+
+def token_overlap_sigma(gt_answer: str, answer: str) -> float:
+    """Deterministic fallback: scaled token overlap -> [1, 5]."""
+    gt = set(re.findall(r"\w+", (gt_answer or "").lower()))
+    an = set(re.findall(r"\w+", (answer or "").lower()))
+    if not gt:
+        return 1.0
+    overlap = len(gt & an) / len(gt)
+    return 1.0 + 4.0 * overlap
+
+
+def make_llm_scorer(transport: Optional[Callable] = None,
+                    max_retries: int = 3) -> Callable[[dict], float]:
+    """Returns scorer(record) -> sigma for Evaluator(llm_scorer=...).
+
+    record: {'question', 'gt_answer', 'answer'}.
+    """
+
+    def scorer(record: dict) -> float:
+        q = record.get("question", "")
+        gt = record.get("gt_answer", "")
+        ans = record.get("answer", "")
+        if transport is not None:
+            prompt = build_judge_prompt(q, gt, ans)
+            for _ in range(max_retries):
+                try:
+                    resp = transport(
+                        [{"role": "user", "content": prompt}], max_tokens=4
+                    )
+                except Exception:
+                    break
+                sigma = parse_sigma(resp.get("text"))
+                if sigma is not None:
+                    return sigma
+        return token_overlap_sigma(gt, ans)
+
+    return scorer

@@ -1,0 +1,55 @@
+"""GT target bbox from semantic observations.
+
+Behavioral parity (no code copied) with downstream/simulator.py:346-443
+(`draw_target_bbox`): given a semantic-id image and the target object's
+instance id(s), keep the LARGEST connected component of the target mask
+(filters spurious far-away fragments of the same semantic id), return its
+bbox, and optionally draw it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def largest_component_mask(mask: np.ndarray) -> np.ndarray:
+    """Largest 4-connected component of a boolean mask."""
+    import cv2
+
+    m = np.asarray(mask, np.uint8)
+    n, labels, stats, _ = cv2.connectedComponentsWithStats(m, connectivity=4)
+    if n <= 1:
+        return np.zeros_like(m, bool)
+    areas = stats[1:, cv2.CC_STAT_AREA]
+    best = 1 + int(np.argmax(areas))
+    return labels == best
+
+
+def target_bbox_from_semantic(
+    semantic: np.ndarray, target_ids: Sequence[int],
+    min_area: int = 16,
+) -> Optional[Dict[str, int]]:
+    """semantic [H, W] instance ids -> bbox of the target's largest
+    component, or None if absent/too small."""
+    mask = np.isin(np.asarray(semantic), np.asarray(list(target_ids)))
+    if not mask.any():
+        return None
+    comp = largest_component_mask(mask)
+    if comp.sum() < min_area:
+        return None
+    ys, xs = np.where(comp)
+    return {"x_min": int(xs.min()), "x_max": int(xs.max()),
+            "y_min": int(ys.min()), "y_max": int(ys.max())}
+
+
+def draw_target_bbox(rgb: np.ndarray, semantic: np.ndarray,
+                     target_ids: Sequence[int]) -> tuple:
+    """-> (annotated rgb, bbox or None)."""
+    from wiw_tpu.workers.detection_utils import draw_bbox
+
+    bbox = target_bbox_from_semantic(semantic, target_ids)
+    if bbox is None:
+        return np.asarray(rgb), None
+    return draw_bbox(rgb, bbox), bbox
