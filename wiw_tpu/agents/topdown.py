@@ -1,0 +1,60 @@
+"""Top-down trajectory maps (the Recoder's map-drawing role,
+habitat_data/recoder.py:30-277 — behavior parity, no code copied).
+
+Draws agent trajectories and waypoints onto a 2-D occupancy-style canvas;
+used by data-collection debugging and episode visualization.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class TopdownMap:
+    def __init__(self, bounds_min, bounds_max, resolution: int = 256):
+        self.lo = np.asarray(bounds_min, float)[:2]
+        self.hi = np.asarray(bounds_max, float)[:2]
+        self.res = resolution
+        self.canvas = np.full((resolution, resolution, 3), 255, np.uint8)
+
+    def _to_px(self, xy) -> tuple:
+        xy = np.asarray(xy, float)[:2]
+        span = np.maximum(self.hi - self.lo, 1e-6)
+        uv = (xy - self.lo) / span
+        j = int(np.clip(uv[0] * (self.res - 1), 0, self.res - 1))
+        i = int(np.clip((1 - uv[1]) * (self.res - 1), 0, self.res - 1))
+        return i, j
+
+    def draw_point(self, xy, color=(200, 60, 60), radius: int = 3):
+        i, j = self._to_px(xy)
+        lo_i, hi_i = max(i - radius, 0), min(i + radius + 1, self.res)
+        lo_j, hi_j = max(j - radius, 0), min(j + radius + 1, self.res)
+        self.canvas[lo_i:hi_i, lo_j:hi_j] = color
+
+    def draw_path(self, points: Sequence, color=(60, 60, 200)):
+        pts = [self._to_px(p) for p in points]
+        for (i0, j0), (i1, j1) in zip(pts, pts[1:]):
+            n = max(abs(i1 - i0), abs(j1 - j0), 1)
+            for t in range(n + 1):
+                i = i0 + (i1 - i0) * t // n
+                j = j0 + (j1 - j0) * t // n
+                self.canvas[i, j] = color
+
+    def save(self, path: str):
+        from wiw_tpu.agents.saver import save_image
+
+        save_image(path, self.canvas)
+
+
+def trajectory_map(points: Sequence, waypoints: Optional[Sequence] = None,
+                   resolution: int = 256) -> np.ndarray:
+    pts = np.asarray([np.asarray(p, float)[:2] for p in points])
+    lo = pts.min(axis=0) - 0.5
+    hi = pts.max(axis=0) + 0.5
+    m = TopdownMap(lo, hi, resolution)
+    m.draw_path(pts)
+    for w in waypoints or []:
+        m.draw_point(w)
+    return m.canvas
