@@ -1,0 +1,47 @@
+"""Multi-host mesh initialization.
+
+The reference's multi-host story is manual TCP plumbing + SSH tunnels
+(docs/03_run_commands.md:240-262). TPU-native: `jax.distributed.initialize`
+joins all hosts of a pod slice into one process group; meshes built from
+`jax.devices()` then span hosts, and pjit collectives ride ICI within a
+pod and DCN across pods — no NCCL, no hand-written transports.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Join the jax.distributed process group (no-op on single host / when
+    already initialized). On Cloud TPU the arguments auto-detect."""
+    already = getattr(jax.distributed, "is_initialized", lambda: False)()
+    if not already and (
+        coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("TPU_WORKER_HOSTNAMES", "localhost") != "localhost"
+    ):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except Exception as e:  # single-host fallback
+            print(f"[multihost] distributed init skipped: {e!r}")
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0

@@ -41,6 +41,8 @@ class Executor:
     """Interface: submit (client_id, task_id, input_dict); completions are
     delivered to the manager's result queue."""
 
+    alive: bool = True
+
     def submit(self, client_id: int, task_id: int, payload: dict) -> None:
         raise NotImplementedError
 
@@ -158,6 +160,12 @@ class SubprocessExecutor(Executor):
             try:
                 cid, tid, result = read_pickled_fd(self.r_fd, watchdog_secs=1e9)
             except (EOFError, OSError):
+                # dead worker: mark unavailable so dispatch skips it
+                # (the reference logs + removes the fd,
+                # worker_manager.py:369-379); the manager keeps serving on
+                # the remaining executors
+                self.alive = False
+                print(f"[manager] worker died: {self.cmd}", flush=True)
                 break
             with self._lock:
                 self.pending -= 1
@@ -278,9 +286,14 @@ class ManagerServer:
                 handler.deliver(tid, result)
 
     def dispatch(self, client_id: int, task_id: int, payload: dict):
-        """Least-pending dispatch across executors
+        """Least-pending dispatch across live executors
         (worker_manager.py:555-570)."""
-        ex = min(self.executors, key=lambda e: e.pending)
+        live = [e for e in self.executors if e.alive]
+        if not live:
+            self._results.put((client_id, task_id,
+                               {"error": "no live workers", "save_dirs": []}))
+            return
+        ex = min(live, key=lambda e: e.pending)
         ex.submit(client_id, task_id, payload)
 
 

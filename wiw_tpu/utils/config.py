@@ -38,6 +38,9 @@ WM_REGISTRY: Dict[str, dict] = {
     "nwm": {"mode": "text", "worker": "external"},
     "se3ds": {"mode": "camera", "worker": "external"},
     "pathdreamer": {"mode": "camera", "worker": "external"},
+    # commercial API world model (the reference references a runway worker
+    # it never shipped, SURVEY.md 2.10) — served as an external worker
+    "gen4tur": {"mode": "text", "worker": "external"},
 }
 
 OUT_WIDTH_DEFAULT = 480  # workers_cfg.py:14-16

@@ -1,0 +1,55 @@
+"""Profiling hooks (the reference has none; SURVEY.md section 5 calls for
+JAX profiler hooks + per-request latency metrics — the latter live in
+wiw_tpu/serve/manager.py)."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/wiw_profile"):
+    """Capture a JAX profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    """Wall-clock section timer with named laps (ETA prints replacement,
+    solver_AR.py:248-254)."""
+
+    def __init__(self):
+        self.laps = {}
+        self._t0 = time.perf_counter()
+
+    def lap(self, name: str) -> float:
+        now = time.perf_counter()
+        dt = now - self._t0
+        self.laps[name] = self.laps.get(name, 0.0) + dt
+        self._t0 = now
+        return dt
+
+    def eta(self, done: int, total: int) -> str:
+        elapsed = sum(self.laps.values())
+        if done == 0:
+            return "eta --:--"
+        rate = elapsed / done
+        rem = rate * (total - done)
+        return f"eta {int(rem // 60):02d}:{int(rem % 60):02d}"
+
+
+def synced_seconds(fn, *args, reps: int = 3) -> float:
+    """Time a jitted scalar-returning fn with forced host sync (the axon
+    relay's block_until_ready does not synchronize)."""
+    float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / reps
