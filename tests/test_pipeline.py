@@ -128,3 +128,23 @@ class TestTrainer:
         assert any("add_action_proj" in t for t in trainables)
         assert any("add_embedding_noise" in t for t in trainables)
         assert not any("conv_in" in t for t in trainables)
+
+
+class TestShardedGeneration:
+    def test_generate_on_mesh(self):
+        from wiw_tpu.parallel.mesh import make_mesh
+
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(dp=8, fsdp=1)
+        pipe = tiny_pipeline("micro_cond")
+        img = jax.random.uniform(jax.random.PRNGKey(0), (8, 32, 64, 3)) * 2 - 1
+        acts = jnp.asarray(
+            np.random.default_rng(0).integers(1, 4, (8, 3)), jnp.int32
+        )
+        v = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts,
+                          mesh=mesh)
+        assert v.shape == (8, 3, 32, 64, 3)
+        assert np.isfinite(np.asarray(v)).all()
+        # single-device result must match the sharded result
+        v1 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v1), atol=2e-3)

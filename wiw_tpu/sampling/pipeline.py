@@ -128,16 +128,42 @@ class SVDPipeline:
         gen: GenerationConfig,
         actions: Optional[jnp.ndarray] = None,
         past_images: Optional[jnp.ndarray] = None,
+        mesh=None,
     ) -> jnp.ndarray:
         """image: [B, H, W, 3] in [-1, 1]; actions: [B, F] ids or [B, F, 8]
         poses or None. Returns video [B, F, H, W, 3] in [0, 1] (fp32).
+
+        With `mesh` (a ('dp','fsdp') Mesh), the request batch shards over
+        all mesh devices (params replicated) — the multi-chip serving path:
+        the CFG fold keeps per-device batches even, so B requests run as
+        2B/n_devices UNet rows per chip over ICI.
         """
         assert self.params is not None, "load or init params first"
-        fn = self._jitted_generate(gen, actions is not None, past_images is not None)
+        fn = self._jitted_generate(gen, actions is not None,
+                                   past_images is not None, mesh)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.size
+            if image.shape[0] % n_dev != 0:
+                raise ValueError(
+                    f"batch {image.shape[0]} must be a multiple of the mesh "
+                    f"size {n_dev}; pad the request batch (the serving plane "
+                    "buckets requests to device-divisible batches)"
+                )
+            bsh = NamedSharding(mesh, P(("dp", "fsdp")))
+            repl = NamedSharding(mesh, P())
+            params = jax.device_put(self.params, repl)
+            image = jax.device_put(image, bsh)
+            if actions is not None:
+                actions = jax.device_put(actions, bsh)
+            if past_images is not None:
+                past_images = jax.device_put(past_images, bsh)
+            return fn(params, key, image, actions, past_images)
         return fn(self.params, key, image, actions, past_images)
 
     @functools.lru_cache(maxsize=32)
-    def _jitted_generate(self, gen, has_actions, has_past):
+    def _jitted_generate(self, gen, has_actions, has_past, mesh=None):
         """One compiled executable per (gen-config, arg-presence) bucket."""
         return jax.jit(functools.partial(self._generate_impl, gen))
 
