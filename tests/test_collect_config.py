@@ -139,3 +139,32 @@ class TestConfig:
         assert s.resolved_world_model_type() == "camera"
         s2 = CFG.SolverRunConfig(wm_type="igenex", world_model_type="GTsim")
         assert s2.resolved_world_model_type() == "GTsim"
+
+
+class TestWorkerCommands:
+    def test_builtin_worker_cmds(self):
+        from wiw_tpu.utils.config import WorkerConfig, build_worker_commands
+
+        w = WorkerConfig(wm_type="igenex", num_workers=2, devices=[0, 1],
+                         unet_path="/ckpt/u", extra={"num_inference_steps": 20})
+        cmds = build_worker_commands(w)
+        assert len(cmds) == 2
+        argv0, env0 = cmds[0]
+        assert "wiw_tpu.workers.svd_action" in argv0
+        assert "--unet_path" in argv0 and "/ckpt/u" in argv0
+        assert env0["CUDA_VISIBLE_DEVICES"] == "0"
+        assert cmds[1][1]["CUDA_VISIBLE_DEVICES"] == "1"
+        assert "--num_inference_steps" in argv0
+
+    def test_external_requires_cmd(self):
+        import pytest as _pytest
+
+        from wiw_tpu.utils.config import WorkerConfig, build_worker_commands
+
+        w = WorkerConfig(wm_type="cosmos20", num_workers=1)
+        with _pytest.raises(ValueError, match="external"):
+            build_worker_commands(w)
+        w2 = WorkerConfig(wm_type="cosmos20", num_workers=1,
+                          extra={"cmd": "/env/bin/python cosmos_worker.py"})
+        argv, _ = build_worker_commands(w2)[0]
+        assert argv[:2] == ["/env/bin/python", "cosmos_worker.py"]

@@ -132,10 +132,44 @@ def main(argv=None):
             writer.add_scalar("train/loss", loss, step)
         if step % args.checkpointing_steps == 0 and step > 0:
             ckpts.save(step, state)
+        if args.validation_steps and step % args.validation_steps == 0 and step > 0:
+            metrics_val = run_validation(pipe, state, gen, batch, args)
+            for k, v in metrics_val.items():
+                writer.add_scalar(f"val/{k}", v, step)
+            print(f"validation @ {step}: {metrics_val}")
         if step >= args.max_steps:
             break
     ckpts.save(int(state["step"]), state)
     writer.close()
+
+
+def run_validation(pipe, state, gen, batch, args):
+    """Inline validation (train_svd.py:995-1029, :1140-1193 role): generate
+    clips from the current params conditioned on the batch's first frames
+    and score them against the ground-truth clips."""
+    import dataclasses as _dc
+
+    from wiw_tpu.eval.metrics import evaluate_video_metrics
+
+    px = np.asarray(batch["pixel_values"])
+    if px.ndim == 6:  # grad-accum leading axis
+        px = px[0]
+    acts = np.asarray(batch["actions"])
+    if acts.ndim == 3:
+        acts = acts[0]
+    n = min(2, px.shape[0])
+    cond = jnp.asarray(px[:n, 0])
+    old_params = pipe.params
+    pipe.params = dict(old_params, unet=jax.device_get(state["params"]))
+    try:
+        vgen = _dc.replace(gen, num_inference_steps=8)
+        video = pipe.generate(
+            jax.random.PRNGKey(0), cond, vgen, actions=jnp.asarray(acts[:n])
+        )
+        gt = jnp.asarray(px[:n]) * 0.5 + 0.5
+        return evaluate_video_metrics(video, gt, metrics=("psnr", "ssim"))
+    finally:
+        pipe.params = old_params
 
 
 if __name__ == "__main__":

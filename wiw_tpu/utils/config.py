@@ -160,6 +160,54 @@ def _from_dict(cls, data: dict):
     return cls(**kwargs)
 
 
+def build_worker_commands(
+    worker: WorkerConfig, python: str = "python"
+) -> List[tuple]:
+    """[(argv, env), ...] for `num_workers` subprocess workers.
+
+    Replaces workers_cfg.get_worldmodel_workers_cmd + set_cuda_devices
+    (workers_cfg.py:244-333): per-worker device assignment round-robins
+    over `devices` (CUDA_VISIBLE_DEVICES for torch workers; TPU workers
+    normally run in-process instead).
+    """
+    import os
+
+    spec = WM_REGISTRY.get(worker.wm_type, {})
+    out = []
+    for i in range(worker.num_workers):
+        env = dict(os.environ)
+        if worker.devices:
+            dev = worker.devices[i % len(worker.devices)]
+            env["CUDA_VISIBLE_DEVICES"] = str(dev)
+        if spec.get("worker") == "external" or "cmd" in worker.extra:
+            template = worker.extra.get("cmd")
+            if not template:
+                raise ValueError(
+                    f"wm_type {worker.wm_type} is an external worker: set "
+                    "worker.extra['cmd'] to its launch command"
+                )
+            argv = template.split() if isinstance(template, str) else list(template)
+        else:
+            module = spec.get("worker", "wiw_tpu.workers.svd_action")
+            argv = [python, "-m", module,
+                    "--out_width", str(worker.out_width),
+                    "--out_height", str(worker.out_height)]
+            if worker.unet_path:
+                argv += ["--unet_path", worker.unet_path]
+            if worker.svd_path:
+                argv += ["--svd_path", worker.svd_path]
+            if "action_input_channel" in spec:
+                argv += ["--action_input_channel", str(spec["action_input_channel"])]
+            if "width" in spec:
+                argv += ["--width", str(spec["width"]),
+                         "--height", str(spec["height"])]
+        for k, v in worker.extra.items():
+            if k != "cmd":
+                argv += [f"--{k}", str(v)]
+        out.append((argv, env))
+    return out
+
+
 def load_deployment(path_or_dict, overrides: Optional[Dict[str, str]] = None
                     ) -> DeploymentConfig:
     if isinstance(path_or_dict, str):
