@@ -1,0 +1,66 @@
+"""CDiT (NWM) model tests on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wiw_tpu.models.cdit import CDiT, CDiTConfig, ddim_sample
+
+TINY = CDiTConfig(
+    input_size=8, context_size=2, patch_size=2, in_channels=4,
+    hidden_size=32, depth=2, num_heads=2,
+)
+
+
+def _inputs(B=2):
+    return dict(
+        x=jnp.zeros((B, 8, 8, 4)),
+        t=jnp.full((B,), 10.0),
+        action_xya=jnp.zeros((B, 3)),
+        x_cond=jnp.zeros((B, 2, 8, 8, 4)),
+        rel_t=jnp.ones((B,)),
+    )
+
+
+class TestCDiT:
+    def test_forward_shapes(self):
+        model = CDiT(TINY)
+        inp = _inputs()
+        params = model.init(jax.random.PRNGKey(0), **inp)
+        out = model.apply(params, **inp)
+        assert out.shape == (2, 8, 8, 8)  # learn_sigma doubles channels
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_action_conditioning_live(self):
+        model = CDiT(TINY)
+        inp = _inputs(B=1)
+        params = model.init(jax.random.PRNGKey(0), **inp)
+        o1 = model.apply(params, **inp)
+        o2 = model.apply(params, **dict(inp, action_xya=jnp.ones((1, 3))))
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_context_conditioning_live(self):
+        model = CDiT(TINY)
+        inp = _inputs(B=1)
+        params = model.init(jax.random.PRNGKey(0), **inp)
+        o1 = model.apply(params, **inp)
+        o2 = model.apply(
+            params, **dict(inp, x_cond=jnp.ones((1, 2, 8, 8, 4)))
+        )
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+    def test_ddim_sampling(self):
+        model = CDiT(TINY)
+        inp = _inputs(B=1)
+        params = model.init(jax.random.PRNGKey(0), **inp)
+
+        def apply(p, x, t, a, xc, rt):
+            return model.apply(p, x, t, a, xc, rt)
+
+        out = ddim_sample(
+            apply, params, jax.random.PRNGKey(1), (1, 8, 8, 4),
+            x_cond=inp["x_cond"], action_xya=inp["action_xya"],
+            rel_t=inp["rel_t"], num_steps=3,
+        )
+        assert out.shape == (1, 8, 8, 4)
+        assert np.isfinite(np.asarray(out)).all()

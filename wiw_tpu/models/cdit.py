@@ -1,0 +1,251 @@
+"""CDiT: conditional diffusion transformer (the Navigation World Model
+backbone the reference vendors under downstream/api_models/nwm/).
+
+Architecture parity (no code copied) with nwm/diffusion/cdit.py:26-260:
+  * patch-embed the noisy latent and the `context_size` past-frame latents
+    with a shared projection + learned per-slot positional embeddings
+  * conditioning vector c = t_emb + rel_time_emb + action_emb, where the
+    action (x, y, yaw) embeds via three Fourier-MLP towers summed
+  * CDiTBlock: adaLN-Zero with an 11-way modulation (self-attn, cross-attn
+    to the context tokens, MLP — each with shift/scale/gate; the context
+    norm gets shift/scale only)
+  * FinalLayer: adaLN shift/scale -> linear to patch pixels; unpatchify
+  * learn_sigma doubles the output channels (mean ++ var)
+
+DDPM/DDIM sampling lives in `ddim_sample` (gaussian_diffusion.py role):
+linear beta schedule, epsilon prediction, learned-variance channels
+ignored at sampling (DDIM eta=0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from wiw_tpu.core.schedule import timestep_embedding
+from wiw_tpu.ops.attention import attention_bsd
+
+
+@dataclasses.dataclass(frozen=True)
+class CDiTConfig:
+    input_size: int = 32
+    context_size: int = 4
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    learn_sigma: bool = True
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def num_patches(self) -> int:
+        return (self.input_size // self.patch_size) ** 2
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * (2 if self.learn_sigma else 1)
+
+
+class FourierMLP(nn.Module):
+    """Sinusoidal(256) -> MLP(hidden) (the nwm TimestepEmbedder shape)."""
+
+    hidden: int
+    freq_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, v):  # [...,]
+        emb = timestep_embedding(v, self.freq_dim).astype(self.dtype)
+        h = nn.Dense(self.hidden, dtype=self.dtype, name="mlp_0")(emb)
+        h = nn.silu(h)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="mlp_2")(h)
+
+
+class ActionEmbedderXYA(nn.Module):
+    """(x, y, angle) -> hidden via three summed Fourier towers
+    (cdit.py:65-81)."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xya):  # [B, 3]
+        return (
+            FourierMLP(self.hidden, dtype=self.dtype, name="x_emb")(xya[:, 0])
+            + FourierMLP(self.hidden, dtype=self.dtype, name="y_emb")(xya[:, 1])
+            + FourierMLP(self.hidden, dtype=self.dtype, name="angle_emb")(xya[:, 2])
+        )
+
+
+def _modulate(x, shift, scale):
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def _ln(x):
+    """LayerNorm without affine params, eps 1e-6, fp32 stats."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+class CDiTBlock(nn.Module):
+    cfg: CDiTConfig
+
+    @nn.compact
+    def __call__(self, x, c, x_cond):
+        C = self.cfg.hidden_size
+        heads = self.cfg.num_heads
+        dt = self.cfg.jdtype
+        mod = nn.Dense(11 * C, dtype=dt, name="adaLN_modulation_1")(nn.silu(c))
+        (s_msa, sc_msa, g_msa, s_cx, sc_cx, s_x, sc_x, g_cx, s_mlp, sc_mlp,
+         g_mlp) = jnp.split(mod, 11, axis=-1)
+
+        # 1. self-attention (qkv bias)
+        h = _modulate(_ln(x), s_msa, sc_msa)
+        qkv = nn.Dense(3 * C, dtype=dt, name="attn_qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        h = attention_bsd(q, k, v, heads)
+        h = nn.Dense(C, dtype=dt, name="attn_proj")(h)
+        x = x + g_msa[:, None, :] * h
+
+        # 2. cross-attention to context tokens (bias_kv appended)
+        ctx = _modulate(_ln(x_cond), s_cx, sc_cx)
+        hq = _modulate(_ln(x), s_x, sc_x)
+        q = nn.Dense(C, dtype=dt, name="cttn_q")(hq)
+        k = nn.Dense(C, dtype=dt, name="cttn_k")(ctx)
+        v = nn.Dense(C, dtype=dt, name="cttn_v")(ctx)
+        bias_k = self.param("cttn_bias_k", nn.initializers.normal(0.02), (C,),
+                            jnp.float32)
+        bias_v = self.param("cttn_bias_v", nn.initializers.normal(0.02), (C,),
+                            jnp.float32)
+        B = k.shape[0]
+        k = jnp.concatenate(
+            [k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, C))], axis=1
+        )
+        v = jnp.concatenate(
+            [v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, C))], axis=1
+        )
+        h = attention_bsd(q, k, v, heads)
+        h = nn.Dense(C, dtype=dt, name="cttn_out")(h)
+        x = x + g_cx[:, None, :] * h
+
+        # 3. MLP (gelu tanh)
+        h = _modulate(_ln(x), s_mlp, sc_mlp)
+        h = nn.Dense(int(C * self.cfg.mlp_ratio), dtype=dt, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(C, dtype=dt, name="mlp_fc2")(h)
+        return x + g_mlp[:, None, :] * h
+
+
+class CDiT(nn.Module):
+    """x [B, H, W, C] noisy latent; x_cond [B, T_ctx, H, W, C]; t [B];
+    action_xya [B, 3]; rel_t [B] -> [B, H, W, out_channels]."""
+
+    cfg: CDiTConfig = CDiTConfig()
+
+    @nn.compact
+    def __call__(self, x, t, action_xya, x_cond, rel_t):
+        cfg = self.cfg
+        dt = cfg.jdtype
+        B, H, W, Cin = x.shape
+        P = cfg.patch_size
+        D = cfg.hidden_size
+        n_patch = (H // P) * (W // P)
+
+        embed = nn.Conv(D, (P, P), strides=(P, P), dtype=dt, name="x_embedder")
+
+        def patchify(img):  # shared projection for x and context frames
+            return embed(img).reshape(-1, n_patch, D)
+
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (cfg.context_size + 1, cfg.num_patches, D), jnp.float32,
+        ).astype(dt)
+
+        xt = patchify(x.astype(dt)) + pos[cfg.context_size]
+        ctx = patchify(
+            x_cond.astype(dt).reshape(B * cfg.context_size, H, W, Cin)
+        ).reshape(B, cfg.context_size, n_patch, D)
+        ctx = (ctx + pos[: cfg.context_size][None]).reshape(
+            B, cfg.context_size * n_patch, D
+        )
+
+        c = (
+            FourierMLP(D, dtype=dt, name="t_embedder")(t)
+            + FourierMLP(D, dtype=dt, name="time_embedder")(rel_t)
+            + ActionEmbedderXYA(D, dtype=dt, name="y_embedder")(action_xya)
+        )
+
+        for i in range(cfg.depth):
+            xt = CDiTBlock(cfg, name=f"blocks_{i}")(xt, c, ctx)
+
+        # final layer
+        mod = nn.Dense(2 * D, dtype=dt, name="final_adaLN_1")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        h = _modulate(_ln(xt), shift, scale)
+        h = nn.Dense(P * P * cfg.out_channels, dtype=dt, name="final_linear")(h)
+
+        # unpatchify [B, n_patch, P*P*C] -> [B, H, W, C_out]
+        hp = H // P
+        h = h.reshape(B, hp, hp, P, P, cfg.out_channels)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, cfg.out_channels)
+        return h.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# DDPM/DDIM sampling (gaussian_diffusion.py role)
+# ---------------------------------------------------------------------------
+
+def linear_betas(num_steps: int = 1000, start: float = 1e-4,
+                 end: float = 2e-2) -> jnp.ndarray:
+    return jnp.linspace(start, end, num_steps)
+
+
+def ddim_sample(
+    model_apply,
+    params,
+    key: jax.Array,
+    shape,
+    x_cond,
+    action_xya,
+    rel_t,
+    num_steps: int = 50,
+    train_steps: int = 1000,
+) -> jnp.ndarray:
+    """DDIM (eta=0) over a linear-beta schedule with epsilon prediction;
+    learned-variance channels are discarded (cdit learn_sigma)."""
+    betas = linear_betas(train_steps)
+    alphas_bar = jnp.cumprod(1.0 - betas)
+    ts = jnp.linspace(train_steps - 1, 0, num_steps).astype(jnp.int32)
+
+    x = jax.random.normal(key, shape)
+
+    def step(x, i):
+        t = ts[i]
+        t_next = jnp.where(i + 1 < num_steps, ts[jnp.minimum(i + 1, num_steps - 1)], -1)
+        ab_t = alphas_bar[t]
+        ab_next = jnp.where(t_next >= 0, alphas_bar[jnp.maximum(t_next, 0)], 1.0)
+        out = model_apply(
+            params, x, jnp.full((shape[0],), t, jnp.float32), action_xya,
+            x_cond, rel_t,
+        )
+        eps = out[..., : shape[-1]]
+        x0 = (x - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
+        x0 = jnp.clip(x0, -4.0, 4.0)
+        x_next = jnp.sqrt(ab_next) * x0 + jnp.sqrt(1 - ab_next) * eps
+        return x_next, None
+
+    x, _ = jax.lax.scan(step, x, jnp.arange(num_steps))
+    return x

@@ -35,7 +35,8 @@ WM_REGISTRY: Dict[str, dict] = {
     "hunyuan": {"mode": "text", "worker": "external"},
     "wan21": {"mode": "text", "worker": "external"},
     "wan22": {"mode": "text", "worker": "external"},
-    "nwm": {"mode": "text", "worker": "external"},
+    "nwm": {"mode": "text", "worker": "wiw_tpu.workers.nwm_worker",
+            "width": 224, "height": 224},
     "se3ds": {"mode": "camera", "worker": "external"},
     "pathdreamer": {"mode": "camera", "worker": "external"},
     # commercial API world model (the reference references a runway worker

@@ -1,0 +1,134 @@
+"""NWM (CDiT) world-model worker: autoregressive single-frame rollout.
+
+Behavioral parity (no code copied) with downstream/api_models/nwm_model.py:
+the reference wraps the vendored torch CDiT + gaussian diffusion behind the
+serving contract, initializing torch.distributed single-process
+(:36-60 — unnecessary here; JAX needs no process group for one chip).
+
+Native path: wiw_tpu.models.cdit.CDiT + DDIM sampling. Each nav action id
+maps to a pose delta (dx, dy, dyaw); the model predicts the next latent
+conditioned on the last `context_size` frame latents, rolled out
+`num_frames - 1` times (frame 0 = the conditioning image).
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Optional
+
+import numpy as np
+
+from wiw_tpu.agents.solver import UNIT_FORWARD_M, UNIT_TURN_DEG
+from wiw_tpu.workers.base import WorkerModelBase
+
+# nav action id -> (dx_m, dy_m, dyaw_rad)
+_ACTION_DELTAS = {
+    1: (UNIT_FORWARD_M, 0.0, 0.0),
+    2: (0.0, 0.0, np.deg2rad(UNIT_TURN_DEG)),
+    3: (0.0, 0.0, -np.deg2rad(UNIT_TURN_DEG)),
+    4: (0.0, 0.0, 0.0),
+    0: (0.0, 0.0, 0.0),
+}
+
+
+class NWMWorker(WorkerModelBase):
+    task_type = "navigation"
+    width = height = 224
+
+    def __init__(self, checkpoint: str = "", context_size: int = 4,
+                 image_size: int = 224, num_steps: int = 20, seed: int = 0):
+        import jax
+
+        from wiw_tpu.models.cdit import CDiT, CDiTConfig
+        from wiw_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+
+        self.width = self.height = image_size
+        latent = image_size // 8
+        self.cfg = CDiTConfig(
+            input_size=latent, context_size=context_size, dtype="bfloat16"
+        )
+        self.model = CDiT(self.cfg)
+        self.vae = AutoencoderKLTemporal(VAEConfig())
+        self.num_steps = num_steps
+        self._key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        if checkpoint:
+            from wiw_tpu.models import convert as C
+
+            self.params = C.convert_state_dict(
+                C.load_safetensors_dir(checkpoint)
+            )
+            self.vae_params = C.convert_state_dict(
+                C.load_safetensors_dir(osp.join(checkpoint, "vae"))
+            )
+        else:
+            print("[nwm] no checkpoint: random-init weights (debug)")
+            import jax.numpy as jnp
+
+            self.params = self.model.init(
+                k1,
+                jnp.zeros((1, latent, latent, 4)),
+                jnp.zeros((1,)),
+                jnp.zeros((1, 3)),
+                jnp.zeros((1, context_size, latent, latent, 4)),
+                jnp.ones((1,)),
+            )
+            self.vae_params = self.vae.init(
+                k2, jnp.zeros((1, image_size, image_size, 3)), 1
+            )["params"]
+
+    # ------------------------------------------------------------------
+    def generate(self, images: np.ndarray, actions: np.ndarray,
+                 prompts) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from wiw_tpu.models.cdit import ddim_sample
+
+        B = images.shape[0]
+        F = actions.shape[1]
+        latent = self.cfg.input_size
+        ctx_n = self.cfg.context_size
+
+        imgs = jnp.asarray(images, jnp.float32) / 127.5 - 1.0
+        z0 = self.vae.apply(
+            {"params": self.vae_params}, imgs, method=self.vae.encode
+        )  # [B, h, w, 4]
+
+        frames = [np.asarray(images, np.uint8)]
+        ctx = jnp.repeat(z0[:, None], ctx_n, axis=1)  # warm context
+        for f in range(1, F):
+            deltas = np.stack([
+                _ACTION_DELTAS.get(int(a), (0.0, 0.0, 0.0))
+                for a in actions[:, f]
+            ])
+            self._key, sub = jax.random.split(self._key)
+            z = ddim_sample(
+                lambda p, x, t, a, xc, rt: self.model.apply(p, x, t, a, xc, rt),
+                self.params, sub, (B, latent, latent, 4),
+                x_cond=ctx, action_xya=jnp.asarray(deltas, jnp.float32),
+                rel_t=jnp.full((B,), float(f) / F),
+                num_steps=self.num_steps,
+            )
+            decoded = self.vae.apply(
+                {"params": self.vae_params}, z, 1, method=self.vae.decode
+            )[:, 0]
+            u8 = np.asarray(
+                jnp.clip(decoded * 0.5 + 0.5, 0, 1) * 255
+            ).astype(np.uint8)
+            frames.append(u8)
+            ctx = jnp.concatenate([ctx[:, 1:], z[:, None]], axis=1)
+        return np.stack(frames, axis=1)  # [B, F, H, W, 3]
+
+
+def main():
+    import os
+
+    worker = NWMWorker(checkpoint=os.environ.get("NWM_CKPT", ""))
+    from wiw_tpu.serve.worker import main_from_argv
+
+    main_from_argv(worker)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,7 @@ class SVDActionWorker:
 
         self.task_type = task_type
         self.out_size = (out_width, out_height)
+        action_strategy = action_strategy or None  # "" -> no conditioning
         self.gen = GenerationConfig(
             height=height, width=width, num_frames=num_frames,
             num_inference_steps=num_inference_steps, task_type=task_type,
