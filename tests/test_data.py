@@ -141,3 +141,32 @@ class TestDatasets:
         assert len(entries) == 3
         assert w[1] == 0.0  # cutoff
         assert w[0] > w[2] > 0  # lower void ratio -> higher weight
+
+
+class TestIGDatasetPacking:
+    def test_pack_and_lazy_load(self, tmp_path):
+        import gzip
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        from wiw_tpu.agents.datasets import IGDataset
+        from wiw_tpu.data.ig_dataset_prep import pack_ig_dataset
+
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        episodes = []
+        for i in range(3):
+            p = imgs / f"goal{i}.png"
+            Image.fromarray(np.full((8, 8, 3), i * 40, np.uint8)).save(p)
+            episodes.append({"episode_id": i, "scene_id": "s",
+                             "goal_image_path": str(p)})
+        out_json = str(tmp_path / "episodes_IG.json.gz")
+        out_zip = str(tmp_path / "goals.zip")
+        pack_ig_dataset(episodes, out_json, out_zip)
+        ds = IGDataset(out_json, goal_zip=out_zip, cache_dir=str(tmp_path))
+        assert len(ds) == 3
+        path = ds.goal_image_path(ds[1])
+        arr = np.asarray(Image.open(path))
+        assert arr[0, 0, 0] == 40

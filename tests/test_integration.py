@@ -1,0 +1,84 @@
+"""Full-stack closed loop: solver -> TCP manager -> continuous-batching
+executor -> REAL SVD pipeline (tiny random weights) -> frames back.
+
+This is the production path end-to-end minus habitat and pretrained
+weights; marked slow (several jit compiles).
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def make_tiny_worker():
+    """A real SVDActionWorker with a tiny random-weight pipeline."""
+    import jax
+
+    from wiw_tpu.models.clip import CLIPVisionConfig
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.models.vae import VAEConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+    from wiw_tpu.workers.svd_action import SVDActionWorker
+
+    worker = SVDActionWorker.__new__(SVDActionWorker)
+    worker.task_type = "navigation"
+    worker.out_size = (24, 24)
+    worker.gen = GenerationConfig(
+        height=32, width=64, num_frames=4, num_inference_steps=2,
+    )
+    unet_cfg = UNetConfig(
+        block_out_channels=(16, 32), num_attention_heads=(2, 4),
+        layers_per_block=1, num_frames=4,
+        action_strategy="micro_cond", action_input_channel=4,
+    )
+    worker.pipe = SVDPipeline(
+        unet_cfg,
+        VAEConfig(block_out_channels=(8, 8, 8), layers_per_block=1),
+        CLIPVisionConfig(hidden_size=16, intermediate_size=32, num_layers=1,
+                         num_heads=2, patch_size=56, projection_dim=1024),
+    )
+    worker.pipe.init_params(jax.random.PRNGKey(0), worker.gen)
+    worker._key = jax.random.PRNGKey(7)
+    return worker
+
+
+class TestFullStack:
+    def test_solver_through_real_pipeline(self, tmp_path):
+        from wiw_tpu.agents.solver import FakeSimulator, Solver, SolverConfig
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+
+        worker = make_tiny_worker()
+        server = ManagerServer(
+            [InProcessExecutor(worker, max_batch=4)], port=17810,
+        )
+        port = server.start()
+        try:
+            sim = FakeSimulator(height=32, width=64)
+            solver = Solver(
+                SolverConfig(world_model_type="action", igenex_n_frame=4,
+                             look_ahead_action_num=2, wm_port=port,
+                             request_model_name="igenex"),
+                sim=sim,
+            )
+            candidates = [["turn_left", "forward"], ["forward", "forward"]]
+            out = solver.imagine_by_model_type(candidates, str(tmp_path))
+            frames = out["pred_frames"]
+            # serving contract: uint8 [B, T, C, H, W] at the out resolution
+            assert frames.shape == (2, 4, 3, 24, 24)
+            assert frames.dtype == np.uint8
+            # generation actually varies across frames and candidates
+            assert frames.std() > 0
+        finally:
+            server.stop()
+
+    def test_worker_debug_contract_direct(self):
+        worker = make_tiny_worker()
+        out = worker({
+            "b_action": np.array([[4, 2, 1, 1]], np.int64),
+            "b_image": np.zeros((1, 3, 32, 64), np.uint8),
+            "save_dirs": ["/tmp/wiw_it"],
+            "request_model_name": "igenex",
+            "return_objects": [True],
+        })
+        assert out["pred_frames"].shape == (1, 4, 3, 24, 24)
