@@ -99,10 +99,30 @@ def _recv_exactly(sock, n: int) -> bytes:
     return bytes(buf)
 
 
+def _loads_compat(data: bytes) -> Any:
+    """Unpickle with NumPy 1.x <-> 2.x module-path tolerance
+    (worker_manager.py:46-95 role): old torch workers pickle arrays under
+    numpy.core.*, new ones under numpy._core.*."""
+    try:
+        return pickle.loads(data)
+    except ModuleNotFoundError as e:
+        msg = str(e)
+        if "numpy._core" in msg or "numpy.core" in msg:
+            import sys
+
+            import numpy.core as _nc
+
+            sys.modules.setdefault("numpy._core", _nc)
+            sys.modules.setdefault("numpy._core.numeric", _nc.numeric)
+            sys.modules.setdefault("numpy._core.multiarray", _nc.multiarray)
+            return pickle.loads(data)
+        raise
+
+
 def read_framed(sock) -> Any:
     header = _recv_exactly(sock, 4)
     (length,) = struct.unpack(">I", header)
-    return pickle.loads(_recv_exactly(sock, length))
+    return _loads_compat(_recv_exactly(sock, length))
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +156,7 @@ def _read_fully_fd(fd: int, n: int, watchdog_secs: float = 300.0) -> bytes:
 def read_pickled_fd(fd: int, watchdog_secs: float = 300.0) -> Any:
     header = _read_fully_fd(fd, 4, watchdog_secs)
     (length,) = struct.unpack(">I", header)
-    return pickle.loads(_read_fully_fd(fd, length, watchdog_secs))
+    return _loads_compat(_read_fully_fd(fd, length, watchdog_secs))
 
 
 # ---------------------------------------------------------------------------
