@@ -1,0 +1,123 @@
+"""Layer-by-layer activation diffing against a torch reference model.
+
+The weight-exact UNet port is the top-ranked hard part (SURVEY.md section 7
+"Hard parts" #1): converted checkpoints must reproduce reference
+activations layer by layer before FVD parity is meaningful. This harness:
+
+  1. `capture_flax_activations`: runs our model with `capture_intermediates`
+     and flattens the outputs by module path.
+  2. `capture_torch_activations`: registers forward hooks on a torch module
+     (diffusers UNet etc.) keyed by dotted module name.
+  3. `compare_activations`: joins the two sets via the same key grammar as
+     models/convert.translate_key and reports per-layer max-abs / rel
+     errors sorted worst-first.
+
+Works wherever both torch+diffusers and the converted flax params are
+available; on torch-less hosts the flax side still runs for
+self-consistency snapshots (golden-file regression between our own
+versions).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def capture_flax_activations(model, variables, *args, **kwargs) -> Dict[str, np.ndarray]:
+    """{module/path: output array} for every submodule call."""
+    _, state = model.apply(
+        variables, *args, capture_intermediates=True, mutable=["intermediates"],
+        **kwargs,
+    )
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, prefix + (k,))
+        elif isinstance(node, (tuple, list)):
+            for i, v in enumerate(node):
+                walk(v, prefix + (str(i),))
+        else:
+            try:
+                flat["/".join(prefix)] = np.asarray(node)
+            except Exception:
+                pass
+
+    walk(state["intermediates"], ())
+    return flat
+
+
+def capture_torch_activations(module, run: Callable) -> Dict[str, np.ndarray]:
+    """Hook every named submodule, run `run(module)`, return outputs."""
+    import torch
+
+    acts: Dict[str, np.ndarray] = {}
+    handles = []
+
+    def make_hook(name):
+        def hook(_m, _inp, out):
+            t = out[0] if isinstance(out, (tuple, list)) else out
+            if torch.is_tensor(t):
+                acts[name] = t.detach().float().cpu().numpy()
+
+        return hook
+
+    for name, sub in module.named_modules():
+        if name:
+            handles.append(sub.register_forward_hook(make_hook(name)))
+    try:
+        with torch.no_grad():
+            run(module)
+    finally:
+        for h in handles:
+            h.remove()
+    return acts
+
+
+def _channels_last(t: np.ndarray) -> np.ndarray:
+    """torch NCHW / NCFHW -> our channels-last layouts for comparison."""
+    if t.ndim == 4:  # N C H W
+        return t.transpose(0, 2, 3, 1)
+    if t.ndim == 5:  # N C F H W
+        return t.transpose(0, 2, 3, 4, 1)
+    return t
+
+
+def compare_activations(
+    flax_acts: Dict[str, np.ndarray],
+    torch_acts: Dict[str, np.ndarray],
+    translate=None,
+    atol: float = 1e-3,
+) -> List[Tuple[str, float, float]]:
+    """[(key, max_abs_err, rel_err)] for matched layers, worst first."""
+    from wiw_tpu.models.convert import translate_key
+
+    tr = translate or (lambda k: "/".join(translate_key(k)))
+    report = []
+    for tk, tv in torch_acts.items():
+        fk = tr(tk)
+        cands = [k for k in flax_acts
+                 if k == fk or k.startswith(fk + "/") or k.endswith("/" + fk)]
+        if not cands:
+            continue
+        fv = flax_acts[cands[0]]
+        tvl = _channels_last(tv)
+        if fv.shape != tvl.shape:
+            continue
+        diff = np.abs(fv.astype(np.float64) - tvl.astype(np.float64))
+        denom = np.abs(tvl).mean() + 1e-8
+        report.append((fk, float(diff.max()), float(diff.mean() / denom)))
+    report.sort(key=lambda r: -r[1])
+    return report
+
+
+def summarize(report, atol: float = 1e-3) -> str:
+    bad = [r for r in report if r[1] > atol]
+    lines = [f"{len(report)} layers compared; {len(bad)} above atol={atol}"]
+    for k, mx, rel in report[:20]:
+        flag = " <-- MISMATCH" if mx > atol else ""
+        lines.append(f"  {k}: max_abs={mx:.3e} rel={rel:.3e}{flag}")
+    return "\n".join(lines)

@@ -28,7 +28,7 @@ def _is_tpu() -> bool:
         return False
 
 
-def _best_block(seq: int, cap: int = 1024) -> int:
+def _best_block(seq: int, cap: int = 1536) -> int:
     """Largest divisor of `seq` that is a multiple of 128 and <= cap.
 
     The kernel's default block picks poorly for our shapes (~5x slower at

@@ -1,0 +1,104 @@
+"""Serving-plane throughput benchmark: concurrent closed-loop rollouts.
+
+Measures the north-star serving target (BASELINE.md: >= 8 concurrent
+closed-loop agent rollouts sustained): N client threads each run a
+GTsim-style decision loop (propose candidates -> WM imagine -> pick ->
+step), all hitting one manager; reports rollout steps/sec and per-request
+latency percentiles.
+
+Usage (real model):
+  python -m wiw_tpu.serve.benchmarks --port 7000 --clients 8 --steps 5
+Usage (self-contained, fake worker):
+  python -m wiw_tpu.serve.benchmarks --fake
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+import numpy as np
+
+
+def rollout_client(port: int, steps: int, candidates: int, frames: int,
+                   results: list, idx: int):
+    from wiw_tpu.agents.solver import FakeSimulator, Solver, SolverConfig
+
+    sim = FakeSimulator(seed=idx)
+    solver = Solver(
+        SolverConfig(world_model_type="action", igenex_n_frame=frames,
+                     look_ahead_action_num=4, wm_port=port),
+        sim=sim,
+    )
+    latencies = []
+    for s in range(steps):
+        seqs, _ = solver.heur_sample_next_action_seqs([], candidates)
+        t0 = time.perf_counter()
+        out = solver.imagine_by_model_type(seqs, f"/tmp/wiw_bench/c{idx}")
+        latencies.append(time.perf_counter() - t0)
+        sim.step("forward")
+        assert out["pred_frames"].shape[0] == candidates
+    results[idx] = latencies
+
+
+def run_benchmark(port: int, clients: int = 8, steps: int = 5,
+                  candidates: int = 2, frames: int = 14) -> dict:
+    results: list = [None] * clients
+    threads = [
+        threading.Thread(target=rollout_client,
+                         args=(port, steps, candidates, frames, results, i))
+        for i in range(clients)
+    ]
+    t0 = time.perf_counter()
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    wall = time.perf_counter() - t0
+    lats = np.array([l for r in results if r for l in r])
+    total_steps = clients * steps
+    return {
+        "clients": clients,
+        "rollout_steps_per_sec": round(total_steps / wall, 3),
+        "latency_p50_s": round(float(np.percentile(lats, 50)), 3),
+        "latency_p95_s": round(float(np.percentile(lats, 95)), 3),
+        "wall_s": round(wall, 2),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=7000)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--candidates", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--fake", action="store_true",
+                    help="spin up an in-process fake WM server first")
+    args = ap.parse_args(argv)
+
+    server = None
+    port = args.port
+    if args.fake:
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+
+        def fake_wm(input_dict):
+            acts = np.asarray(input_dict["b_action"])
+            b, f = acts.shape[:2]
+            return {"save_dirs": list(input_dict["save_dirs"]),
+                    "pred_frames": np.zeros((b, f, 3, 64, 128), np.uint8)}
+
+        server = ManagerServer([InProcessExecutor(fake_wm, max_batch=16)],
+                               port=0 or 17900)
+        port = server.start()
+    try:
+        print(json.dumps(run_benchmark(
+            port, args.clients, args.steps, args.candidates, args.frames
+        )))
+    finally:
+        if server is not None:
+            server.stop()
+
+
+if __name__ == "__main__":
+    main()
