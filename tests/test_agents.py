@@ -321,3 +321,59 @@ class TestSemanticBbox:
         bb = target_bbox_from_semantic(sem, [7])
         assert bb == {"x_min": 10, "x_max": 27, "y_min": 10, "y_max": 27}
         assert target_bbox_from_semantic(sem, [99]) is None
+
+
+class TestImaginationModes:
+    def _server(self, capture):
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+
+        def task(input_dict):
+            capture.append(input_dict)
+            acts = np.asarray(input_dict["b_action"])
+            b = acts.shape[0]
+            f = acts.shape[1]
+            return {"save_dirs": list(input_dict["save_dirs"]),
+                    "pred_frames": np.zeros((b, f, 3, 8, 8), np.uint8)}
+
+        s = ManagerServer([InProcessExecutor(task)], port=17950)
+        return s, s.start()
+
+    def test_text_mode_sends_full_sequences(self, tmp_path):
+        capture = []
+        server, port = self._server(capture)
+        try:
+            sim = FakeSimulator()
+            s = Solver(SolverConfig(world_model_type="text", igenex_n_frame=4,
+                                    look_ahead_action_num=2, wm_port=port),
+                       sim=sim)
+            out = s.imagine_by_model_type(
+                [["turn_left", "forward"], ["forward", "forward"]],
+                str(tmp_path))
+            assert out["pred_frames"].shape[0] == 2
+            sent = capture[0]["b_action"]
+            # full sequences (incl. the leading turn), stop-padded
+            assert sent.shape == (1, 4) or sent.shape == (2, 4)
+        finally:
+            server.stop()
+
+    def test_camera_mode_sends_pose_targets(self, tmp_path):
+        capture = []
+        server, port = self._server(capture)
+        try:
+            sim = FakeSimulator()
+            s = Solver(SolverConfig(world_model_type="camera", igenex_n_frame=4,
+                                    look_ahead_action_num=2, wm_port=port),
+                       sim=sim)
+            out = s.imagine_by_model_type([["forward", "forward"]], str(tmp_path))
+            sent = capture[0]["b_action"]
+            assert sent.shape == (1, 4, 3)  # (x, z, yaw) per frame
+            # [stop, fwd, fwd, fwd(pad)] walks -z (habitat) with yaw 0
+            np.testing.assert_allclose(sent[0, -1], [0.0, -0.6, 0.0], atol=1e-6)
+        finally:
+            server.stop()
+
+    def test_pose_targets_math(self):
+        poses = Solver.actions_to_pose_targets([4, 2, 2, 2, 2, 1])
+        # four left turns = 90 deg; forward then moves +x... yaw=90:
+        # x += 0.2*sin(90)=0.2, z -= 0.2*cos(90)=0
+        np.testing.assert_allclose(poses[-1], [0.2, 0.0, 90.0], atol=1e-6)

@@ -227,8 +227,66 @@ class Solver:
         pred = np.transpose(np.stack(all_frames), (0, 1, 4, 2, 3))  # b,T,C,H,W
         return {"save_dirs": save_dirs, "pred_frames": pred.astype(np.uint8)}
 
+    def look_ahead_explore_non_pano(self, view, all_action_ids, save_dir) -> dict:
+        """Text-prompt WMs (cosmos/ltx/wan/hunyuan/nwm): perspective front
+        view + full action sequences; the worker renders the actions as a
+        text prompt (solver_base.py non-pano path; api_models/__init__.py
+        :51-65)."""
+        action_ids_list = list(range(len(all_action_ids)))
+        batch_actions = np.stack([
+            np.asarray(self._pad_action_seq(all_action_ids[i]), np.int64)
+            for i in action_ids_list
+        ])
+        images = np.repeat(view[None], len(action_ids_list), axis=0)
+        save_dirs = Saver.get_igenex_save_dirs(save_dir, action_ids_list)
+        return self.send_batch_to_server(batch_actions, save_dirs, images)
+
+    @staticmethod
+    def actions_to_pose_targets(action_ids: Sequence[int]) -> np.ndarray:
+        """Cumulative (x, z, yaw_deg) pose per step from unit actions — the
+        pose-target API of camera WMs (se3ds/pathdreamer,
+        api_models/se3ds_model.py:237-291 contract)."""
+        x = z = 0.0
+        yaw = 0.0
+        poses = []
+        for a in action_ids:
+            name = ACTION_NAMES.get(int(a), "stop")
+            if name == "forward":
+                rad = np.radians(yaw)
+                x += UNIT_FORWARD_M * np.sin(rad)
+                z -= UNIT_FORWARD_M * np.cos(rad)  # habitat looks down -z
+            elif name == "turn_left":
+                yaw += UNIT_TURN_DEG
+            elif name == "turn_right":
+                yaw -= UNIT_TURN_DEG
+            poses.append((x, z, yaw))
+        return np.asarray(poses, np.float64)
+
+    def look_ahead_explore_camera(self, pano, all_action_ids, save_dir) -> dict:
+        """Camera-pose WMs: send per-step pose targets as b_action
+        (solver_base.py camera path)."""
+        action_ids_list = list(range(len(all_action_ids)))
+        batch_actions = np.stack([
+            self.actions_to_pose_targets(
+                self._pad_action_seq(all_action_ids[i])
+            )
+            for i in action_ids_list
+        ])  # [B, F, 3]
+        images = np.repeat(pano[None], len(action_ids_list), axis=0)
+        save_dirs = Saver.get_igenex_save_dirs(save_dir, action_ids_list)
+        req = {
+            "b_action": batch_actions,
+            "save_dirs": save_dirs,
+            "request_model_name": self.cfg.request_model_name,
+            "return_objects": [True] * len(save_dirs),
+            "b_image": images,
+        }
+        return self.connect_to_WM_server().send_batch(req)
+
     def imagine_by_model_type(self, prior_actions, save_dir) -> dict:
-        """Dispatch on world_model_type (solver_base.py:691-738)."""
+        """Dispatch on world_model_type: 'action' (pano SVD-dagger),
+        'text' (prompt WMs), 'camera' (pose WMs), 'GTsim' (oracle)
+        (solver_base.py:691-738)."""
         init_deg, remain_ids, all_ids = self.get_action_info_from_prior(
             prior_actions
         )
@@ -238,6 +296,12 @@ class Solver:
         if wm == "action":
             pano = self.sim.get_pano() if self.sim is not None else None
             return self.look_ahead_explore(pano, init_deg, remain_ids, save_dir)
+        if wm == "text":
+            view = self.sim.get_pano() if self.sim is not None else None
+            return self.look_ahead_explore_non_pano(view, all_ids, save_dir)
+        if wm == "camera":
+            pano = self.sim.get_pano() if self.sim is not None else None
+            return self.look_ahead_explore_camera(pano, all_ids, save_dir)
         raise NotImplementedError(f"world_model_type {wm}")
 
     # -- heuristic policy ----------------------------------------------
