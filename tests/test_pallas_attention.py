@@ -1,0 +1,42 @@
+"""Custom Pallas attention: correctness vs XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wiw_tpu.ops.attention import _xla_attention
+from wiw_tpu.ops.pallas_attention import flash_attention_bhsd
+
+
+class TestPallasAttention:
+    def _check(self, B, H, S, D, bq, bkv):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(k1, (B, H, S, D), jnp.float32)
+        k = jax.random.normal(k2, (B, H, S, D), jnp.float32)
+        v = jax.random.normal(k3, (B, H, S, D), jnp.float32)
+        ours = flash_attention_bhsd(q, k, v, bq=bq, bkv=bkv, interpret=True)
+        ref = _xla_attention(q, k, v, D ** -0.5)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_single_block(self):
+        self._check(1, 2, 128, 64, bq=128, bkv=128)
+
+    def test_multi_kv_blocks(self):
+        self._check(2, 2, 512, 64, bq=128, bkv=128)
+
+    def test_multi_q_blocks(self):
+        self._check(1, 1, 512, 64, bq=256, bkv=256)
+
+    def test_bf16_inputs(self):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+        q = jax.random.normal(k1, (1, 2, 256, 64), jnp.bfloat16)
+        k = jax.random.normal(k2, (1, 2, 256, 64), jnp.bfloat16)
+        v = jax.random.normal(k3, (1, 2, 256, 64), jnp.bfloat16)
+        ours = flash_attention_bhsd(q, k, v, bq=128, bkv=128, interpret=True)
+        ref = _xla_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                             v.astype(jnp.float32), 64 ** -0.5)
+        assert ours.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(ours, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
+        )

@@ -209,3 +209,31 @@ class TestStatsAndWorkerBase:
             "return_objects": [True, True],
         })
         assert out["pred_frames"].shape == (2, 3, 3, 8, 8)
+
+
+class TestLegacyQueues:
+    def test_batched_queue_exact_n_with_leftovers(self):
+        from wiw_tpu.serve.queues import BatchedQueue
+
+        q = BatchedQueue()
+        q.put_many(range(5))
+        assert q.get_batch(3) == [0, 1, 2]
+        q.stash_leftovers([99])
+        assert q.get_batch(3) == [99, 3, 4]
+        assert q.qsize() == 0
+
+    def test_ordered_outputs(self):
+        from wiw_tpu.serve.queues import OrderedOutputs
+
+        oo = OrderedOutputs()
+        oo.put(2, "c"); oo.put(0, "a")
+        assert list(oo.drain()) == ["a"]  # 1 missing blocks 2
+        oo.put(1, "b")
+        assert list(oo.drain()) == ["b", "c"]
+        assert oo.pending == 0
+
+    def test_round_robin(self):
+        from wiw_tpu.serve.queues import round_robin
+
+        it = round_robin(["w0", "w1"])
+        assert [next(it) for _ in range(4)] == ["w0", "w1", "w0", "w1"]

@@ -1,0 +1,102 @@
+"""Custom Pallas flash attention tuned for the SVD spatial-attention shape
+(head_dim 64, seq ~9k, many batchxhead programs).
+
+Design (vs the stock jax flash kernel):
+  * K and V for a (batch, head) stay RESIDENT in VMEM across all q blocks
+    (S=9216, D=64 bf16 -> 2.4 MB; the stock kernel re-streams KV per
+    q-major block). The grid iterates (batch*heads, q_blocks) with kv
+    fetched once per bh via the index map.
+  * online softmax in fp32 scratch; logits never materialize beyond a
+    [bq, bkv] tile.
+  * all tiles lane-aligned: bq, bkv multiples of 128; D=64 contraction
+    runs at half-MXU (hardware limit for this head size; see
+    PERFORMANCE.md headroom notes).
+
+`flash_attention_bhsd(q, k, v)` matches jax.nn semantics for non-causal
+attention; correctness is tested in interpreter mode on CPU and against
+the XLA reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, bkv: int, sm_scale: float):
+    """One (bh, q_block) program: online softmax over kv blocks."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # [bq, D]
+    S = k_ref.shape[1]
+    n_kv = S // bkv
+    bq, D = q.shape
+
+    def body(i, carry):
+        acc, m, denom = carry
+        k_blk = k_ref[0, pl.ds(i * bkv, bkv), :].astype(jnp.float32)  # [bkv, D]
+        v_blk = v_ref[0, pl.ds(i * bkv, bkv), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bkv]
+        m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        scale = jnp.exp(m - m_new)
+        acc = acc * scale + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        denom = denom * scale + p.sum(axis=1, keepdims=True)
+        return acc, m_new, denom
+
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    d0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _m, denom = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, d0))
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bq", "bkv", "sm_scale", "interpret")
+)
+def flash_attention_bhsd(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    bq: int = 1024, bkv: int = 512, sm_scale: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Non-causal attention over [B, H, S, D]; KV resident per (b, h)."""
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    bq = min(bq, Sq)
+    bkv = min(bkv, Skv)
+    assert Sq % bq == 0 and Skv % bkv == 0, (Sq, bq, Skv, bkv)
+
+    qf = q.reshape(B * H, Sq, D)
+    kf = k.reshape(B * H, Skv, D)
+    vf = v.reshape(B * H, Skv, D)
+
+    grid = (B * H, Sq // bq)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, bkv=bkv, sm_scale=float(sm_scale)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, D), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, Sq, D)
