@@ -82,3 +82,41 @@ class TestFullStack:
             "return_objects": [True],
         })
         assert out["pred_frames"].shape == (1, 4, 3, 24, 24)
+
+
+class TestSolverCLI:
+    def test_run_solver_cli_gtsim_fake(self, tmp_path):
+        """The full CLI entry: dataset load -> shard -> episodes -> summary."""
+        import gzip
+        import json
+        import subprocess
+        import sys
+        import os
+
+        eps = {"episodes": [
+            {"episode_id": i, "scene_id": f"scene{i % 2}",
+             "target_category": "chair"} for i in range(3)
+        ]}
+        ds = tmp_path / "episodes_AR.json.gz"
+        with gzip.open(ds, "wt") as f:
+            json.dump(eps, f)
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-m", "wiw_tpu.agents.run_solver",
+             "--task", "AR", "--dataset_path", str(ds),
+             "--exp_id", "clitest", "--use_heur",
+             "--world_model_type", "GTsim", "--simulator", "fake",
+             "--object_set", "chair", "table",
+             "--states_root", str(tmp_path / "states"),
+             "--worker_num", "1"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "AR_clitest" in out.stdout
+        # metric files written per episode
+        import glob as _glob
+
+        metrics = _glob.glob(str(tmp_path / "states" / "AR_clitest" / "*" /
+                                 "*" / "metrics.jsonl"))
+        assert len(metrics) == 3, out.stdout[-2000:]

@@ -1,0 +1,70 @@
+"""Per-dataset habitat configuration factories.
+
+Role parity (no code copied) with habitat_data/config_utils.py:1-178: one
+place mapping dataset names (hm3d / mp3d / hssd / pointnav eval splits) to
+scene path patterns, agent/sensor parameters, and episode files, consumed
+by the collection CLI and the eval-time simulator adapter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os.path as osp
+from typing import List, Optional
+
+from wiw_tpu.agents.solver import UNIT_FORWARD_M, UNIT_TURN_DEG
+
+
+@dataclasses.dataclass(frozen=True)
+class HabitatDatasetConfig:
+    name: str
+    scene_glob: str                     # relative to data_root
+    episode_file: Optional[str] = None  # relative episodes json.gz
+    agent_height: float = 1.5
+    agent_radius: float = 0.1
+    face_size: int = 512
+    pano_height: int = 576
+    pano_width: int = 1024
+    collect_pano_height: int = 1000     # HabitatRender.py:945-946 defaults
+    collect_pano_width: int = 2000
+    forward_m: float = UNIT_FORWARD_M
+    turn_deg: float = UNIT_TURN_DEG
+
+
+DATASETS = {
+    "hm3d": HabitatDatasetConfig(
+        name="hm3d",
+        scene_glob="scene_datasets/hm3d/*/*.basis.glb",
+        episode_file="episodes/episodes_AEQA.json.gz",
+    ),
+    "mp3d": HabitatDatasetConfig(
+        name="mp3d",
+        scene_glob="scene_datasets/mp3d/*/*.glb",
+        episode_file="episodes/episodes_AR.json.gz",
+    ),
+    "hssd": HabitatDatasetConfig(
+        name="hssd",
+        scene_glob="scene_datasets/hssd-hab/scenes/*.glb",
+    ),
+    "pointnav_hm3d": HabitatDatasetConfig(
+        name="pointnav_hm3d",
+        scene_glob="scene_datasets/hm3d/*/*.basis.glb",
+        episode_file="episodes/episodes_IG.json.gz",
+    ),
+}
+
+
+def get_dataset_config(name: str) -> HabitatDatasetConfig:
+    if name not in DATASETS:
+        raise KeyError(f"unknown habitat dataset {name}; know {sorted(DATASETS)}")
+    return DATASETS[name]
+
+
+def list_scenes(data_root: str, name: str,
+                exclude: Optional[List[str]] = None) -> List[str]:
+    cfg = get_dataset_config(name)
+    scenes = sorted(glob.glob(osp.join(data_root, cfg.scene_glob)))
+    for pat in exclude or []:
+        scenes = [s for s in scenes if pat not in s]
+    return scenes
