@@ -148,3 +148,25 @@ class TestShardedGeneration:
         # single-device result must match the sharded result
         v1 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts)
         np.testing.assert_allclose(np.asarray(v), np.asarray(v1), atol=2e-3)
+
+
+class TestShardedAccum:
+    def test_grad_accum_on_mesh(self):
+        from wiw_tpu.parallel.mesh import make_mesh
+        from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+        mesh = make_mesh(dp=4, fsdp=2)
+        pipe = tiny_pipeline("micro_cond")
+        tr = Trainer(pipe, TrainConfig(learning_rate=1e-3, grad_accum_steps=2),
+                     mesh=mesh)
+        state = tr.init_state(pipe.params)
+        frozen = {"vae": pipe.params["vae"], "clip": pipe.params["clip"]}
+        step = tr.make_train_step()
+        key = jax.random.PRNGKey(0)
+        batch = {
+            "pixel_values": jax.random.uniform(key, (2, 8, 3, 32, 64, 3)) * 2 - 1,
+            "actions": jnp.ones((2, 8, 3), jnp.int32),
+        }
+        state, frozen, batch = tr.place(state, frozen, batch)
+        state, metrics = step(state, frozen, batch, key)
+        assert np.isfinite(float(metrics["loss"]))

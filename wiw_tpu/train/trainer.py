@@ -325,6 +325,10 @@ class Trainer:
 
         self._shard_state_specs = shard_state_specs
         bsh = batch_sharding(mesh)
+        # with grad accumulation the batch carries a leading micro-step
+        # axis [A, B, ...]: shard axis 1 (the real batch), replicate A
+        accum_bsh = NamedSharding(mesh, P(None, ("dp", "fsdp")))
+        use_accum = c.grad_accum_steps > 1
 
         def place(state, frozen, batch):
             state = jax.tree_util.tree_map(
@@ -332,7 +336,8 @@ class Trainer:
             )
             frozen = jax.device_put(frozen, repl)
             batch = jax.tree_util.tree_map(
-                lambda l: jax.device_put(l, bsh), batch
+                lambda l: jax.device_put(l, accum_bsh if use_accum else bsh),
+                batch,
             )
             return state, frozen, batch
 
