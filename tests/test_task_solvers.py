@@ -195,3 +195,27 @@ class TestObjectMemory:
         corners = mem.entities[0].bbox_corners()
         assert corners.shape == (8, 3)
         assert corners.min() == 0 and corners.max() == 3
+
+
+class TestAEQAObjectAccumulation:
+    def test_detections_fill_object_memory(self, tmp_path):
+        import numpy as _np
+
+        class DepthSim(FakeSimulator):
+            def get_depth(self):
+                return _np.full((16, 16), 2.0, _np.float32)
+
+        sim = DepthSim()
+        solver = AEQASolver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=4,
+                         states_root=str(tmp_path)),
+            sim, vlm=None,
+        )
+        mask = _np.zeros((16, 16), _np.uint8)
+        mask[4:10, 4:10] = 255
+        solver.accumulate_detections(
+            [[{"label": "chair", "score": 0.9, "mask": mask}]]
+        )
+        assert len(solver.objects) == 1
+        assert solver.objects.entities[0].label == "chair"
+        assert len(solver.objects.entities[0].points) >= 8

@@ -45,11 +45,45 @@ class AEQASolver(Solver):
     # ------------------------------------------------------------------
     def detect_objects(self, save_dir: str):
         """Query the GroundingSAM2 server over the saved surround views
-        (solver_AEQA.py detection path; server contract 'gd_sam2')."""
+        (solver_AEQA.py detection path; server contract 'gd_sam2'), then
+        accumulate masked depth backprojections into the 3D object memory
+        (state_obj.py role)."""
         if self.detector_client is None:
             return []
         out = self.detector_client.send_batch({"save_dirs": [save_dir]})
-        return out.get("detections", [])
+        detections = out.get("detections", [])
+        self.accumulate_detections(detections)
+        return detections
+
+    def accumulate_detections(self, detections) -> None:
+        """Backproject each detection's mask through the current depth into
+        world points and merge into DetectedObjects (state_obj.py:58-409)."""
+        depth = getattr(self.sim, "get_depth", lambda: None)()
+        if depth is None:
+            return
+        import jax.numpy as jnp
+
+        from wiw_tpu.geo.pointcloud import depth_to_points, habitat_intrinsics
+
+        depth = np.asarray(depth)
+        H, W = depth.shape[:2]
+        K = jnp.asarray(habitat_intrinsics(W, H))
+        pts, valid = depth_to_points(jnp.asarray(depth.reshape(H, W)), K)
+        pts = np.asarray(pts).reshape(H, W, 3)
+        valid = np.asarray(valid).reshape(H, W)
+        for per_dir in detections if detections and isinstance(
+                detections[0], list) else [detections]:
+            for det in per_dir:
+                mask = np.asarray(det.get("mask")) if det.get("mask") is not None else None
+                if mask is None or mask.shape[:2] != (H, W):
+                    continue
+                sel = (mask > 0) & valid
+                if sel.sum() < 8:
+                    continue
+                self.objects.add_detection(
+                    str(det.get("label", "object")), pts[sel],
+                    float(det.get("score", 1.0)),
+                )
 
     def highlevel_plan(self, question: str, st: State,
                        imagine_frames: List[np.ndarray]) -> Optional[dict]:

@@ -49,6 +49,8 @@ def build_executors(args, extra):
         out_height=args.out_height,
         num_inference_steps=args.num_inference_steps,
     )
+    if args.warmup_batches:
+        worker.warmup(tuple(int(b) for b in args.warmup_batches.split(",")))
     return [InProcessExecutor(worker, max_batch=args.max_batch)]
 
 
@@ -67,6 +69,9 @@ def main(argv=None):
     ap.add_argument("--out_width", type=int, default=480)
     ap.add_argument("--out_height", type=int, default=480)
     ap.add_argument("--num_inference_steps", type=int, default=30)
+    ap.add_argument("--warmup_batches", default="1",
+                    help="comma-separated batch buckets to precompile "
+                         "('' to skip)")
     ap.add_argument("--external_cmd", default="",
                     help="launch this command as subprocess worker(s) "
                          "speaking the pipe protocol")

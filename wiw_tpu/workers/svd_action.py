@@ -88,6 +88,25 @@ class SVDActionWorker:
         self.pipe.params = params
 
     # ------------------------------------------------------------------
+    def warmup(self, batch_sizes=(1,)) -> None:
+        """Precompile the generation executable per batch bucket so the
+        first client request doesn't pay the (minutes-long) compile."""
+        import jax
+        import jax.numpy as jnp
+
+        F = self.gen.num_frames
+        for b in batch_sizes:
+            img = jnp.zeros((b, self.gen.height, self.gen.width, 3))
+            if self.pipe.unet_config.action_strategy == "micro_cond":
+                acts = jnp.full((b, F), 1, jnp.int32)
+            elif self.pipe.unet_config.uses_action_block:
+                acts = jnp.full((b, F), 1, jnp.int32)
+            else:
+                acts = None
+            self.pipe.generate(jax.random.PRNGKey(0), img, self.gen,
+                               actions=acts)
+            print(f"[svd_action] warmed batch={b}", flush=True)
+
     def _load_cond_images(self, input_dict: dict) -> np.ndarray:
         """[B, H, W, 3] float in [-1, 1] from b_image or cond_rgb.png."""
         if "b_image" in input_dict and input_dict["b_image"] is not None:
