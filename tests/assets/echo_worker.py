@@ -1,0 +1,20 @@
+"""Test worker: speaks the reference pipe protocol via the worker SDK."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+from wiw_tpu.serve.worker import main_from_argv
+
+
+def task(input_dict):
+    acts = np.asarray(input_dict["b_action"])
+    b = acts.shape[0]
+    frames = np.zeros((b, 2, 3, 4, 4), np.uint8)
+    for i in range(b):
+        frames[i] = acts[i, 0] % 250
+    return {"save_dirs": list(input_dict["save_dirs"]), "pred_frames": frames}
+
+
+if __name__ == "__main__":
+    main_from_argv(task)

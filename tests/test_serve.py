@@ -237,3 +237,61 @@ class TestLegacyQueues:
 
         it = round_robin(["w0", "w1"])
         assert [next(it) for _ in range(4)] == ["w0", "w1", "w0", "w1"]
+
+
+class TestSubprocessExecutor:
+    def test_real_worker_subprocess_roundtrip(self):
+        import sys
+
+        from wiw_tpu.serve.manager import (
+            ManagerServer,
+            SubprocessExecutor,
+            WMClient,
+        )
+
+        ex = SubprocessExecutor(
+            [sys.executable, "/root/repo/tests/assets/echo_worker.py"]
+        )
+        server = ManagerServer([ex], port=17990, batch_size=2)
+        port = server.start()
+        try:
+            c = WMClient(port=port)
+            out = c.send_batch({
+                "b_action": np.array([[7, 1], [9, 2], [11, 3]], np.int64),
+                "save_dirs": ["a", "b", "c"],
+                "request_model_name": "echo",
+            })
+            assert out["save_dirs"] == ["a", "b", "c"]
+            got = out["pred_frames"][:, 0, 0, 0, 0]
+            np.testing.assert_array_equal(got, [7, 9, 11])
+            c.close()
+        finally:
+            server.stop()
+
+    def test_worker_death_marks_executor_dead(self):
+        import sys
+        import time
+
+        from wiw_tpu.serve.manager import ManagerServer, SubprocessExecutor, WMClient
+
+        ex = SubprocessExecutor(
+            [sys.executable, "/root/repo/tests/assets/echo_worker.py"]
+        )
+        server = ManagerServer([ex], port=17995)
+        port = server.start()
+        try:
+            c = WMClient(port=port)
+            c.send_batch({"b_action": np.ones((1, 2), np.int64),
+                          "save_dirs": ["x"], "request_model_name": "echo"})
+            ex.proc.kill()
+            deadline = time.time() + 10
+            while ex.alive and time.time() < deadline:
+                time.sleep(0.1)
+            assert not ex.alive
+            # further requests get the no-live-workers error result
+            out = c.send_batch({"b_action": np.ones((1, 2), np.int64),
+                                "save_dirs": ["y"], "request_model_name": "echo"})
+            assert "error" in out
+            c.close()
+        finally:
+            server.stop()

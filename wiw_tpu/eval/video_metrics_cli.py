@@ -1,0 +1,85 @@
+"""Video-metrics CLI: SSIM/PSNR/LPIPS (+FVD) between generated and GT clips.
+
+Entry parity with evaluation/FVD/cal_4metrics.evaluate_video_metrics
+(cal_4metrics.py:9-78): takes two sets of clips (mp4 files or frame dirs),
+stacks them, optionally resizes, and prints the metric dict as JSON.
+
+  python -m wiw_tpu.eval.video_metrics_cli --gen gen/*.mp4 --gt gt/*.mp4 \
+      [--resize 256 256] [--fvd]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+
+import numpy as np
+
+
+def load_clip(path: str, max_frames: int = 0) -> np.ndarray:
+    """mp4 file or directory of frame PNGs -> uint8 [T, H, W, 3]."""
+    if osp.isdir(path):
+        import glob
+
+        from wiw_tpu.agents.saver import load_image
+
+        frames = [load_image(p) for p in sorted(glob.glob(osp.join(path, "*.png")))]
+        clip = np.stack(frames)
+    else:
+        from wiw_tpu.agents.postprocess import mp4_to_frames
+
+        clip = mp4_to_frames(path)
+    if max_frames:
+        clip = clip[:max_frames]
+    return clip
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen", nargs="+", required=True)
+    ap.add_argument("--gt", nargs="+", required=True)
+    ap.add_argument("--resize", nargs=2, type=int, default=None)
+    ap.add_argument("--max_frames", type=int, default=0)
+    ap.add_argument("--fvd", action="store_true",
+                    help="also compute FVD (needs WIW_I3D_WEIGHTS)")
+    args = ap.parse_args(argv)
+    assert len(args.gen) == len(args.gt), "gen/gt counts must match"
+
+    import jax
+    import jax.numpy as jnp
+
+    from wiw_tpu.eval.metrics import evaluate_video_metrics
+
+    gens, gts = [], []
+    for g, t in zip(args.gen, args.gt):
+        cg, ct = load_clip(g, args.max_frames), load_clip(t, args.max_frames)
+        n = min(len(cg), len(ct))
+        cg, ct = cg[:n], ct[:n]
+        if args.resize:
+            h, w = args.resize
+            cg = np.asarray(jax.image.resize(
+                jnp.asarray(cg, jnp.float32), (n, h, w, 3), "bilinear"))
+            ct = np.asarray(jax.image.resize(
+                jnp.asarray(ct, jnp.float32), (n, h, w, 3), "bilinear"))
+        gens.append(cg)
+        gts.append(ct)
+    n = min(map(len, gens + gts))
+    v1 = jnp.asarray(np.stack([c[:n] for c in gens]), jnp.float32) / 255.0
+    v2 = jnp.asarray(np.stack([c[:n] for c in gts]), jnp.float32) / 255.0
+
+    out = evaluate_video_metrics(v1, v2)
+    if args.fvd:
+        from wiw_tpu.eval.fvd import FVDEvaluator
+
+        ev = FVDEvaluator()
+        if ev.variables is not None and v1.shape[1] >= 10:
+            out["fvd"] = ev.fvd(v1, v2)
+        else:
+            out["fvd"] = None
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
