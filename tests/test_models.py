@@ -141,3 +141,34 @@ class TestCLIP:
             [0.26862954, 0.26130258, 0.27577711]
         )
         np.testing.assert_allclose(out[0, 100, 100], expect, atol=1e-5)
+
+
+class TestRemat:
+    def test_remat_matches_no_remat(self):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(TINY_UNET, remat=True)
+        m_plain = UNetSpatioTemporal(TINY_UNET)
+        m_remat = UNetSpatioTemporal(cfg)
+        inputs = _unet_inputs(TINY_UNET)
+        params = m_plain.init(jax.random.PRNGKey(0), **inputs)
+        out_plain = m_plain.apply(params, **inputs)
+        out_remat = m_remat.apply(params, **inputs)
+        np.testing.assert_allclose(
+            np.asarray(out_plain), np.asarray(out_remat), atol=1e-5
+        )
+
+    def test_remat_gradients_finite(self):
+        import dataclasses as _dc
+
+        cfg = _dc.replace(TINY_UNET, remat=True)
+        model = UNetSpatioTemporal(cfg)
+        inputs = _unet_inputs(cfg)
+        params = model.init(jax.random.PRNGKey(0), **inputs)
+
+        def loss(p):
+            return (model.apply(p, **inputs) ** 2).mean()
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

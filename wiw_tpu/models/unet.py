@@ -55,6 +55,11 @@ class UNetConfig:
     action_input_channel: int = 14
     action_attention_dim: int = 768
     dtype: str = "float32"
+    # rematerialize block activations in the backward pass (jax.checkpoint):
+    # trades FLOPs for the memory that lets the 1024x576 recipe fit
+    # (replaces the reference's gradient_checkpointing flag,
+    # train_svd.py:628)
+    remat: bool = False
 
     @property
     def jdtype(self):
@@ -242,13 +247,31 @@ class UNetSpatioTemporal(nn.Module):
         x = sample.astype(dt).reshape(B * F, H, W, sample.shape[-1])
         x = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
 
+        # remat wrappers: num_frames (arg index 2 counting self) is static
+        CrossBlock = (
+            nn.remat(CrossAttnBlockST, static_argnums=(2,))
+            if cfg.remat else CrossAttnBlockST
+        )
+        PlainBlock = (
+            nn.remat(PlainBlockST, static_argnums=(2,))
+            if cfg.remat else PlainBlockST
+        )
+        ResBlock = (
+            nn.remat(SpatioTemporalResBlock, static_argnums=(2,))
+            if cfg.remat else SpatioTemporalResBlock
+        )
+        Transformer = (
+            nn.remat(TransformerSpatioTemporal, static_argnums=(2,))
+            if cfg.remat else TransformerSpatioTemporal
+        )
+
         n_blocks = len(cfg.block_out_channels)
         res_samples = [x]
         for i in range(n_blocks):
             out_ch = cfg.block_out_channels[i]
             is_final = i == n_blocks - 1
             if not is_final:  # cross-attn blocks
-                x, outs = CrossAttnBlockST(
+                x, outs = CrossBlock(
                     out_ch,
                     cfg.num_attention_heads[i],
                     cfg.layers_per_block,
@@ -258,7 +281,7 @@ class UNetSpatioTemporal(nn.Module):
                     name=f"down_blocks_{i}",
                 )(x, F, emb, context, action_context)
             else:
-                x, outs = PlainBlockST(
+                x, outs = PlainBlock(
                     out_ch, cfg.layers_per_block, dtype=dt, name=f"down_blocks_{i}"
                 )(x, F, emb)
             res_samples += outs
@@ -268,10 +291,10 @@ class UNetSpatioTemporal(nn.Module):
 
         # mid: resnet -> transformer -> resnet
         mid_ch = cfg.block_out_channels[-1]
-        x = SpatioTemporalResBlock(
+        x = ResBlock(
             mid_ch, eps=1e-5, dtype=dt, name="mid_block_resnets_0"
         )(x, F, emb)
-        x = TransformerSpatioTemporal(
+        x = Transformer(
             cfg.num_attention_heads[-1],
             mid_ch // cfg.num_attention_heads[-1],
             num_layers=cfg.transformer_layers_per_block,
@@ -279,7 +302,7 @@ class UNetSpatioTemporal(nn.Module):
             dtype=dt,
             name="mid_block_attentions_0",
         )(x, F, context=context, action_context=action_context)
-        x = SpatioTemporalResBlock(
+        x = ResBlock(
             mid_ch, eps=1e-5, dtype=dt, name="mid_block_resnets_1"
         )(x, F, emb)
 
@@ -294,11 +317,11 @@ class UNetSpatioTemporal(nn.Module):
             for j in range(up_layers):
                 skip = res_samples.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = SpatioTemporalResBlock(
+                x = ResBlock(
                     out_ch, eps=1e-5, dtype=dt, name=f"up_blocks_{i}_resnets_{j}"
                 )(x, F, emb)
                 if has_attn:
-                    x = TransformerSpatioTemporal(
+                    x = Transformer(
                         rev_heads[i],
                         out_ch // rev_heads[i],
                         num_layers=cfg.transformer_layers_per_block,
