@@ -37,6 +37,8 @@ def parse_args(argv=None):
     ap.add_argument("--action_input_channel", type=int, default=14)
     ap.add_argument("--train_params", default="full",
                     choices=["full", "new", "new+temp_layer"])
+    ap.add_argument("--gradient_checkpointing", action="store_true",
+                    help="remat UNet blocks (reference train_svd.py:628)")
     ap.add_argument("--conditioning_dropout", default="discrete")
     ap.add_argument("--use_ema", action="store_true")
     ap.add_argument("--weighted_dataset", action="store_true")
@@ -65,6 +67,7 @@ def main(argv=None):
         action_strategy=args.action_strategy,
         action_input_channel=args.action_input_channel,
         dtype="bfloat16",
+        remat=args.gradient_checkpointing,
     )
     pipe = SVDPipeline(unet_cfg)
     gen = GenerationConfig(height=args.height, width=args.width,
