@@ -86,21 +86,34 @@ class SVDPipeline:
             action_ids = jnp.zeros((1, F, cfg.action_input_channel))
         elif cfg.uses_action_block:
             action_ids = jnp.zeros((1, F, 4))
-        unet_params = self.unet.init(
-            k1,
-            sample=jnp.zeros((1, F, h, w, cfg.in_channels)),
-            timestep=jnp.zeros((1,)),
-            context=jnp.zeros((1, 1, cfg.cross_attention_dim)),
-            added_time_ids=jnp.zeros((1, 3)),
-            action_ids=action_ids,
-        )["params"]
-        vae_params = self.vae.init(
-            k2, jnp.zeros((F, gen.height, gen.width, 3)), F
-        )["params"]
-        clip_params = self.clip.init(
-            k3, jnp.zeros((1, self.clip_config.image_size, self.clip_config.image_size, 3))
-        )["params"]
-        self.params = {"unet": unet_params, "vae": vae_params, "clip": clip_params}
+
+        # jit each init: ONE compiled program per tower instead of
+        # thousands of eager op dispatches (minutes vs hours through the
+        # remote-TPU relay for the 1.5B UNet)
+        def init_unet(k):
+            return self.unet.init(
+                k,
+                sample=jnp.zeros((1, F, h, w, cfg.in_channels)),
+                timestep=jnp.zeros((1,)),
+                context=jnp.zeros((1, 1, cfg.cross_attention_dim)),
+                added_time_ids=jnp.zeros((1, 3)),
+                action_ids=action_ids,
+            )["params"]
+
+        def init_vae(k):
+            return self.vae.init(
+                k, jnp.zeros((F, gen.height, gen.width, 3)), F
+            )["params"]
+
+        def init_clip(k):
+            size = self.clip_config.image_size
+            return self.clip.init(k, jnp.zeros((1, size, size, 3)))["params"]
+
+        self.params = {
+            "unet": jax.jit(init_unet)(k1),
+            "vae": jax.jit(init_vae)(k2),
+            "clip": jax.jit(init_clip)(k3),
+        }
         return self.params
 
     # ------------------------------------------------------------------
