@@ -77,7 +77,13 @@ def sample_latent_noise(
     assert shape[0] == B and shape[1] == F, (shape, actions.shape)
     fresh = jax.random.normal(key, shape, dtype)
     W = shape[-1]
-    left_shift = rotation_shift(turn_degrees, W)
+    try:
+        left_shift = rotation_shift(turn_degrees, W)
+    except ValueError:
+        # non-pano-divisible latent width (e.g. non-1024-wide training):
+        # fall back to uncorrelated noise rather than failing — the
+        # correlation is a prior, not a correctness requirement
+        return fresh
 
     # scan over frames: carry = previous frame's final noise [B, C, H, W]
     def step(prev, inp):
