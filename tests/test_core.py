@@ -221,3 +221,13 @@ class TestNoise:
         )
         out = fn(jax.random.PRNGKey(0), jnp.array([[4, 2, 3], [4, 1, 1]]))
         assert out.shape == (2, 3, 1, 4, 16)
+
+
+class TestNoiseFallback:
+    def test_non_divisible_width_falls_back_uncorrelated(self):
+        key = jax.random.PRNGKey(0)
+        acts = jnp.array([[4, 2, 3]])
+        out = np.asarray(N.sample_latent_noise(key, acts, (1, 3, 2, 8, 72)))
+        assert out.shape == (1, 3, 2, 8, 72)
+        # turn frames keep fresh noise (no roll correlation possible at W=72)
+        assert not np.allclose(out[0, 1], np.roll(out[0, 0], 72 // 16 if 72 % 16 == 0 else 4, axis=-1))
