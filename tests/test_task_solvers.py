@@ -219,3 +219,23 @@ class TestAEQAObjectAccumulation:
         assert len(solver.objects) == 1
         assert solver.objects.entities[0].label == "chair"
         assert len(solver.objects.entities[0].points) >= 8
+
+
+class TestSurroundViews:
+    def test_annotated_views_shapes(self):
+        from wiw_tpu.agents.surround import annotated_surround_views, choose_view_yaw
+
+        pano = np.random.randint(0, 255, (64, 128, 3), np.uint8)
+        views = annotated_surround_views(pano, size=32)
+        assert len(views) == 4
+        assert all(v.shape == (32, 32, 3) for v in views)
+        assert choose_view_yaw(1) == 90.0 and choose_view_yaw(3) == 180.0
+
+    def test_face_chosen_view_turns(self, tmp_path):
+        sim = FakeSimulator()
+        solver = AEQASolver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=4,
+                         states_root=str(tmp_path)), sim,
+        )
+        n = solver.face_chosen_view({"Chosen View": 1})  # left = +90deg
+        assert n == 4 and abs(sim.heading_deg - 90.0) < 1e-6

@@ -87,24 +87,47 @@ class AEQASolver(Solver):
 
     def highlevel_plan(self, question: str, st: State,
                        imagine_frames: List[np.ndarray]) -> Optional[dict]:
-        """JSON plan over current surround views (+ last imagination)."""
+        """JSON plan over the ANNOTATED surround views (+ last imagination)
+        (solver_AEQA.py:523-720 planning inputs)."""
         if self.vlm is None:
             # heuristic fallback: explore forward, answer empty
             return {"Reason": "explore", "Action Plan": ["forward 0.2m"] * 2,
                     "Chosen View": 0, "Answer": ""}
+        from wiw_tpu.agents.prompts import (
+            highlevel_prompt_aeqa,
+            imagination_context_note,
+        )
+        from wiw_tpu.agents.surround import annotated_surround_views
         from wiw_tpu.agents.vlm import build_messages
 
-        parts = [f"Question: {question}", self.sim.get_pano()]
-        parts += imagine_frames
-        parts.append(
-            "Reply JSON with keys Reason, Action Plan, Chosen View, "
-            "Chosen Landmark, Answer. Leave Answer empty until confident."
-        )
+        parts: list = [highlevel_prompt_aeqa(question)]
+        parts += annotated_surround_views(self.sim.get_pano(), size=256)
+        if imagine_frames:
+            parts.append(imagination_context_note(len(imagine_frames)))
+            parts += imagine_frames
         return self.vlm.plan_json(
             build_messages("You are an embodied question-answering agent.",
                            parts),
             ["Reason", "Action Plan"],
         )
+
+    def face_chosen_view(self, plan: dict) -> int:
+        """Turn toward the plan's 'Chosen View' before executing it;
+        returns the number of turn steps taken."""
+        from wiw_tpu.agents.surround import choose_view_yaw
+
+        view = plan.get("Chosen View")
+        if view in (None, "", 0):
+            return 0
+        try:
+            yaw = choose_view_yaw(int(view))
+        except (TypeError, ValueError):
+            return 0
+        turns = int(round(abs(yaw) / 22.5))
+        action = "turn_left" if yaw > 0 else "turn_right"
+        for _ in range(turns):
+            self.sim.step(action)
+        return turns
 
     def generate_imagine(self, plan_actions: List[str], save_dir: str
                          ) -> List[np.ndarray]:
@@ -134,6 +157,7 @@ class AEQASolver(Solver):
             answer = str(plan.get("Answer") or "")
             if answer.strip():
                 break
+            steps += self.face_chosen_view(plan)
             actions = [str(a) for a in plan.get("Action Plan", [])][
                 : self.cfg.look_ahead_action_num
             ]

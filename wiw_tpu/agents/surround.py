@@ -1,0 +1,43 @@
+"""Annotated surround views for the AEQA high-level planner.
+
+Behavioral parity (no code copied) with the solver's annotated-surround
+pipeline (solver_AEQA.py high-level planning inputs; vlm.py:317-363): the
+pano splits into front/left/right/back perspective views, each stamped
+with its view index + direction label so the VLM's "Chosen View" answer is
+grounded; detected-object labels can be overlaid per view.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from wiw_tpu.agents.prompts import surround_view_labels
+from wiw_tpu.agents.visualize import annotate_text
+
+
+def annotated_surround_views(
+    pano: np.ndarray,
+    size: int = 512,
+    hfov_deg: float = 105.0,
+    labels: Optional[Sequence[str]] = None,
+) -> List[np.ndarray]:
+    """pano [H, W, 3] uint8 -> 4 labeled perspective views (AEQA hfov 105,
+    solver_AEQA.py:1083-1089)."""
+    import jax.numpy as jnp
+
+    from wiw_tpu.geo.equirect import get_perspective_views
+
+    views = np.asarray(
+        get_perspective_views(jnp.asarray(pano.astype(np.float32)),
+                              hfov_deg=hfov_deg, size=size)
+    )
+    views = np.clip(views, 0, 255).astype(np.uint8)
+    names = labels or surround_view_labels(4)
+    return [annotate_text(views[i], names[i]) for i in range(views.shape[0])]
+
+
+def choose_view_yaw(view_index: int) -> float:
+    """'Chosen View' index -> yaw degrees to face it (front/left/right/back)."""
+    return [0.0, 90.0, -90.0, 180.0][int(view_index) % 4]
