@@ -239,3 +239,32 @@ class TestSurroundViews:
         )
         n = solver.face_chosen_view({"Chosen View": 1})  # left = +90deg
         assert n == 4 and abs(sim.heading_deg - 90.0) < 1e-6
+
+
+class TestARInteract:
+    def test_obs_saved_with_semantic_bbox(self, tmp_path):
+        import os.path as _osp
+
+        import numpy as _np
+
+        class SemSim(FakeSimulator):
+            def get_semantic(self):
+                sem = _np.zeros((64, 128), _np.int32)
+                sem[20:40, 50:80] = 5
+                return sem
+
+        sim = SemSim()
+        vlm = ScriptedVLM(classify_script=[(0, 0.99)])
+        solver = ARSolver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=4,
+                         states_root=str(tmp_path)),
+            sim, vlm=vlm, object_set=["chair"], tts_ratio=0.0,
+            save_obs=True,
+        )
+        datum = {"episode_id": 5, "scene_id": "s", "target_category": "chair",
+                 "target_semantic_ids": [5]}
+        m = solver.run_episode(datum, str(tmp_path / "wm"))
+        pano = solver.saver.get_image_path(datum, 0, "rgb_pano")
+        front = solver.saver.get_image_path(datum, 0, "rgb_front")
+        bbox = solver.saver.get_image_path(datum, 0, "rgb_bbox")
+        assert _osp.exists(pano) and _osp.exists(front) and _osp.exists(bbox)

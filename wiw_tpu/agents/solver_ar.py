@@ -43,7 +43,8 @@ class ARSolver(Solver):
                  recog_thres: float = 0.95, max_action_num: int = 10,
                  tts_ratio: float = 1.0, query_num: int = 2,
                  lookahead: int = 4, sam2_client=None,
-                 use_heuristic_policy: bool = True, seed: int = 0):
+                 use_heuristic_policy: bool = True, seed: int = 0,
+                 save_obs: bool = False):
         config.look_ahead_action_num = lookahead
         config.query_num = query_num
         config.task = "AR"
@@ -55,6 +56,7 @@ class ARSolver(Solver):
         self.tts_ratio = tts_ratio
         self.sam2_client = sam2_client
         self.use_heuristic_policy = use_heuristic_policy
+        self.save_obs = save_obs
         self.rng = random.Random(seed)
 
     # ------------------------------------------------------------------
@@ -162,9 +164,40 @@ class ARSolver(Solver):
         return act
 
     # ------------------------------------------------------------------
+    def interact(self, datum: dict, st: State, step: int) -> dict:
+        """Capture + persist the step's observations (solver_AR.py:274-336):
+        pano, front perspective view, and the semantic GT bbox overlay when
+        the simulator provides semantics."""
+        from wiw_tpu.agents.postprocess import front_crop
+        from wiw_tpu.agents.saver import save_image
+
+        pano = self.sim.get_pano()
+        row = {"step": step}
+        if self.save_obs:
+            pano_path = self.saver.get_image_path(datum, step, "rgb_pano")
+            save_image(pano_path, pano)
+            front = front_crop(pano, 90.0, (256, 256))
+            front_path = self.saver.get_image_path(datum, step, "rgb_front")
+            save_image(front_path, front)
+            row.update(rgb_pano=pano_path, rgb_front=front_path)
+            semantic = getattr(self.sim, "get_semantic", lambda: None)()
+            target_ids = datum.get("target_semantic_ids")
+            if semantic is not None and target_ids:
+                from wiw_tpu.agents.semantic_bbox import draw_target_bbox
+
+                annotated, bbox = draw_target_bbox(pano, semantic, target_ids)
+                if bbox is not None:
+                    bbox_path = self.saver.get_image_path(
+                        datum, step, "rgb_bbox"
+                    )
+                    save_image(bbox_path, annotated)
+                    row.update(rgb_bbox=bbox_path, gt_bbox=bbox)
+        st.add_new_state(row)
+        return row
+
     def run_episode(self, datum: dict, save_dir: str) -> dict:
         st = State()
-        st.add_new_state({"step": 0})
+        self.interact(datum, st, 0)
         target = datum.get("target_category", "")
         answer, prob = "", 0.0
         steps = 0
@@ -180,7 +213,7 @@ class ARSolver(Solver):
             self.sim.step(text_to_action_name(action_text))
             st.record_past_action(action_text)
             steps += 1
-            st.add_new_state({"step": steps})
+            self.interact(datum, st, steps)
         metrics = {
             "is_correct": bool(answer == target),
             "traj_len": steps,
