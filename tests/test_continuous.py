@@ -116,3 +116,32 @@ class TestContinuousExecutorServing:
             c.close()
         finally:
             server.stop()
+
+
+class TestServerCLIContinuous:
+    def test_make_continuous_executor_from_worker(self, tmp_path):
+        import numpy as _np
+
+        from tests.test_integration import make_tiny_worker
+        from wiw_tpu.serve.manager import ManagerServer, WMClient
+        from wiw_tpu.serve.server_cli import make_continuous_executor
+
+        worker = make_tiny_worker()
+        server = ManagerServer(
+            [make_continuous_executor(worker, num_slots=2)], port=18030,
+        )
+        port = server.start()
+        try:
+            c = WMClient(port=port)
+            out = c.send_batch({
+                "b_action": _np.array([[4, 1, 1, 2]], _np.int64),
+                "b_image": _np.zeros((1, 3, 32, 64), _np.uint8),
+                "save_dirs": ["d0"],
+                "request_model_name": "igenex",
+                "return_objects": [True],
+            })
+            # out resolution from the worker's out_size (24x24)
+            assert out["pred_frames"].shape == (1, 4, 3, 24, 24)
+            c.close()
+        finally:
+            server.stop()

@@ -51,7 +51,37 @@ def build_executors(args, extra):
     )
     if args.warmup_batches:
         worker.warmup(tuple(int(b) for b in args.warmup_batches.split(",")))
+    if args.executor == "continuous":
+        return [make_continuous_executor(worker, args.num_slots)]
     return [InProcessExecutor(worker, max_batch=args.max_batch)]
+
+
+def make_continuous_executor(worker, num_slots: int):
+    """Step-level continuous batching over the worker's pipeline
+    (serve/continuous.py): items join between Euler steps."""
+    import numpy as np
+
+    from wiw_tpu.serve.continuous import ContinuousEngine
+    from wiw_tpu.serve.manager import ContinuousExecutor
+
+    engine = ContinuousEngine(worker.pipe, worker.gen, num_slots=num_slots)
+
+    def encode_item(payload, i):
+        images = worker._load_cond_images(payload)  # [B, H, W, 3] in [-1,1]
+        actions = np.asarray(payload["b_action"])[i]
+        return images[i], actions
+
+    def postprocess(video01):
+        from PIL import Image
+
+        ow, oh = worker.out_size
+        u8 = np.clip(np.asarray(video01) * 255, 0, 255).astype(np.uint8)
+        out = np.stack([
+            np.asarray(Image.fromarray(f).resize((ow, oh))) for f in u8
+        ])
+        return np.transpose(out, (0, 3, 1, 2))  # TCHW
+
+    return ContinuousExecutor(engine, encode_item, postprocess)
 
 
 def main(argv=None):
@@ -69,6 +99,11 @@ def main(argv=None):
     ap.add_argument("--out_width", type=int, default=480)
     ap.add_argument("--out_height", type=int, default=480)
     ap.add_argument("--num_inference_steps", type=int, default=30)
+    ap.add_argument("--executor", default="batch",
+                    choices=["batch", "continuous"],
+                    help="'continuous' = step-level admission (one denoise "
+                         "slot per request item)")
+    ap.add_argument("--num_slots", type=int, default=4)
     ap.add_argument("--warmup_batches", default="1",
                     help="comma-separated batch buckets to precompile "
                          "('' to skip)")
