@@ -231,3 +231,35 @@ class TestNoiseFallback:
         assert out.shape == (1, 3, 2, 8, 72)
         # turn frames keep fresh noise (no roll correlation possible at W=72)
         assert not np.allclose(out[0, 1], np.roll(out[0, 0], 72 // 16 if 72 % 16 == 0 else 4, axis=-1))
+
+
+class TestAttentionOp:
+    def test_xla_path_matches_reference_softmax(self):
+        from wiw_tpu.ops.attention import attention_bsd, dot_product_attention
+
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(k1, (2, 3, 16, 8))
+        k = jax.random.normal(k2, (2, 3, 16, 8))
+        v = jax.random.normal(k3, (2, 3, 16, 8))
+        out = dot_product_attention(q, k, v, use_pallas=False)
+        # reference: softmax(QK^T/sqrt(d)) V
+        logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(8)
+        w = np.exp(logits - logits.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        ref = np.einsum("bhqk,bhkd->bhqd", w, np.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_bsd_layout_roundtrip(self):
+        from wiw_tpu.ops.attention import attention_bsd
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 10, 24))
+        out = attention_bsd(x, x, x, heads=4, use_pallas=False)
+        assert out.shape == (2, 10, 24)
+
+    def test_best_block(self):
+        from wiw_tpu.ops.attention import _best_block
+
+        assert _best_block(9216) == 1536
+        assert _best_block(2304) == 1152
+        assert _best_block(1024) == 1024
+        assert _best_block(200) == 128  # fallback floor
