@@ -249,8 +249,13 @@ class TestSubprocessExecutor:
             WMClient,
         )
 
+        import os
+
+        child_env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                         JAX_PLATFORMS="cpu")
         ex = SubprocessExecutor(
-            [sys.executable, "/root/repo/tests/assets/echo_worker.py"]
+            [sys.executable, "/root/repo/tests/assets/echo_worker.py"],
+            env=child_env,
         )
         server = ManagerServer([ex], port=17990, batch_size=2)
         port = server.start()
@@ -274,8 +279,13 @@ class TestSubprocessExecutor:
 
         from wiw_tpu.serve.manager import ManagerServer, SubprocessExecutor, WMClient
 
+        import os
+
+        child_env = dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                         JAX_PLATFORMS="cpu")
         ex = SubprocessExecutor(
-            [sys.executable, "/root/repo/tests/assets/echo_worker.py"]
+            [sys.executable, "/root/repo/tests/assets/echo_worker.py"],
+            env=child_env,
         )
         server = ManagerServer([ex], port=17995)
         port = server.start()
