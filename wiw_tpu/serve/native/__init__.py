@@ -13,7 +13,7 @@ import threading
 
 _DIR = os.path.dirname(__file__)
 _SRC = os.path.join(_DIR, "framing.cpp")
-_SO = os.path.join(_DIR, "libwiwframing.so")
+_SO = os.path.join(_DIR, "bin", "libwiwframing.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -21,6 +21,7 @@ _tried = False
 
 def _build() -> bool:
     try:
+        os.makedirs(os.path.dirname(_SO), exist_ok=True)
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120,
