@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize imports jax at interpreter start (before this
+# file), so the env var alone is too late — force the platform through
+# jax.config as well (backends initialize lazily, so this sticks as long
+# as no device query has happened yet).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 # persistent compile cache: repeat test runs skip XLA compilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
