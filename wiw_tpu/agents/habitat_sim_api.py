@@ -14,7 +14,7 @@ agnostic to habitat vs fakes. habitat-sim must be installed on the host.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -24,7 +24,7 @@ import json
 import random
 import re
 import string
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 

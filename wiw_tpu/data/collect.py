@@ -27,7 +27,7 @@ import os
 import os.path as osp
 import queue
 import threading
-from typing import List, Optional, Protocol, Sequence
+from typing import List, Protocol, Sequence
 
 import numpy as np
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import glob
 import json
-import os
 import os.path as osp
 import re
 from typing import List, Optional, Sequence

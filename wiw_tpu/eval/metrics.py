@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def psnr(video1: jnp.ndarray, video2: jnp.ndarray) -> jnp.ndarray:

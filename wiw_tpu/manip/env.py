@@ -10,7 +10,7 @@ is a deterministic kinematic world for tests and GTsim-style oracles.
 
 from __future__ import annotations
 
-from typing import List, Optional, Protocol
+from typing import Protocol
 
 import numpy as np
 

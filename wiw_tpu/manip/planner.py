@@ -21,9 +21,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from wiw_tpu.core.actions import quat_to_rotmat
-
-
 def slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
     """Quaternion slerp (xyzw)."""
     q0 = q0 / np.linalg.norm(q0)

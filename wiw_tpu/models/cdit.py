@@ -20,8 +20,6 @@ ignored at sampling (DDIM eta=0).
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -26,10 +26,7 @@ InProcessExecutor; `submit/poll` expose the async surface.
 from __future__ import annotations
 
 import dataclasses
-import functools
-import queue
-import threading
-from typing import Any, Callable, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

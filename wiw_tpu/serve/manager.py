@@ -24,7 +24,7 @@ import socket
 import subprocess
 import threading
 import time
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 from wiw_tpu.serve.batcher import Batcher, merge_output_dicts, split_input_dict
 from wiw_tpu.serve.protocol import (

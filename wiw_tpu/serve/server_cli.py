@@ -13,7 +13,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 from wiw_tpu.serve.manager import (

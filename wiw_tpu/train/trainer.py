@@ -23,7 +23,6 @@ TPU-native replacements for the reference's stack:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Optional
 
 import jax
 

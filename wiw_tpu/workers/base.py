@@ -17,7 +17,7 @@ Behavioral parity (no code copied) with downstream/api_models/__init__.py:
 from __future__ import annotations
 
 import os.path as osp
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

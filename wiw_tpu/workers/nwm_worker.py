@@ -14,7 +14,6 @@ conditioned on the last `context_size` frame latents, rolled out
 from __future__ import annotations
 
 import os.path as osp
-from typing import Optional
 
 import numpy as np
 

@@ -21,7 +21,6 @@ Contract:
 from __future__ import annotations
 
 import os.path as osp
-import sys
 from typing import Optional
 
 import numpy as np

@@ -19,9 +19,7 @@ Conditioning frames come from `b_image` or `<save_dir>/cond_rgb.png`
 from __future__ import annotations
 
 import argparse
-import os
 import os.path as osp
-import sys
 from typing import Optional
 
 import numpy as np
