@@ -1,0 +1,79 @@
+"""Torch-side converter tests using the in-image CPU torch: pt->safetensors,
+lpips checkpoint mapping, i3d checkpoint mapping."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+class TestPtToSafetensors:
+    def test_roundtrip_with_wrappers_and_sharing(self, tmp_path):
+        from safetensors.numpy import load_file
+
+        from wiw_tpu.utils.pt_to_safetensors import convert
+
+        w = torch.randn(4, 3)
+        sd = {"state_dict": {"a.weight": w, "a.alias": w[:2],  # shared storage
+                             "b.bias": torch.zeros(5)}}
+        src = str(tmp_path / "ckpt.pt")
+        torch.save(sd, src)
+        dst = convert(src)
+        out = load_file(dst)
+        np.testing.assert_allclose(out["a.weight"], w.numpy())
+        np.testing.assert_allclose(out["a.alias"], w[:2].numpy())
+        assert out["b.bias"].shape == (5,)
+
+
+class TestLPIPSWeights:
+    def test_lpips_checkpoint_mapping(self, tmp_path):
+        import jax.numpy as jnp
+
+        from wiw_tpu.eval.lpips import LPIPS, load_lpips_weights
+
+        sd = {}
+        # lin heads like the lpips package
+        for i, c in enumerate([64, 192, 384, 256, 256]):
+            sd[f"lin{i}.model.1.weight"] = torch.rand(1, c, 1, 1)
+        # alexnet trunk convs (torchvision features indices)
+        convs = {0: (64, 3, 11), 3: (192, 64, 5), 6: (384, 192, 3),
+                 8: (256, 384, 3), 10: (256, 256, 3)}
+        for n, (o, i_, k) in convs.items():
+            sd[f"net.features.{n}.weight"] = torch.randn(o, i_, k, k)
+            sd[f"net.features.{n}.bias"] = torch.randn(o)
+        path = str(tmp_path / "lpips.pth")
+        torch.save(sd, path)
+        params = load_lpips_weights(path)
+        assert params["lin0"].shape == (64,)
+        assert params["net"]["conv0"]["kernel"].shape == (11, 11, 3, 64)
+        # the converted tree must drive the model
+        model = LPIPS()
+        a = jnp.zeros((1, 64, 64, 3))
+        b = jnp.ones((1, 64, 64, 3)) * 0.3
+        d = model.apply({"params": params}, a, b)
+        assert d.shape == (1,) and float(d[0]) >= 0.0
+
+
+class TestI3DWeights:
+    def test_i3d_checkpoint_mapping_smoke(self, tmp_path):
+        """Map a minimal subset of pytorch_i3d-style keys; full-model
+        validation needs the real 400-class checkpoint."""
+        from wiw_tpu.eval.fvd import load_i3d_weights
+
+        sd = {
+            "Conv3d_1a_7x7.conv3d.weight": torch.randn(64, 3, 7, 7, 7),
+            "Conv3d_1a_7x7.bn.weight": torch.ones(64),
+            "Conv3d_1a_7x7.bn.bias": torch.zeros(64),
+            "Conv3d_1a_7x7.bn.running_mean": torch.zeros(64),
+            "Conv3d_1a_7x7.bn.running_var": torch.ones(64),
+            "Mixed_3b.b1a.conv3d.weight": torch.randn(96, 192, 1, 1, 1),
+            "logits.conv3d.weight": torch.randn(400, 1024, 1, 1, 1),
+            "logits.conv3d.bias": torch.randn(400),
+        }
+        path = str(tmp_path / "i3d.pt")
+        torch.save(sd, path)
+        v = load_i3d_weights(path)
+        assert v["params"]["Conv3d_1a_7x7"]["conv3d"]["kernel"].shape == (7, 7, 7, 3, 64)
+        assert v["batch_stats"]["Conv3d_1a_7x7"]["bn"]["mean"].shape == (64,)
+        assert v["params"]["Mixed_3b"]["b1a"]["conv3d"]["kernel"].shape == (1, 1, 1, 192, 96)
+        assert v["params"]["logits"]["conv3d"]["bias"].shape == (400,)
