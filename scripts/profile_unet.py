@@ -1,0 +1,196 @@
+"""Per-component timing of the SVD-dagger UNet forward on the real TPU chip.
+
+Times (with forced host sync; relay round-trip ~30 ms included per call,
+amortized away via inner-loop repetition on device where possible):
+
+  * full UNet fwd at 576x1024 (CFG fold, 14 frames)
+  * L0 spatial flash attention (28, 5, 9216, 64)
+  * L0 temporal attention, three formulations (transpose+XLA einsum /
+    direct einsum on [B,F,S,C] layout / VPU elementwise)
+  * L0 GEGLU FF; L0 3x3 conv; L0 GroupNorm
+  * exp() throughput (fp32 vs bf16)
+
+Run: python scripts/profile_unet.py [--only NAME]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(name, fn, *args, reps=5, inner=1):
+    """fn must return a scalar-reducible array; float() forces sync."""
+    f = jax.jit(fn)
+    t0 = time.perf_counter()
+    float(jnp.asarray(f(*args)).sum())
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(jnp.asarray(f(*args)).sum())
+    dt = (time.perf_counter() - t0) / reps / inner
+    print(f"{name:55s} {dt*1e3:9.2f} ms   (compile {compile_s:.1f}s)",
+          flush=True)
+    return dt
+
+
+def loop(fn, n):
+    """Repeat fn n times on-device (chained) to amortize relay sync."""
+    def wrapped(*args):
+        def body(c, _):
+            return jax.tree_util.tree_map(
+                lambda a, b: a + 0 * b, c, fn(*args)), None
+        out = fn(*args)
+        out2, _ = jax.lax.scan(lambda c, _: (fn(*args), None), out,
+                               None, length=n - 1)
+        return out2
+    return wrapped
+
+
+B, F, HP, WP = 2, 14, 72, 128  # CFG fold=2, latent 72x128 (576x1024 px)
+BF = B * F
+S = HP * WP
+C0 = 320
+H0 = 5
+D0 = 64
+key = jax.random.PRNGKey(0)
+
+
+def rnd(*shape, dtype=jnp.bfloat16):
+    return jax.random.normal(key, shape).astype(dtype)
+
+
+def main():
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+
+    def want(name):
+        return only is None or only in name
+
+    # ---- full forward ---------------------------------------------------
+    if want("full_fwd"):
+        from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+        cfg = UNetConfig(num_frames=F, action_strategy="micro_cond",
+                         action_input_channel=F, dtype="bfloat16")
+        model = UNetSpatioTemporal(cfg)
+        sample = rnd(B, F, HP, WP, 8)
+        ts = jnp.zeros((B,))
+        ctx = rnd(B, 1, 1024)
+        atids = jnp.tile(jnp.array([[6.0, 127.0, 0.02]]), (B, 1))
+        aids = jnp.zeros((B, F, F))
+
+        def init_fn(k):
+            p = model.init(k, sample, ts, ctx, atids, aids)["params"]
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), p)
+        params = jax.jit(init_fn)(key)
+        jax.block_until_ready(params)
+
+        def fwd(p, s):
+            return model.apply({"params": p}, s, ts, ctx, atids, aids).sum()
+        timeit("full UNet fwd 576x1024 (CFG fold)", fwd, params, sample,
+               reps=3)
+        lowered = jax.jit(lambda p, s: model.apply(
+            {"params": p}, s, ts, ctx, atids, aids)).lower(params, sample)
+        ca = lowered.compile().cost_analysis()
+        print(f"  cost_analysis: {ca.get('flops', 0)/1e12:.1f} TFLOP, "
+              f"{ca.get('bytes accessed', 0)/1e9:.0f} GB", flush=True)
+
+    # ---- spatial flash attention ---------------------------------------
+    if want("flash"):
+        from wiw_tpu.ops.attention import dot_product_attention
+        q = rnd(BF, H0, S, D0); k = rnd(BF, H0, S, D0); v = rnd(BF, H0, S, D0)
+        timeit("spatial flash attn (28,5,9216,64) x4 stock", loop(
+            lambda q, k, v: dot_product_attention(q, k, v, use_pallas=True),
+            4), q, k, v, reps=3, inner=4)
+        from wiw_tpu.ops.pallas_attention import flash_attention_bhsd
+        timeit("spatial flash attn (28,5,9216,64) x4 custom", loop(
+            lambda q, k, v: flash_attention_bhsd(q, k, v), 4),
+            q, k, v, reps=3, inner=4)
+
+    # ---- temporal attention formulations --------------------------------
+    if want("temporal"):
+        x = rnd(B, F, S, C0)  # layout as it exists inside the transformer
+
+        def t_transpose(x):
+            # current path: transpose to [B*S, F, C], XLA attention, back
+            from wiw_tpu.ops.attention import attention_bsd
+            h = x.transpose(0, 2, 1, 3).reshape(B * S, F, C0)
+            out = attention_bsd(h, h, h, H0)
+            return out.reshape(B, S, F, C0).transpose(0, 2, 1, 3)
+
+        def t_direct(x):
+            # no transpose: einsum directly on [B,F,S,H,D]
+            q = x.reshape(B, F, S, H0, D0)
+            logits = jnp.einsum("bfshd,bgshd->bshfg", q, q,
+                                preferred_element_type=jnp.float32)
+            w = jax.nn.softmax(logits * D0 ** -0.5, -1).astype(x.dtype)
+            out = jnp.einsum("bshfg,bgshd->bfshd", w, q)
+            return out.reshape(B, F, S, C0)
+
+        timeit("temporal attn L0 transpose+bsd x4", loop(t_transpose, 4), x,
+               reps=3, inner=4)
+        timeit("temporal attn L0 direct-einsum  x4", loop(t_direct, 4), x,
+               reps=3, inner=4)
+
+    # ---- FF / conv / norm -----------------------------------------------
+    if want("ff"):
+        x = rnd(BF, S, C0)
+        w1 = rnd(C0, C0 * 8); w2 = rnd(C0 * 4, C0)
+
+        def geglu(x):
+            h = x @ w1
+            a, g = jnp.split(h, 2, -1)
+            return (a * jax.nn.gelu(g)) @ w2
+        timeit("GEGLU FF L0 (258k tokens, 320) x4", loop(geglu, 4), x,
+               reps=3, inner=4)
+
+    if want("conv"):
+        import flax.linen as nn
+        x4 = rnd(BF, HP, WP, C0)
+        conv = nn.Conv(C0, (3, 3), padding=1, dtype=jnp.bfloat16)
+        cp = jax.jit(conv.init)(key, x4)
+        timeit("conv3x3 L0 (28,72,128,320) x4",
+               loop(lambda p, x: conv.apply(p, x), 4), cp, x4,
+               reps=3, inner=4)
+
+    if want("norm"):
+        from wiw_tpu.models.layers import GroupNorm
+        x4 = rnd(BF, HP, WP, C0)
+        gn = GroupNorm()
+        gp = jax.jit(gn.init)(key, x4)
+        timeit("GroupNorm L0 (28,72,128,320) x8",
+               loop(lambda p, x: gn.apply(p, x), 8), gp, x4, reps=3, inner=8)
+
+    # ---- exp throughput ---------------------------------------------------
+    if want("exp"):
+        big32 = rnd(4096, 8192, dtype=jnp.float32)
+        big16 = rnd(4096, 8192, dtype=jnp.bfloat16)
+        n = 4096 * 8192
+        dt = timeit("exp fp32 33M x8", loop(lambda x: jnp.exp(x), 8), big32,
+                    reps=3, inner=8)
+        print(f"  -> {n/dt/1e9:.0f} G exp/s fp32")
+        dt = timeit("exp bf16 33M x8", loop(lambda x: jnp.exp(x), 8), big16,
+                    reps=3, inner=8)
+        print(f"  -> {n/dt/1e9:.0f} G exp/s bf16")
+
+    # ---- matmul calibration ----------------------------------------------
+    if want("matmul"):
+        a = rnd(8192, 8192); b = rnd(8192, 8192)
+        dt = timeit("matmul 8192^3 x4", loop(lambda a, b: a @ b, 4), a, b,
+                    reps=3, inner=4)
+        print(f"  -> {2*8192**3/dt/1e12:.0f} TFLOP/s")
+
+
+if __name__ == "__main__":
+    main()

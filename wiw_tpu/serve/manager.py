@@ -114,10 +114,18 @@ class InProcessExecutor(Executor):
                     idx += n
                     self.pending -= 1
                     self._results.put((cid, tid, part))
-            except Exception as e:  # report failure per task
-                for cid, tid, _ in items:
+            except Exception:
+                # error isolation: one bad item must not fail co-batched
+                # clients (reference isolates per sub-task; the merged
+                # micro-batch is our optimization, so unmerge on failure
+                # and run each sub-task alone, reporting its own error)
+                for cid, tid, payload in items:
                     self.pending -= 1
-                    self._results.put((cid, tid, {"error": repr(e), "save_dirs": []}))
+                    try:
+                        self._results.put((cid, tid, self.task_fn(payload)))
+                    except Exception as e:
+                        self._results.put(
+                            (cid, tid, {"error": repr(e), "save_dirs": []}))
 
 
 class ContinuousExecutor(Executor):
@@ -270,8 +278,24 @@ class SubprocessExecutor(Executor):
             self._results.put((cid, tid, result))
 
     def stop(self):
+        # Reap hard: a lingering child holds the inherited stdout/stderr
+        # pipes open, which blocks pytest's output-capture teardown (the
+        # round-1 suite hang). terminate -> wait -> kill -> wait.
+        try:
+            self.proc.stdin.close()
+        except Exception:
+            pass
         try:
             self.proc.terminate()
+            self.proc.wait(timeout=5)
+        except Exception:
+            try:
+                self.proc.kill()
+                self.proc.wait(timeout=5)
+            except Exception:
+                pass
+        try:
+            os.close(self.r_fd)
         except Exception:
             pass
 
