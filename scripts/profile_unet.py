@@ -43,16 +43,28 @@ def timeit(name, fn, *args, reps=5, inner=1):
     return dt
 
 
-def loop(fn, n):
-    """Repeat fn n times on-device (chained) to amortize relay sync."""
+def loop(fn, n, fresh=(0,)):
+    """Repeat fn n times on-device via scan over n distinct input copies.
+
+    Args at positions in `fresh` are stacked n-fold and scanned over (so no
+    loop-invariant hoisting / CSE); the rest are closed over. Outputs are
+    sum-reduced into the carry (one cheap pass, prevents DCE).
+    """
     def wrapped(*args):
-        def body(c, _):
-            return jax.tree_util.tree_map(
-                lambda a, b: a + 0 * b, c, fn(*args)), None
-        out = fn(*args)
-        out2, _ = jax.lax.scan(lambda c, _: (fn(*args), None), out,
-                               None, length=n - 1)
-        return out2
+        stacked = tuple(jnp.stack([args[i]] * n) for i in fresh)
+        rest = {i: a for i, a in enumerate(args) if i not in fresh}
+
+        def body(c, xs):
+            full = list(args)
+            for j, i in enumerate(fresh):
+                full[i] = xs[j]
+            for i, a in rest.items():
+                full[i] = a
+            out = fn(*full)
+            return c + jnp.sum(out.astype(jnp.float32)), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), stacked)
+        return c
     return wrapped
 
 
@@ -160,17 +172,46 @@ def main():
         x4 = rnd(BF, HP, WP, C0)
         conv = nn.Conv(C0, (3, 3), padding=1, dtype=jnp.bfloat16)
         cp = jax.jit(conv.init)(key, x4)
-        timeit("conv3x3 L0 (28,72,128,320) x4",
-               loop(lambda p, x: conv.apply(p, x), 4), cp, x4,
-               reps=3, inner=4)
+        dt = timeit("conv3x3 L0 (28,72,128,320) x4",
+                    loop(lambda p, x: conv.apply(p, x), 4, fresh=(1,)),
+                    cp, x4, reps=3, inner=4)
+        fl = 2 * BF * HP * WP * 9 * C0 * C0
+        print(f"  -> {fl/dt/1e12:.0f} TFLOP/s")
+        # conv-equivalent matmul (258048 x 2880 @ 2880 x 320)
+        a = rnd(BF * HP * WP, 9 * C0); b = rnd(9 * C0, C0)
+        dt = timeit("conv-equiv matmul 258048x2880x320 x4",
+                    loop(lambda a, b: a @ b, 4), a, b, reps=3, inner=4)
+        print(f"  -> {fl/dt/1e12:.0f} TFLOP/s")
+        # L2-ish conv: (28,18,32,1280)
+        x2 = rnd(BF, 18, 32, 1280)
+        conv2 = nn.Conv(1280, (3, 3), padding=1, dtype=jnp.bfloat16)
+        cp2 = jax.jit(conv2.init)(key, x2)
+        dt = timeit("conv3x3 L2 (28,18,32,1280) x4",
+                    loop(lambda p, x: conv2.apply(p, x), 4, fresh=(1,)),
+                    cp2, x2, reps=3, inner=4)
+        fl2 = 2 * BF * 18 * 32 * 9 * 1280 * 1280
+        print(f"  -> {fl2/dt/1e12:.0f} TFLOP/s")
+        # temporal conv (3,1,1) on [B,F,H,W,C]
+        x5 = rnd(B, F, HP, WP, C0)
+        conv3 = nn.Conv(C0, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                        dtype=jnp.bfloat16)
+        cp3 = jax.jit(conv3.init)(key, x5)
+        dt = timeit("conv(3,1,1) L0 temporal x4",
+                    loop(lambda p, x: conv3.apply(p, x), 4, fresh=(1,)),
+                    cp3, x5, reps=3, inner=4)
+        fl3 = 2 * B * F * HP * WP * 3 * C0 * C0
+        print(f"  -> {fl3/dt/1e12:.0f} TFLOP/s")
 
     if want("norm"):
         from wiw_tpu.models.layers import GroupNorm
         x4 = rnd(BF, HP, WP, C0)
         gn = GroupNorm()
         gp = jax.jit(gn.init)(key, x4)
-        timeit("GroupNorm L0 (28,72,128,320) x8",
-               loop(lambda p, x: gn.apply(p, x), 8), gp, x4, reps=3, inner=8)
+        dt = timeit("GroupNorm L0 (28,72,128,320) x8",
+                    loop(lambda p, x: gn.apply(p, x), 8, fresh=(1,)),
+                    gp, x4, reps=3, inner=8)
+        mb = BF * HP * WP * C0 * 2
+        print(f"  -> {2*mb/dt/1e9:.0f} GB/s effective (r+w bf16)")
 
     # ---- exp throughput ---------------------------------------------------
     if want("exp"):

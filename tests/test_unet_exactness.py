@@ -1,0 +1,273 @@
+"""Weight-exactness: converted torch-fork weights must reproduce the
+reference UNet's forward bit-for-bit (to fp32 tolerance) in our flax UNet.
+
+The reference's vendored diffusers fork is imported read-only from
+/root/reference and instantiated with RANDOM weights at a tiny config; the
+state dict is converted through models/convert.convert_state_dict and the
+two forwards compared. This validates every layer mapping (names, layouts,
+embedding orders, alpha-blend semantics) end to end — the hard part of
+SURVEY.md section 7 "Hard parts" #1 — without needing the (unfetchable)
+real checkpoint.
+
+Reference parity anchors:
+  unet_spatio_temporal_condition.py:160-290 (init), :400-580 (forward);
+  embeddings.py:838-944 (ActionEmbedder/ActionEmbedder_).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/FTsvd/diffusers-private"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference diffusers fork not present"
+)
+
+
+def _ref_unet(**extra):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from diffusers.models.unets.unet_spatio_temporal_condition import (
+        UNetSpatioTemporalConditionModel,
+    )
+
+    torch.manual_seed(0)
+    return UNetSpatioTemporalConditionModel(
+        sample_size=16,
+        in_channels=8,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        num_attention_heads=(2, 4),
+        layers_per_block=1,
+        cross_attention_dim=64,
+        num_frames=3,
+        down_block_types=(
+            "CrossAttnDownBlockSpatioTemporal",
+            "DownBlockSpatioTemporal",
+        ),
+        up_block_types=(
+            "UpBlockSpatioTemporal",
+            "CrossAttnUpBlockSpatioTemporal",
+        ),
+        transformer_layers_per_block=1,
+        addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=768,
+        **extra,
+    ).eval()
+
+
+def _flax_unet(strategy, action_channel):
+    from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+
+    cfg = UNetConfig(
+        in_channels=8,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        num_attention_heads=(2, 4),
+        layers_per_block=1,
+        cross_attention_dim=64,
+        addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=768,
+        num_frames=3,
+        action_strategy=strategy,
+        action_input_channel=action_channel,
+        dtype="float32",
+    )
+    return UNetSpatioTemporal(cfg)
+
+
+def _convert(ref):
+    from wiw_tpu.models.convert import convert_state_dict
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    return convert_state_dict(state)
+
+
+def _run_pair(ref, model, strategy, action_channel, grad_enabled=True):
+    import jax.numpy as jnp
+
+    from wiw_tpu.models.convert import validate_converted
+
+    B, F, H, W = 2, 3, 16, 16
+    rng = np.random.RandomState(0)
+    sample = rng.randn(B, F, 8, H, W).astype(np.float32) * 0.5
+    context = rng.randn(B, 1, 64).astype(np.float32)
+    atids = np.array([[6.0, 127.0, 0.02]] * B, np.float32)
+    actions = rng.randn(B, F, action_channel).astype(np.float32)
+    t = np.float32(0.5)
+
+    with torch.set_grad_enabled(grad_enabled):
+        out_t = ref(
+            torch.from_numpy(sample),
+            torch.tensor(t),
+            torch.from_numpy(context),
+            torch.from_numpy(atids),
+            added_action_ids=torch.from_numpy(actions),
+            return_dict=False,
+        )[0].detach().numpy()
+
+    params = _convert(ref)
+    # init once to get the expected tree; validate names+shapes strictly
+    import jax
+
+    sample_j = jnp.asarray(sample.transpose(0, 1, 3, 4, 2))
+    init_params = model.init(
+        jax.random.PRNGKey(0), sample_j, jnp.full((B,), t),
+        jnp.asarray(context), jnp.asarray(atids), jnp.asarray(actions),
+    )["params"]
+    validate_converted(params, init_params)
+
+    out_f = model.apply(
+        {"params": params}, sample_j, jnp.full((B,), t),
+        jnp.asarray(context), jnp.asarray(atids), jnp.asarray(actions),
+    )
+    out_f = np.asarray(out_f).transpose(0, 1, 4, 2, 3)  # back to torch layout
+
+    assert out_f.shape == out_t.shape
+    scale = np.abs(out_t).max() + 1e-8
+    err = np.abs(out_f - out_t).max() / scale
+    assert err < 5e-4, f"relative max err {err:.2e} (strategy={strategy})"
+
+
+class TestUNetExactness:
+    def test_micro_cond_forward_matches(self):
+        ref = _ref_unet(
+            action_strategy="micro_cond",
+            task_type="navigation",
+            action_input_channel=3,
+        )
+        model = _flax_unet("micro_cond", 3)
+        # grad enabled: the fork's inference-mode branch repeats actions for
+        # the CFG-stacked batch (unet_spatio_temporal_condition.py:487);
+        # grad mode gives the plain per-batch semantics we test here
+        _run_pair(ref, model, "micro_cond", 3, grad_enabled=True)
+
+    def test_micro_cond_cfg_inference_repeat(self):
+        """Inference mode: torch gets B action rows for a 2B CFG-stacked
+        sample; our caller passes actions already duplicated to 2B. Both
+        must agree (unet_spatio_temporal_condition.py:485-492)."""
+        import jax
+        import jax.numpy as jnp
+
+        ref = _ref_unet(
+            action_strategy="micro_cond",
+            task_type="navigation",
+            action_input_channel=3,
+        )
+        model = _flax_unet("micro_cond", 3)
+        B, F, H, W = 1, 3, 16, 16
+        rng = np.random.RandomState(1)
+        sample = rng.randn(2 * B, F, 8, H, W).astype(np.float32) * 0.5
+        context = rng.randn(2 * B, 1, 64).astype(np.float32)
+        atids = np.array([[6.0, 127.0, 0.02]] * 2 * B, np.float32)
+        actions = rng.randn(B, F, 3).astype(np.float32)
+        t = np.float32(0.5)
+
+        with torch.no_grad():
+            out_t = ref(
+                torch.from_numpy(sample),
+                torch.tensor(t),
+                torch.from_numpy(context),
+                torch.from_numpy(atids),
+                added_action_ids=torch.from_numpy(actions),
+                return_dict=False,
+            )[0].numpy()
+
+        params = _convert(ref)
+        out_f = model.apply(
+            {"params": params},
+            jnp.asarray(sample.transpose(0, 1, 3, 4, 2)),
+            jnp.full((2 * B,), t),
+            jnp.asarray(context),
+            jnp.asarray(atids),
+            jnp.asarray(np.concatenate([actions, actions], 0)),
+        )
+        out_f = np.asarray(out_f).transpose(0, 1, 4, 2, 3)
+        scale = np.abs(out_t).max() + 1e-8
+        assert np.abs(out_f - out_t).max() / scale < 5e-4
+
+    def test_action_block_forward_matches(self):
+        ref = _ref_unet(action_strategy="action_block")
+        model = _flax_unet("action_block", 4)
+        _run_pair(ref, model, "action_block", 4, grad_enabled=True)
+
+    def test_action_block_dropped_sentinel(self):
+        """All -1 action rows map to the zero embedding without pos-emb
+        (embeddings.py:882-886)."""
+        import jax.numpy as jnp
+
+        ref = _ref_unet(action_strategy="action_block")
+        model = _flax_unet("action_block", 4)
+        B, F, H, W = 2, 3, 16, 16
+        rng = np.random.RandomState(2)
+        sample = rng.randn(B, F, 8, H, W).astype(np.float32) * 0.5
+        context = rng.randn(B, 1, 64).astype(np.float32)
+        atids = np.array([[6.0, 127.0, 0.02]] * B, np.float32)
+        actions = np.full((B, F, 4), -1.0, np.float32)
+        t = np.float32(0.5)
+        with torch.set_grad_enabled(True):
+            out_t = ref(
+                torch.from_numpy(sample), torch.tensor(t),
+                torch.from_numpy(context), torch.from_numpy(atids),
+                added_action_ids=torch.from_numpy(actions),
+                return_dict=False,
+            )[0].detach().numpy()
+        params = _convert(ref)
+        out_f = model.apply(
+            {"params": params},
+            jnp.asarray(sample.transpose(0, 1, 3, 4, 2)),
+            jnp.full((B,), t), jnp.asarray(context), jnp.asarray(atids),
+            jnp.asarray(actions),
+        )
+        out_f = np.asarray(out_f).transpose(0, 1, 4, 2, 3)
+        scale = np.abs(out_t).max() + 1e-8
+        assert np.abs(out_f - out_t).max() / scale < 5e-4
+
+    def test_layerwise_activation_diff(self):
+        """The diff harness itself: every matched layer under tolerance."""
+        from wiw_tpu.models.diff_tools import (
+            capture_flax_activations,
+            capture_torch_activations,
+            compare_activations,
+        )
+        import jax.numpy as jnp
+
+        ref = _ref_unet(
+            action_strategy="micro_cond",
+            task_type="navigation",
+            action_input_channel=3,
+        )
+        model = _flax_unet("micro_cond", 3)
+        B, F, H, W = 1, 3, 16, 16
+        rng = np.random.RandomState(3)
+        sample = rng.randn(B, F, 8, H, W).astype(np.float32) * 0.5
+        context = rng.randn(B, 1, 64).astype(np.float32)
+        atids = np.array([[6.0, 127.0, 0.02]] * B, np.float32)
+        actions = rng.randn(B, F, 3).astype(np.float32)
+        t = np.float32(0.5)
+
+        def run_t(m):
+            with torch.set_grad_enabled(True):
+                m(
+                    torch.from_numpy(sample), torch.tensor(t),
+                    torch.from_numpy(context), torch.from_numpy(atids),
+                    added_action_ids=torch.from_numpy(actions),
+                    return_dict=False,
+                )
+
+        torch_acts = capture_torch_activations(ref, run_t)
+        params = _convert(ref)
+        flax_acts = capture_flax_activations(
+            model, {"params": params},
+            jnp.asarray(sample.transpose(0, 1, 3, 4, 2)),
+            jnp.full((B,), t), jnp.asarray(context), jnp.asarray(atids),
+            jnp.asarray(actions),
+        )
+        report = compare_activations(flax_acts, torch_acts)
+        assert report, "no layers matched between torch and flax captures"
+        worst = report[0]
+        assert worst[1] < 5e-3, f"layer {worst[0]} max_abs={worst[1]:.2e}"

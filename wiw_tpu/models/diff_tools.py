@@ -99,13 +99,19 @@ def compare_activations(
     report = []
     for tk, tv in torch_acts.items():
         fk = tr(tk)
-        cands = [k for k in flax_acts
-                 if k == fk or k.startswith(fk + "/") or k.endswith("/" + fk)]
-        if not cands:
-            continue
-        fv = flax_acts[cands[0]]
         tvl = _channels_last(tv)
-        if fv.shape != tvl.shape:
+        # exact module-output key first (flax capture_intermediates names the
+        # output `<path>/__call__/<i>`); fall back to prefix/suffix matches
+        # but only accept a candidate whose shape agrees
+        cands = [fk + "/__call__/0", fk]
+        cands += [k for k in flax_acts
+                  if k.startswith(fk + "/") or k.endswith("/" + fk)]
+        fv = None
+        for c in cands:
+            if c in flax_acts and flax_acts[c].shape == tvl.shape:
+                fv = flax_acts[c]
+                break
+        if fv is None:
             continue
         diff = np.abs(fv.astype(np.float64) - tvl.astype(np.float64))
         denom = np.abs(tvl).mean() + 1e-8
