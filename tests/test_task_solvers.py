@@ -268,3 +268,106 @@ class TestARInteract:
         front = solver.saver.get_image_path(datum, 0, "rgb_front")
         bbox = solver.saver.get_image_path(datum, 0, "rgb_bbox")
         assert _osp.exists(pano) and _osp.exists(front) and _osp.exists(bbox)
+
+
+class TestARLookaheadParity:
+    """Full AR look-ahead pipeline (solver_AR.py:526-600 behavior): moving
+    agent, per-step GT bbox from the CURRENT pose, SAM2 mask propagation
+    over imagined clips, mask-centered aligned crops in the VLM context."""
+
+    class _Sam2Client:
+        """In-process SAM2 worker behind the client surface."""
+
+        def __init__(self):
+            from wiw_tpu.workers.sam2_worker import SAM2Worker
+
+            self.worker = SAM2Worker(save_visualizations=False)
+            self.calls = []
+
+        def send_batch(self, input_dict):
+            self.calls.append(input_dict)
+            return self.worker(input_dict)
+
+    class _RecordingVLM(ScriptedVLM):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.contexts = []
+
+        def classify(self, messages, n):
+            self.contexts.append(messages)
+            return super().classify(messages, n)
+
+    def _run(self, tmp_path, sam2_client):
+        from wiw_tpu.agents.solver import FakeSemanticSimulator
+
+        sim = FakeSemanticSimulator()
+        vlm = self._RecordingVLM(
+            classify_script=[(0, 0.3), (0, 0.3), (0, 0.99)]
+        )
+        solver = ARSolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            object_set=["chair"], tts_ratio=1.0, max_action_num=3,
+            lookahead=3, query_num=2, sam2_client=sam2_client,
+            pred_obs_size=(48, 64), select_interval=2, select_start_idx=0,
+        )
+        datum = {"episode_id": 9, "scene_id": "s",
+                 "target_category": "chair", "target_semantic_ids": [7]}
+        m = solver.run_episode(datum, str(tmp_path / "wm"))
+        return sim, vlm, solver, m
+
+    def test_aligned_crops_join_vlm_context_with_moving_agent(self, tmp_path):
+        sam2 = self._Sam2Client()
+        sim, vlm, solver, m = self._run(tmp_path, sam2)
+        # the agent moved (recognition needed 3 rounds)
+        assert m["traj_len"] == 2
+        assert sim.get_agent_state()[1] != 0.0 or sim.pos.any()
+        # SAM2 got one propagation request per look-ahead round, seeded
+        # with per-candidate rotated bbox prompts
+        assert len(sam2.calls) == 3
+        for call in sam2.calls:
+            assert call["bbox_coords"].shape[1] == 4
+            assert call["pred_frames"].ndim == 5
+        # every recognition round saw aligned crop images in its context
+        # (messages carry base64 PNGs; decode the last one and check the
+        # configured perspective-crop size)
+        import base64 as _b64
+        import io as _io
+
+        from PIL import Image as _Image
+
+        for ctx in vlm.contexts:
+            user = next(m for m in ctx if m["role"] == "user")
+            imgs = [c for c in user["content"] if c.get("type") == "image_url"]
+            assert len(imgs) >= 2, "VLM context missing imagined crops"
+            raw = imgs[-1]["image_url"]["url"].split(",", 1)[1]
+            crop = _Image.open(_io.BytesIO(_b64.b64decode(raw)))
+            assert crop.size == (64, 48)
+
+    def test_fallback_masks_without_sam2(self, tmp_path):
+        _sim, vlm, _solver, _m = self._run(tmp_path, None)
+        for ctx in vlm.contexts:
+            user = next(m for m in ctx if m["role"] == "user")
+            imgs = [c for c in user["content"] if c.get("type") == "image_url"]
+            assert len(imgs) >= 2, "fallback path produced no crops"
+
+    def test_bbox_recomputed_from_current_pose(self, tmp_path):
+        """After the agent turns, the stored gt_bbox shifts accordingly —
+        the reference recomputes it per step (solver_AR.py:713-788)."""
+        from wiw_tpu.agents.solver import FakeSemanticSimulator
+        from wiw_tpu.agents.state import State
+
+        sim = FakeSemanticSimulator()
+        solver = ARSolver(
+            gtsim_config(states_root=str(tmp_path)), sim,
+            object_set=["chair"], tts_ratio=0.0,
+        )
+        datum = {"episode_id": 10, "scene_id": "s",
+                 "target_category": "chair", "target_semantic_ids": [7]}
+        st = State()
+        solver.interact(datum, st, 0)
+        b0 = st.get_from_recent_state("gt_bbox")
+        sim.step("turn_left")  # +22.5 deg -> content shifts right W/16=8 px
+        solver.interact(datum, st, 1)
+        b1 = st.get_from_recent_state("gt_bbox")
+        assert b0 and b1
+        assert (b1["x_min"] - b0["x_min"]) % 128 == 8

@@ -72,8 +72,11 @@ class FakeSimulator(SimulatorAPI):
         self.seed = seed
 
     def get_pano(self) -> np.ndarray:
+        # convention parity with the reference pano roll (svd_utils.py:86-126
+        # / roll_pano_np): turning LEFT by theta shifts pano content RIGHT
+        # by W*theta/360 — so world longitude maps to column via -heading
         jj = np.arange(self.W)
-        lon = (jj + 0.5) / self.W * 360.0 - 180.0 + self.heading_deg
+        lon = (jj + 0.5) / self.W * 360.0 - 180.0 - self.heading_deg
         row = (127.5 + 80 * np.sin(np.radians(lon) * 2 + self.seed)
                + 20 * self.pos[0] + 10 * self.pos[1])
         img = np.tile(row[None, :, None], (self.H, 1, 3))
@@ -93,6 +96,43 @@ class FakeSimulator(SimulatorAPI):
 
     def set_agent_state(self, state) -> None:
         self.pos, self.heading_deg = state[0].copy(), state[1]
+
+
+class FakeSemanticSimulator(FakeSimulator):
+    """FakeSimulator + a semantic sensor: one target object at a fixed world
+    longitude whose instance id paints a pano patch that moves with the
+    agent's heading (stands in for habitat's semantic cubemap,
+    simulator.py:346-443)."""
+
+    def __init__(self, height: int = 64, width: int = 128, seed: int = 0,
+                 target_id: int = 7, target_lon_deg: float = 40.0):
+        super().__init__(height, width, seed)
+        self.target_id = target_id
+        self.target_lon_deg = target_lon_deg
+
+    def _target_bounds(self):
+        # pano column where world longitude `target_lon_deg` lands given the
+        # current heading (inverse of get_pano's lon mapping: +heading moves
+        # content right)
+        frac = ((self.target_lon_deg + 180.0 + self.heading_deg) % 360.0) / 360.0
+        cx = int(frac * self.W)
+        half_w, half_h = max(self.W // 16, 2), max(self.H // 8, 2)
+        cy = self.H // 2
+        return cx, cy, half_w, half_h
+
+    def get_pano(self) -> np.ndarray:
+        img = super().get_pano().copy()
+        cx, cy, hw, hh = self._target_bounds()
+        xs = (np.arange(cx - hw, cx + hw)) % self.W
+        img[cy - hh:cy + hh, xs] = (200, 40, 40)  # paint the target red
+        return img
+
+    def get_semantic(self) -> np.ndarray:
+        sem = np.zeros((self.H, self.W), np.int32)
+        cx, cy, hw, hh = self._target_bounds()
+        xs = (np.arange(cx - hw, cx + hw)) % self.W
+        sem[cy - hh:cy + hh, xs] = self.target_id
+        return sem
 
 
 @dataclasses.dataclass

@@ -44,11 +44,17 @@ class ARSolver(Solver):
                  tts_ratio: float = 1.0, query_num: int = 2,
                  lookahead: int = 4, sam2_client=None,
                  use_heuristic_policy: bool = True, seed: int = 0,
-                 save_obs: bool = False):
+                 save_obs: bool = False, obs_hfov: float = 90.0,
+                 pred_obs_size: tuple = (384, 512),
+                 select_interval: int = 2, select_start_idx: int = 3):
         config.look_ahead_action_num = lookahead
         config.query_num = query_num
         config.task = "AR"
         super().__init__(config, sim)
+        self.obs_hfov = obs_hfov
+        self.pred_obs_size = tuple(pred_obs_size)
+        self.select_interval = select_interval
+        self.select_start_idx = select_start_idx
         self.vlm = vlm
         self.object_set = object_set or []
         self.recog_thres = recog_thres
@@ -92,61 +98,132 @@ class ARSolver(Solver):
         )
 
     # ------------------------------------------------------------------
-    def bbox_crops_from_imagination(self, pred_frames: np.ndarray,
-                                    datum: dict,
-                                    init_turn_degrees: dict) -> List[np.ndarray]:
-        """Project the GT 3D bbox into imagined panos and crop
-        (prepare_gt_bbox_coord, solver_AR.py:713-788)."""
+    def current_gt_bbox(self, datum: dict, st: State) -> Optional[dict]:
+        """GT bbox in pano coordinates recomputed from the agent's CURRENT
+        pose each step (parity: prepare_gt_bbox_coord re-runs interact()
+        at (position, rotation), solver_AR.py:713-760). Preference order:
+        the semantic observation at the current pose, else the 3D corners
+        projected through the current camera pose."""
+        bbox = st.get_from_recent_state("gt_bbox")
+        if bbox:
+            return bbox
         corners = datum.get("bbox_corners_world")
-        cam_to_world = datum.get("cam_to_world")
+        cam_to_world = getattr(self.sim, "get_cam_to_world", lambda: None)()
+        if cam_to_world is None:
+            cam_to_world = datum.get("cam_to_world")
         if corners is None or cam_to_world is None:
-            return []
-        crops = []
+            return None
         import jax.numpy as jnp
 
-        B, T = pred_frames.shape[:2]
-        H, W = pred_frames.shape[-2], pred_frames.shape[-1]
+        pano = self.sim.get_pano()
+        H, W = pano.shape[:2]
         box = project_bbox_to_pano(
             jnp.asarray(corners, jnp.float32),
             jnp.asarray(cam_to_world, jnp.float32), W, H,
         )
-        x0, x1 = int(box["x_min"]), int(box["x_max"])
-        y0, y1 = int(box["y_min"]), int(box["y_max"])
-        for b in range(B):
-            # rotate bbox x-coords by the candidate's initial turn
-            shift = int(round(W * init_turn_degrees.get(b, 0.0) / 360.0))
-            xa, xb = (x0 + shift) % W, (x1 + shift) % W
-            frame = np.transpose(pred_frames[b, -1], (1, 2, 0))
-            if xa < xb and y0 < y1:
-                crop = frame[max(y0, 0):min(y1, H), xa:xb]
-                if crop.size:
-                    crops.append(crop)
-        return crops
+        return {k: int(box[k]) for k in ("x_min", "x_max", "y_min", "y_max")}
 
-    def propagate_masks(self, output_dict: dict, bbox: dict) -> Optional[dict]:
-        """Send imagined clips to the SAM2 server for mask propagation
-        (solver_base.py:215-239)."""
+    def prepare_gt_bbox_coords(self, bbox: dict, init_turn_degrees: dict,
+                               img_width: int) -> List[dict]:
+        """Rotate the current-pose bbox into each candidate's rolled pano
+        (rotate_coord_by_degrees, svd_utils.py:146-173: cyclic x-shift by
+        W*deg/360, y unchanged)."""
+        out = []
+        for i in sorted(init_turn_degrees):
+            shift = int(round(img_width * init_turn_degrees[i] / 360.0))
+            out.append({
+                "x_min": (bbox["x_min"] + shift) % img_width,
+                "x_max": (bbox["x_max"] + shift) % img_width,
+                "y_min": bbox["y_min"],
+                "y_max": bbox["y_max"],
+            })
+        return out
+
+    @staticmethod
+    def _bbox_rect_masks(bbox_coords: List[dict], shape_bt: tuple,
+                         H: int, W: int) -> np.ndarray:
+        """Fallback masks when no SAM2 server is attached: the seeded bbox
+        rectangle held constant through the clip, so the alignment+crop
+        pipeline is identical with or without the tracker."""
+        B, T = shape_bt
+        masks = np.zeros((B, T, H, W), np.uint8)
+        for b, bb in enumerate(bbox_coords[:B]):
+            x0, x1 = bb["x_min"], bb["x_max"]
+            y0, y1 = max(bb["y_min"], 0), min(bb["y_max"], H)
+            if x0 <= x1:
+                masks[b, :, y0:y1, x0:x1] = 255
+            else:  # wrap-around box
+                masks[b, :, y0:y1, x0:] = 255
+                masks[b, :, y0:y1, :x1] = 255
+        return masks
+
+    def propagate_masks(self, output_dict: dict,
+                        bbox_coords: List[dict]) -> np.ndarray:
+        """Imagined clips -> per-frame target masks [B, T, H, W].
+
+        With a SAM2 client: bbox prompts seed frame 0 and masks propagate
+        through the generated video on the detection server
+        (generate_bbox_for_preds, solver_base.py:215-239;
+        sam2_model.py:310-478). Without one: static bbox-rectangle masks.
+        """
+        frames = np.asarray(output_dict["pred_frames"])  # [B, T, C, H, W]
+        B, T = frames.shape[:2]
+        H, W = frames.shape[-2:]
         if self.sam2_client is None:
-            return None
-        return self.sam2_client.send_batch({
+            return self._bbox_rect_masks(bbox_coords, (B, T), H, W)
+        out = self.sam2_client.send_batch({
             "bbox_coords": np.asarray(
-                [[bbox["x_min"], bbox["y_min"], bbox["x_max"], bbox["y_max"]]]
+                [[bb["x_min"], bb["y_min"], bb["x_max"], bb["y_max"]]
+                 for bb in bbox_coords], np.int64
             ),
             "save_dirs": output_dict["save_dirs"],
-            "pred_frames": output_dict["pred_frames"],
+            "pred_frames": frames,
         })
+        return np.asarray(out["masks"])
 
     def forward_with_WM(self, datum: dict, st: State, save_dir: str
                         ) -> List[np.ndarray]:
+        """The flagship AR look-ahead (solver_AR.py:526-600):
+        candidates -> WM imagination -> per-candidate rotated GT bbox ->
+        SAM2 mask propagation -> mask-centered aligned perspective crops ->
+        every-2nd crop from index 3 joins the VLM context."""
+        from wiw_tpu.agents.postprocess import post_process_output_ar
+        from wiw_tpu.agents.saver import save_image
+
         candidates = self.propose_candidates(st)
         init_deg, _, _ = self.get_action_info_from_prior(candidates)
         out = self.imagine_by_model_type(candidates, save_dir)
-        crops = self.bbox_crops_from_imagination(
-            out["pred_frames"], datum, init_deg
+        pred_frames = np.asarray(out["pred_frames"])
+        if pred_frames.size == 0:
+            return []
+        W = pred_frames.shape[-1]
+
+        bbox = self.current_gt_bbox(datum, st)
+        if bbox is None:
+            return []
+        bbox_coords = self.prepare_gt_bbox_coords(bbox, init_deg, W)
+        masks = self.propagate_masks(out, bbox_coords)
+
+        per_cand = post_process_output_ar(
+            pred_frames, masks, per_hfov=self.obs_hfov,
+            img_size=self.pred_obs_size,
         )
-        st.add_to_recent_state(
-            out.get("save_dirs", []), key="pred_save_paths"
-        ) if st.rows else None
+        crops: List[np.ndarray] = []
+        pred_save_paths: List[str] = []
+        for b, res in enumerate(per_cand):
+            if res["crops"] is None:
+                continue
+            # select interval=2 starting at index 3
+            # (select_and_save_preds, solver_AR.py:594-597)
+            sel = res["crops"][self.select_start_idx::self.select_interval]
+            for j, crop in enumerate(sel):
+                crops.append(crop)
+                if out.get("save_dirs"):
+                    p = f"{out['save_dirs'][b]}/aligned_bbox_{j:02d}.png"
+                    save_image(p, crop)
+                    pred_save_paths.append(p)
+        if st.rows:
+            st.add_to_recent_state(pred_save_paths, key="pred_save_paths")
         return crops
 
     def pick_next_action(self, st: State) -> str:
@@ -173,6 +250,19 @@ class ARSolver(Solver):
 
         pano = self.sim.get_pano()
         row = {"step": step}
+        # the GT bbox is recomputed from the CURRENT pose at every step
+        # (the reference re-runs interact() inside prepare_gt_bbox_coord,
+        # solver_AR.py:739-742) — it feeds the per-candidate rotations in
+        # forward_with_WM regardless of whether images are persisted
+        annotated = None
+        semantic = getattr(self.sim, "get_semantic", lambda: None)()
+        target_ids = datum.get("target_semantic_ids")
+        if semantic is not None and target_ids:
+            from wiw_tpu.agents.semantic_bbox import draw_target_bbox
+
+            annotated, bbox = draw_target_bbox(pano, semantic, target_ids)
+            if bbox is not None:
+                row["gt_bbox"] = bbox
         if self.save_obs:
             pano_path = self.saver.get_image_path(datum, step, "rgb_pano")
             save_image(pano_path, pano)
@@ -180,18 +270,10 @@ class ARSolver(Solver):
             front_path = self.saver.get_image_path(datum, step, "rgb_front")
             save_image(front_path, front)
             row.update(rgb_pano=pano_path, rgb_front=front_path)
-            semantic = getattr(self.sim, "get_semantic", lambda: None)()
-            target_ids = datum.get("target_semantic_ids")
-            if semantic is not None and target_ids:
-                from wiw_tpu.agents.semantic_bbox import draw_target_bbox
-
-                annotated, bbox = draw_target_bbox(pano, semantic, target_ids)
-                if bbox is not None:
-                    bbox_path = self.saver.get_image_path(
-                        datum, step, "rgb_bbox"
-                    )
-                    save_image(bbox_path, annotated)
-                    row.update(rgb_bbox=bbox_path, gt_bbox=bbox)
+            if annotated is not None and row.get("gt_bbox"):
+                bbox_path = self.saver.get_image_path(datum, step, "rgb_bbox")
+                save_image(bbox_path, annotated)
+                row["rgb_bbox"] = bbox_path
         st.add_new_state(row)
         return row
 
