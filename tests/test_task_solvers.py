@@ -371,3 +371,74 @@ class TestARLookaheadParity:
         b1 = st.get_from_recent_state("gt_bbox")
         assert b0 and b1
         assert (b1["x_min"] - b0["x_min"]) % 128 == 8
+
+
+class TestAEQALandmarkNav:
+    """Landmark navigation parity (solver_AEQA.py:612-720): the chosen
+    landmark's position in the 3D object memory — not the raw VLM action
+    list — determines the executed path."""
+
+    def test_landmark_drives_path(self, tmp_path):
+        sim = FakeSimulator()
+        # plan 1 chooses landmark 0; plan 2+3 answer (with confirmation)
+        vlm = ScriptedVLM(plans=[
+            {"Reason": "go", "Action Plan": ["turn_left 22.5°"],
+             "Chosen View": "", "Chosen Landmark": 0, "Answer": ""},
+            {"Reason": "done", "Action Plan": [], "Chosen View": "",
+             "Chosen Landmark": "", "Answer": "a red chair"},
+            {"Reason": "done", "Action Plan": [], "Chosen View": "",
+             "Chosen Landmark": "", "Answer": "a red chair"},
+        ])
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            max_action_num=100,
+        )
+        # a detected object 1m straight ahead (+x)
+        pts = np.array([[1.0, 0.0, 0.0]]) + 0.05 * np.random.RandomState(0).randn(30, 3)
+        solver.objects.add_detection("chair", pts)
+        m = solver.run_episode(
+            {"question": "what is ahead?", "question_id": "q1",
+             "scene_id": "s", "answer": "chair"},
+            str(tmp_path / "wm"),
+        )
+        # the agent walked toward the landmark (x advanced, not the raw
+        # turn_left plan)
+        assert sim.pos[0] > 0.5, sim.pos
+        assert m["answer"] == "a red chair"
+        assert solver.objects.entities[0].visited
+
+    def test_answer_requires_confirmation(self, tmp_path):
+        """A single non-empty answer does not stop the episode; the repeat
+        does (solver_AEQA.py:523-580)."""
+        sim = FakeSimulator()
+        vlm = ScriptedVLM(plans=[
+            {"Reason": "guess", "Action Plan": [], "Chosen View": "",
+             "Chosen Landmark": "", "Answer": "sofa"},
+            {"Reason": "retract", "Action Plan": ["forward 0.2m"],
+             "Chosen View": "", "Chosen Landmark": "", "Answer": ""},
+            {"Reason": "sure", "Action Plan": [], "Chosen View": "",
+             "Chosen Landmark": "", "Answer": "table"},
+            {"Reason": "sure", "Action Plan": [], "Chosen View": "",
+             "Chosen Landmark": "", "Answer": "table"},
+        ])
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            max_action_num=50,
+        )
+        m = solver.run_episode(
+            {"question": "q", "question_id": "q2", "scene_id": "s"},
+            str(tmp_path / "wm"),
+        )
+        assert m["answer"] == "table"
+        # the retracted first answer forced continued exploration
+        assert m["traj_len"] >= 1
+
+    def test_distant_landmark_filtered(self, tmp_path):
+        sim = FakeSimulator()
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim,
+            landmark_max_distance=5.0,
+        )
+        pts = np.array([[50.0, 0.0, 0.0]]) + 0.05 * np.random.RandomState(0).randn(20, 3)
+        idx = solver.objects.add_detection("door", pts)
+        assert solver.plan_landmark_actions(idx) == []

@@ -1,0 +1,105 @@
+"""Navigation helpers: landmark-goal action sequences.
+
+Behavioral parity (no code copied) with downstream/utils/util.py:17-119
+(`ActionFinder`): given a detected object's position + radius, find a
+navigable point near it and emit the greedy action sequence that walks the
+agent there (GreedyGeodesicFollower in habitat; an analytic turn-then-walk
+planner for simulators without a navmesh, e.g. the test fakes).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from wiw_tpu.agents.solver import UNIT_FORWARD_M, UNIT_TURN_DEG
+
+
+def azimuth_between(src_xy: np.ndarray, dst_xy: np.ndarray) -> float:
+    """Heading (deg, CCW from +x) from src to dst in the fake-sim plane."""
+    d = np.asarray(dst_xy, float) - np.asarray(src_xy, float)
+    return float(np.degrees(np.arctan2(d[1], d[0])))
+
+
+def greedy_actions_to(pos_xy: np.ndarray, heading_deg: float,
+                      goal_xy: np.ndarray, stop_dist: float = 0.3,
+                      max_actions: int = 200) -> List[str]:
+    """Analytic free-space planner: rotate toward the goal in unit turns,
+    then unit forwards until within stop_dist. Used when the simulator has
+    no navmesh follower (FakeSimulator)."""
+    actions: List[str] = []
+    pos = np.asarray(pos_xy, float).copy()
+    heading = float(heading_deg)
+    for _ in range(max_actions):
+        to_goal = np.asarray(goal_xy, float) - pos
+        dist = float(np.linalg.norm(to_goal))
+        if dist <= stop_dist:
+            break
+        want = azimuth_between(pos, goal_xy)
+        delta = (want - heading + 180.0) % 360.0 - 180.0
+        if abs(delta) > UNIT_TURN_DEG / 2:
+            if delta > 0:
+                actions.append("turn_left")
+                heading += UNIT_TURN_DEG
+            else:
+                actions.append("turn_right")
+                heading -= UNIT_TURN_DEG
+        else:
+            actions.append("forward")
+            rad = np.radians(heading)
+            pos += UNIT_FORWARD_M * np.array([np.cos(rad), np.sin(rad)])
+    return actions
+
+
+class ActionFinder:
+    """Landmark -> executable action sequence (util.py:17-71 role).
+
+    `set_new_nav_pt(object_pos, object_radius)` picks the nav goal just
+    outside the object's radius; `get_next_action_seq()` returns the action
+    names, ending with None when the goal is reached (the reference's
+    follower convention).
+    """
+
+    def __init__(self, sim, stop_slack: float = 0.3, max_actions: int = 200):
+        self.sim = sim
+        self.stop_slack = stop_slack
+        self.max_actions = max_actions
+        self._goal: Optional[np.ndarray] = None
+        self._radius = 0.0
+
+    def set_new_nav_pt(self, object_pos, object_radius: float = 0.0) -> bool:
+        goal = np.asarray(object_pos, float)
+        if hasattr(self.sim, "teleport") and hasattr(self.sim, "_env"):
+            # navmesh-backed sim: snap the goal to a navigable point
+            try:
+                pf = self.sim._env._pathfinder
+                snapped = pf.snap_point(np.asarray(goal, np.float32))
+                if not np.isfinite(np.asarray(snapped)).all():
+                    return False
+                goal = np.asarray(snapped, float)
+            except Exception:
+                pass
+        self._goal = goal
+        self._radius = float(object_radius)
+        return True
+
+    def get_next_action_seq(self) -> List[Optional[str]]:
+        assert self._goal is not None, "call set_new_nav_pt first"
+        if hasattr(self.sim, "shortest_path_actions"):
+            try:
+                acts = list(self.sim.shortest_path_actions(self._goal))
+                names = {"move_forward": "forward"}
+                out = [names.get(a, a) for a in acts if a is not None]
+                return (out + [None])[: self.max_actions + 1]
+            except Exception:
+                pass
+        # analytic fallback for navmesh-less sims (2D (x, y) + heading)
+        pos, heading = self.sim.get_agent_state()
+        goal = self._goal[:2]
+        acts = greedy_actions_to(
+            np.asarray(pos, float)[:2], float(heading), goal,
+            stop_dist=max(self.stop_slack, self._radius),
+            max_actions=self.max_actions,
+        )
+        return acts + [None]

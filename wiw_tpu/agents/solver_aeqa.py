@@ -26,13 +26,16 @@ from wiw_tpu.agents.saver import log_metric
 from wiw_tpu.agents.solver import Solver, SolverConfig, text_to_action_name
 from wiw_tpu.agents.state import State
 
-PLAN_KEYS = ("Reason", "Action Plan", "Chosen View", "Answer")
+PLAN_KEYS = ("Reason", "Action Plan", "Chosen View", "Chosen Landmark",
+             "Answer")
 
 
 class AEQASolver(Solver):
     def __init__(self, config: SolverConfig, sim, vlm=None,
                  detector_client=None, max_action_num: int = 250,
-                 lookahead: int = 4, use_heuristic_policy: bool = False):
+                 lookahead: int = 4, use_heuristic_policy: bool = False,
+                 max_pending_actions: int = 50,
+                 landmark_max_distance: float = 15.0):
         config.look_ahead_action_num = lookahead
         config.task = "AEQA"
         super().__init__(config, sim)
@@ -40,7 +43,12 @@ class AEQASolver(Solver):
         self.detector_client = detector_client
         self.max_action_num = max_action_num
         self.use_heuristic_policy = use_heuristic_policy
+        self.max_pending_actions = max_pending_actions
+        self.landmark_max_distance = landmark_max_distance
         self.objects = DetectedObjects()
+        from wiw_tpu.agents.nav import ActionFinder
+
+        self.action_finder = ActionFinder(sim) if sim is not None else None
 
     # ------------------------------------------------------------------
     def detect_objects(self, save_dir: str):
@@ -102,6 +110,20 @@ class AEQASolver(Solver):
 
         parts: list = [highlevel_prompt_aeqa(question)]
         parts += annotated_surround_views(self.sim.get_pano(), size=256)
+        if len(self.objects):
+            # the object memory joins the context with entity ids so the
+            # planner can pick a 'Chosen Landmark' (solver_AEQA.py planning
+            # inputs; state_obj summaries)
+            lines = ["Known objects (id: label, distance m, visited):"]
+            pos = np.asarray(self.sim.get_agent_state()[0], float)
+            for i, s in enumerate(self.objects.summary()):
+                c = np.asarray(s["centroid"], float)
+                d = float(np.linalg.norm(c[: len(pos)] - pos))
+                lines.append(
+                    f"{i}: {s['label']}, {d:.1f}, "
+                    f"{'visited' if s['visited'] else 'new'}"
+                )
+            parts.append("\n".join(lines))
         if imagine_frames:
             parts.append(imagination_context_note(len(imagine_frames)))
             parts += imagine_frames
@@ -110,6 +132,39 @@ class AEQASolver(Solver):
                            parts),
             ["Reason", "Action Plan"],
         )
+
+    # -- landmark navigation (solver_AEQA.py:612-720) --------------------
+    def resolve_landmark(self, plan: dict) -> Optional[int]:
+        """'Chosen Landmark' -> object-memory entity index, or None."""
+        lm = plan.get("Chosen Landmark")
+        if lm in (None, "", [], {}):
+            return None
+        try:
+            idx = int(lm)
+        except (TypeError, ValueError):
+            # allow label strings: nearest entity with that label
+            pos = np.asarray(self.sim.get_agent_state()[0], float)
+            return self.objects.nearest(pos, label=str(lm))
+        return idx if 0 <= idx < len(self.objects) else None
+
+    def plan_landmark_actions(self, entity_idx: int) -> List[str]:
+        """Geodesic-follower action sequence toward the landmark; caps at
+        max_pending_actions (the reference truncates >50,
+        solver_AEQA.py:700-706). Marks the entity visited on arrival."""
+        if self.action_finder is None:
+            return []
+        ent = self.objects.entities[entity_idx]
+        pos = np.asarray(self.sim.get_agent_state()[0], float)
+        cent = np.asarray(ent.centroid, float)
+        if np.linalg.norm(cent[: len(pos)] - pos) > self.landmark_max_distance:
+            return []  # filter_by_distance equivalent
+        if not self.action_finder.set_new_nav_pt(ent.centroid, ent.radius):
+            return []
+        seq = self.action_finder.get_next_action_seq()
+        actions = [a for a in seq if a is not None][: self.max_pending_actions]
+        if not actions:  # already there
+            self.objects.mark_visited(entity_idx)
+        return actions
 
     def face_chosen_view(self, plan: dict) -> int:
         """Turn toward the plan's 'Chosen View' before executing it;
@@ -148,15 +203,47 @@ class AEQASolver(Solver):
         st = State()
         steps = 0
         answer = ""
+        pending_landmark: Optional[int] = None
         imagine_frames: List[np.ndarray] = []
+        first_answer: Optional[str] = None
         while steps < self.max_action_num:
+            # landmark navigation in flight: drain pending follower actions
+            # before re-planning (solver_AEQA.py pending-action queue)
+            if st.get_pending_action_num():
+                a = st.pop_next_pending_action()
+                self.sim.step(text_to_action_name(a))
+                st.record_past_action(a)
+                steps += 1
+                if not st.get_pending_action_num() and pending_landmark is not None:
+                    self.objects.mark_visited(pending_landmark)
+                    pending_landmark = None
+                continue
             self.detect_objects(save_dir)
             plan = self.highlevel_plan(question, st, imagine_frames)
             if plan is None:
                 break
-            answer = str(plan.get("Answer") or "")
-            if answer.strip():
-                break
+            ans = str(plan.get("Answer") or "")
+            if ans.strip():
+                # answer confirmation: the first non-empty answer triggers a
+                # second planning fetch; only a repeated non-empty answer
+                # finalizes (solver_AEQA.py:523-580)
+                if first_answer is not None:
+                    answer = ans
+                    st.set_best_answer(answer)
+                    break
+                first_answer = ans
+                continue
+            first_answer = None
+            # landmark navigation beats the raw action plan when the
+            # planner chose one (solver_AEQA.py:683-710)
+            lm = self.resolve_landmark(plan)
+            if lm is not None:
+                acts = self.plan_landmark_actions(lm)
+                if acts:
+                    st.add_pending_actions(acts)
+                    pending_landmark = lm
+                    st.add_new_state({"step": steps, "landmark": lm})
+                    continue
             steps += self.face_chosen_view(plan)
             actions = [str(a) for a in plan.get("Action Plan", [])][
                 : self.cfg.look_ahead_action_num
@@ -169,11 +256,13 @@ class AEQASolver(Solver):
                     self.sim.step(text_to_action_name(a))
                 except ValueError:
                     continue
+                st.record_past_action(a)
                 steps += 1
                 if steps >= self.max_action_num:
                     break
-            st.record_past_action(actions)
             st.add_new_state({"step": steps})
+        if not answer and first_answer:
+            answer = first_answer
         metrics = {
             "answer": answer,
             "question": question,
