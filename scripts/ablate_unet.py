@@ -1,0 +1,123 @@
+"""Attribute full-forward time by ablation: monkeypatch components to
+near-no-ops and re-time the whole compiled forward. The difference to the
+full forward is that component's true contribution (including fusion
+effects microbenchmarks miss)."""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import flax.linen as nn  # noqa: E402
+
+from wiw_tpu.models import layers  # noqa: E402
+
+B, F, HP, WP = 2, 14, 72, 128
+
+
+def build_and_time(tag):
+    from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+
+    cfg = UNetConfig(num_frames=F, action_strategy="micro_cond",
+                     action_input_channel=F, dtype="bfloat16")
+    model = UNetSpatioTemporal(cfg)
+    key = jax.random.PRNGKey(0)
+    sample = jax.random.normal(key, (B, F, HP, WP, 8)).astype(jnp.bfloat16)
+    ts = jnp.zeros((B,))
+    ctx = jax.random.normal(key, (B, 1, 1024)).astype(jnp.bfloat16)
+    atids = jnp.tile(jnp.array([[6.0, 127.0, 0.02]]), (B, 1))
+    aids = jnp.zeros((B, F, F))
+
+    def init_fn(k):
+        p = model.init(k, sample, ts, ctx, atids, aids)["params"]
+        return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+
+    params = jax.jit(init_fn)(key)
+    jax.block_until_ready(params)
+
+    f = jax.jit(lambda p, s: model.apply(
+        {"params": p}, s, ts, ctx, atids, aids).sum())
+    float(f(params, sample))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(f(params, sample))
+    dt = (time.perf_counter() - t0) / 3
+    print(f"{tag:42s} {dt*1e3:9.1f} ms", flush=True)
+    return dt
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "full"
+
+    if which == "no_self_attn":
+        # self-attention -> v passthrough (projections remain)
+        import wiw_tpu.models.layers as L
+
+        L.attention_bsd = lambda q, k, v, heads, **kw: v
+    elif which == "no_ff":
+        orig = layers.FeedForward.__call__
+
+        def ff_stub(self, x):
+            if self.is_initializing():
+                return orig(self, x)
+            dim = self.dim_out or x.shape[-1]
+            return x[..., :dim] if x.shape[-1] >= dim else jnp.zeros(
+                x.shape[:-1] + (dim,), x.dtype)
+        layers.FeedForward.__call__ = ff_stub
+    elif which == "no_temporal_block":
+        orig_t = layers.TemporalBasicTransformerBlock.__call__
+
+        def t_stub(self, x, context=None):
+            if self.is_initializing():
+                return orig_t(self, x, context)
+            return x
+        layers.TemporalBasicTransformerBlock.__call__ = t_stub
+    elif which == "no_temporal_resnet":
+        orig_r = layers.TemporalResnetBlock.__call__
+
+        def r_stub(self, x, temb=None):
+            if self.is_initializing():
+                return orig_r(self, x, temb)
+            if x.shape[-1] == self.out_channels:
+                return x
+            return orig_r(self, x, temb)
+        layers.TemporalResnetBlock.__call__ = r_stub
+    elif which == "no_groupnorm":
+        orig_g = layers.GroupNorm.__call__
+
+        def g_stub(self, x):
+            if self.is_initializing():
+                return orig_g(self, x)
+            return x
+        layers.GroupNorm.__call__ = g_stub
+    elif which == "no_layernorm":
+        orig_l = layers.LayerNorm.__call__
+
+        def l_stub(self, x):
+            if self.is_initializing():
+                return orig_l(self, x)
+            return x
+        layers.LayerNorm.__call__ = l_stub
+    elif which == "no_spatial_resnet":
+        orig_s = layers.ResnetBlock2D.__call__
+
+        def s_stub(self, x, temb=None):
+            if self.is_initializing() or x.shape[-1] != self.out_channels:
+                return orig_s(self, x, temb)
+            return x
+        layers.ResnetBlock2D.__call__ = s_stub
+
+    build_and_time(which)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Sweep flash-attention block sizes / variants on the real chip.
+
+Times via an on-device scan over fresh input copies (no LICM/CSE), with the
+relay sync overhead measured from an empty jit and subtracted.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B, H, S, D = 28, 5, 9216, 64
+FLOPS = 4 * B * H * S * S * D
+N_ITER = 8
+
+key = jax.random.PRNGKey(0)
+q = jax.random.normal(key, (B, H, S, D)).astype(jnp.bfloat16)
+k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, D)).astype(jnp.bfloat16)
+v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D)).astype(jnp.bfloat16)
+
+# measure relay sync overhead
+_empty = jax.jit(lambda x: x + 1.0)
+float(_empty(jnp.float32(0)))
+t0 = time.perf_counter()
+for _ in range(10):
+    float(_empty(jnp.float32(0)))
+SYNC = (time.perf_counter() - t0) / 10
+print(f"relay sync overhead: {SYNC*1e3:.1f} ms")
+
+
+def bench(name, fn, reps=3):
+    qs = jnp.stack([q] * N_ITER)
+
+    def run(qs, k, v):
+        def body(c, qi):
+            return c + jnp.sum(fn(qi, k, v).astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), qs)
+        return c
+
+    f = jax.jit(run)
+    try:
+        float(f(qs, k, v))
+    except Exception as e:
+        print(f"{name:48s} FAILED {type(e).__name__}: {str(e)[:80]}")
+        return
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(f(qs, k, v))
+    dt = (time.perf_counter() - t0) / reps
+    per = (dt - SYNC) / N_ITER
+    print(f"{name:48s} {per*1e3:8.2f} ms  {FLOPS/per/1e12:6.1f} TF/s",
+          flush=True)
+
+
+from wiw_tpu.ops.pallas_attention import flash_attention_bhsd  # noqa: E402
+
+for bq, bkv in ((512, 1024), (512, 512), (256, 1152), (512, 2304)):
+    bench(f"custom bq={bq} bkv={bkv}",
+          lambda q, k, v, bq=bq, bkv=bkv: flash_attention_bhsd(
+              q, k, v, bq=bq, bkv=bkv))
+    bench(f"custom unroll2 bq={bq} bkv={bkv}",
+          lambda q, k, v, bq=bq, bkv=bkv: flash_attention_bhsd(
+              q, k, v, bq=bq, bkv=bkv, unroll2=True))

@@ -124,13 +124,31 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        is_cross = context is not None
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q_mod = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        k_mod = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        v_mod = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        out_mod = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")
+        if is_cross and context.shape[-2] == 1:
+            # Exact algebraic shortcut: with a single key token, softmax over
+            # the key axis is identically 1, so attention output == V for
+            # every query — q/k projections, the softmax, and the per-query
+            # output matmul all drop out of the compiled graph (SVD's CLIP
+            # conditioning is one token, so this removes the QK/softmax cost
+            # from every cross-attn). to_q/to_k params still materialize at
+            # init for checkpoint-mapping compatibility.
+            if self.is_initializing():
+                q_mod(x[..., :1, :])
+                k_mod(context)
+            o = out_mod(v_mod(context))  # [B, 1, C] — one row per batch
+            return jnp.broadcast_to(o, x.shape)
+        q = q_mod(x)
+        k = k_mod(context)
+        v = v_mod(context)
         out = attention_bsd(q, k, v, self.heads)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")(out)
+        return out_mod(out)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -251,6 +269,8 @@ class TemporalResnetBlock(nn.Module):
         in_channels = x.shape[-1]
         h = GroupNorm(eps=self.eps, name="norm1")(x)
         h = silu(h)
+        # NB: XLA's native (3,1,1) conv lowering beats hand-rolled shifted
+        # matmuls here (77 vs 55 TF/s measured on v5e) — keep nn.Conv
         h = nn.Conv(
             self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
             dtype=self.dtype, name="conv1",

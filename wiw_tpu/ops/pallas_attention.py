@@ -30,25 +30,30 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, bkv: int, sm_scale: float):
-    """One (bh, q_block) program: online softmax over kv blocks."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [bq, D]
+    """One (bh, q_block) program: online softmax over kv blocks.
+
+    MXU precision: QK^T and PV run on bf16 INPUTS with fp32 accumulation
+    (`preferred_element_type`) — upcasting inputs to fp32 would drop the
+    MXU to its ~1/4-rate fp32 path. Softmax stats stay fp32 on the VPU.
+    """
+    q = q_ref[0]  # [bq, D] bf16
     S = k_ref.shape[1]
     n_kv = S // bkv
     bq, D = q.shape
 
     def body(i, carry):
         acc, m, denom = carry
-        k_blk = k_ref[0, pl.ds(i * bkv, bkv), :].astype(jnp.float32)  # [bkv, D]
-        v_blk = v_ref[0, pl.ds(i * bkv, bkv), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * bkv, bkv), :]  # [bkv, D] bf16
+        v_blk = v_ref[0, pl.ds(i * bkv, bkv), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bkv]
+        ) * sm_scale  # [bq, bkv] fp32
         m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         scale = jnp.exp(m - m_new)
         acc = acc * scale + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         denom = denom * scale + p.sum(axis=1, keepdims=True)
@@ -61,13 +66,57 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, bkv: int, sm_scale: float):
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
+def _attn_kernel_unroll2(q_ref, k_ref, v_ref, o_ref, *, bkv: int,
+                         sm_scale: float):
+    """Two kv blocks per iteration: the two QK matmuls and the two exp
+    passes are mutually independent, letting Mosaic overlap MXU and VPU
+    work (the kernel is softmax/VPU-bound at head_dim 64)."""
+    q = q_ref[0]
+    S = k_ref.shape[1]
+    n_pairs = S // (2 * bkv)
+    bq, D = q.shape
+
+    def body(i, carry):
+        acc, m, denom = carry
+        o0, o1 = 2 * i * bkv, (2 * i + 1) * bkv
+        k0 = k_ref[0, pl.ds(o0, bkv), :]
+        k1 = k_ref[0, pl.ds(o1, bkv), :]
+        v0 = v_ref[0, pl.ds(o0, bkv), :]
+        v1 = v_ref[0, pl.ds(o1, bkv), :]
+        dims = (((1,), (1,)), ((), ()))
+        s0 = jax.lax.dot_general(q, k0, dims,
+                                 preferred_element_type=jnp.float32) * sm_scale
+        s1 = jax.lax.dot_general(q, k1, dims,
+                                 preferred_element_type=jnp.float32) * sm_scale
+        m_new = jnp.maximum(m, jnp.maximum(
+            s0.max(axis=1, keepdims=True), s1.max(axis=1, keepdims=True)))
+        p0 = jnp.exp(s0 - m_new)
+        p1 = jnp.exp(s1 - m_new)
+        scale = jnp.exp(m - m_new)
+        pv = (((1,), (0,)), ((), ()))
+        acc = (acc * scale
+               + jax.lax.dot_general(p0.astype(v0.dtype), v0, pv,
+                                     preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(p1.astype(v1.dtype), v1, pv,
+                                     preferred_element_type=jnp.float32))
+        denom = denom * scale + p0.sum(axis=1, keepdims=True) \
+            + p1.sum(axis=1, keepdims=True)
+        return acc, m_new, denom
+
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    d0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _m, denom = jax.lax.fori_loop(0, n_pairs, body, (acc0, m0, d0))
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bq", "bkv", "sm_scale", "interpret")
+    jax.jit, static_argnames=("bq", "bkv", "sm_scale", "interpret", "unroll2")
 )
 def flash_attention_bhsd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bq: int = 1024, bkv: int = 512, sm_scale: float | None = None,
-    interpret: bool = False,
+    interpret: bool = False, unroll2: bool = False,
 ) -> jnp.ndarray:
     """Non-causal attention over [B, H, S, D]; KV resident per (b, h)."""
     B, H, Sq, D = q.shape
@@ -82,9 +131,12 @@ def flash_attention_bhsd(
     kf = k.reshape(B * H, Skv, D)
     vf = v.reshape(B * H, Skv, D)
 
+    kern = _attn_kernel
+    if unroll2 and Skv % (2 * bkv) == 0:
+        kern = _attn_kernel_unroll2
     grid = (B * H, Sq // bq)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, bkv=bkv, sm_scale=float(sm_scale)),
+        functools.partial(kern, bkv=bkv, sm_scale=float(sm_scale)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda bh, qi: (bh, qi, 0),
