@@ -1,0 +1,182 @@
+"""WM-zoo worker contract tests: every zoo worker speaks the framed-pipe
+protocol and honors the input/output contract, with the model itself mocked
+(--fake_pipe), matching the reference's per-worker --debug smoke strategy
+(SURVEY.md section 4)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from wiw_tpu.utils.config import WM_REGISTRY, WorkerConfig, build_worker_commands
+from wiw_tpu.workers.zoo import (
+    FakePipe,
+    ZooWorker,
+    frames_to_uint8,
+    render_prompts,
+)
+
+
+def _fake_args(**kw):
+    import argparse
+
+    ns = argparse.Namespace(
+        task_type="navigation", num_output_frames=6, out_width=32,
+        out_height=32, width=0, height=0, num_inference_steps=2,
+        guidance_scale=3.0, seed=0, fake_pipe=True, ft_dir="",
+        ckpt_path="", lora_path="", device="cpu",
+    )
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def _input_dict(name, B=2, with_image=True):
+    d = {
+        "b_action": np.tile(np.array([[4, 1, 2, 3, 1]]), (B, 1)),
+        "save_dirs": [f"/tmp/zoo_{name}_{i}" for i in range(B)],
+        "request_model_name": name,
+        "return_objects": [True] * B,
+    }
+    if with_image:
+        d["b_image"] = np.random.RandomState(0).randint(
+            0, 255, (B, 3, 40, 48), np.uint8
+        )
+    return d
+
+
+class TestPromptRendering:
+    def test_navigation_prompt_skips_leading_stop(self):
+        p = render_prompts([[4, 1, 2, 3]], "navigation")
+        assert "forward 0.2m" in p[0] and "turn_left 22.5" in p[0]
+        assert "stop" not in p[0]
+
+    def test_manip_and_freetext(self):
+        assert "robotic arm" in render_prompts([["grab"]], "manipulation")[0]
+        assert render_prompts([["open door"]], "freetext")[0].startswith("[")
+
+
+class TestFramePostprocess:
+    def test_subsample_pad_resize(self):
+        frames = [[np.zeros((20, 30, 3), np.uint8)] * 3]
+        out = frames_to_uint8(frames, 6, (32, 16))
+        assert out.shape == (1, 6, 3, 16, 32)
+
+    def test_downsample(self):
+        frames = [[np.full((8, 8, 3), i, np.uint8) for i in range(10)]]
+        out = frames_to_uint8(frames, 5, (8, 8))
+        assert out.shape[1] == 5
+        assert out[0, -1].max() == 9  # last frame retained
+
+
+ZOO_CLASSES = []
+
+
+def _collect():
+    from wiw_tpu.workers.zoo.cosmos25_worker import Cosmos25Worker
+    from wiw_tpu.workers.zoo.cosmos_worker import CosmosWorker
+    from wiw_tpu.workers.zoo.hunyuan_worker import HunyuanWorker
+    from wiw_tpu.workers.zoo.ltx_worker import LTXWorker
+    from wiw_tpu.workers.zoo.runway_worker import RunwayWorker
+    from wiw_tpu.workers.zoo.wan_diffsynth_worker import WanDiffSynthWorker
+    from wiw_tpu.workers.zoo.wan_worker import (
+        Wan21Worker,
+        Wan22I2VWorker,
+        Wan22TI2VWorker,
+    )
+
+    return [CosmosWorker, HunyuanWorker, LTXWorker, RunwayWorker,
+            Wan21Worker, Wan22I2VWorker, Wan22TI2VWorker, WanDiffSynthWorker,
+            Cosmos25Worker]
+
+
+class TestZooContract:
+    @pytest.mark.parametrize("cls", _collect())
+    def test_fake_pipe_contract(self, cls):
+        if cls.__name__ in ("Cosmos25Worker", "WanDiffSynthWorker",
+                            "RunwayWorker"):
+            # these override generate() against their real engines; the
+            # shared FakePipe does not mimic them — exercised via the
+            # diffusers-style base path below instead
+            worker = cls(_fake_args(), pipe=FakePipe(6))
+            worker.generate = ZooWorker.generate.__get__(worker)
+        else:
+            worker = cls(_fake_args())
+        out = worker(_input_dict(cls.name))
+        assert out["pred_frames"].shape == (2, 6, 3, 32, 32)
+        assert out["pred_frames"].dtype == np.uint8
+        assert out["save_dirs"] == _input_dict(cls.name)["save_dirs"]
+
+    def test_request_name_mismatch_raises(self):
+        from wiw_tpu.workers.zoo.ltx_worker import LTXWorker
+
+        worker = LTXWorker(_fake_args())
+        bad = _input_dict("wrong_name")
+        with pytest.raises(AssertionError):
+            worker(bad)
+
+
+class TestSE3DSWorker:
+    def test_yaw_and_forward_rollout(self):
+        from wiw_tpu.workers.zoo.se3ds_worker import (
+            SE3DSWorker,
+            split_actions,
+        )
+
+        assert split_actions([2, 1, 1, 3, 1]) == [[2], [1, 1], [3], [1]]
+        worker = SE3DSWorker(_fake_args())
+        out = worker(_input_dict("se3ds"))
+        assert out["pred_frames"].shape == (2, 6, 3, 32, 32)
+        # forward motion brightens in the fake engine: late frames differ
+        assert not np.array_equal(out["pred_frames"][0, 0],
+                                  out["pred_frames"][0, -1])
+
+    def test_pathdreamer_variant(self):
+        from wiw_tpu.workers.zoo.se3ds_worker import PathdreamerWorker
+
+        worker = PathdreamerWorker(_fake_args())
+        out = worker(_input_dict("pathdreamer"))
+        assert out["pred_frames"].shape[0] == 2
+
+
+class TestRegistryLaunch:
+    def test_zoo_commands_resolve_without_operator_cmd(self):
+        for wm in ("ltx", "cosmos20", "cosmos25", "wan21", "wan22",
+                   "hunyuan", "se3ds", "pathdreamer", "gen4tur", "FTwan22"):
+            cfg = WorkerConfig(wm_type=wm, num_workers=1)
+            (argv, _env), = build_worker_commands(cfg)
+            assert "-m" in argv and argv[argv.index("-m") + 1].startswith(
+                "wiw_tpu.workers."), (wm, argv)
+
+    def test_variant_flag_forwarded(self):
+        (argv, _), = build_worker_commands(WorkerConfig(wm_type="pathdreamer"))
+        assert "--variant" in argv
+        assert argv[argv.index("--variant") + 1] == "pathdreamer"
+
+
+class TestSubprocessRoundtrip:
+    def test_ltx_fake_worker_behind_manager(self, tmp_path):
+        """End-to-end: the manager spawns the zoo worker subprocess
+        (fake_pipe) and a client gets frames back through the full protocol
+        (the VERDICT contract test)."""
+        from wiw_tpu.serve.manager import (
+            ManagerServer,
+            SubprocessExecutor,
+            WMClient,
+        )
+
+        argv = [sys.executable, "-m", "wiw_tpu.workers.zoo.ltx_worker",
+                "--fake_pipe", "--num_output_frames", "4",
+                "--out_width", "24", "--out_height", "24"]
+        ex = SubprocessExecutor(argv)
+        server = ManagerServer([ex], port=18820)
+        port = server.start()
+        try:
+            client = WMClient(port=port)
+            req = _input_dict("ltx", B=1)
+            req["save_dirs"] = [str(tmp_path / "p0")]
+            out = client.send_batch(req)
+            assert "error" not in out, out
+            assert out["pred_frames"].shape == (1, 4, 3, 24, 24)
+        finally:
+            server.stop()

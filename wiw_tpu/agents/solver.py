@@ -303,25 +303,19 @@ class Solver:
         return np.asarray(poses, np.float64)
 
     def look_ahead_explore_camera(self, pano, all_action_ids, save_dir) -> dict:
-        """Camera-pose WMs: send per-step pose targets as b_action
-        (solver_base.py camera path)."""
+        """Camera-pose WMs (se3ds/pathdreamer): the wire contract carries
+        padded ACTION IDS like every other path — the worker converts ids to
+        camera poses itself (se3ds_model.py:379-424 splits yaw rolls from
+        forward rollouts). Keeps drop-in compatibility with reference
+        clients/workers."""
         action_ids_list = list(range(len(all_action_ids)))
         batch_actions = np.stack([
-            self.actions_to_pose_targets(
-                self._pad_action_seq(all_action_ids[i])
-            )
+            np.asarray(self._pad_action_seq(all_action_ids[i]), np.int64)
             for i in action_ids_list
-        ])  # [B, F, 3]
+        ])
         images = np.repeat(pano[None], len(action_ids_list), axis=0)
         save_dirs = Saver.get_igenex_save_dirs(save_dir, action_ids_list)
-        req = {
-            "b_action": batch_actions,
-            "save_dirs": save_dirs,
-            "request_model_name": self.cfg.request_model_name,
-            "return_objects": [True] * len(save_dirs),
-            "b_image": images,
-        }
-        return self.connect_to_WM_server().send_batch(req)
+        return self.send_batch_to_server(batch_actions, save_dirs, images)
 
     def imagine_by_model_type(self, prior_actions, save_dir) -> dict:
         """Dispatch on world_model_type: 'action' (pano SVD-dagger),

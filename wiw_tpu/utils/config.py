@@ -27,21 +27,34 @@ WM_REGISTRY: Dict[str, dict] = {
     "svd": {"mode": "image", "worker": "wiw_tpu.workers.svd_zero_shot",
             "width": 1024, "height": 576},
     "GTsim": {"mode": "GTsim", "worker": None},
-    # torch-ecosystem models attach as external subprocess workers speaking
-    # the same protocol (SURVEY.md 2.4); registered here for dispatch
-    "cosmos20": {"mode": "text", "worker": "external"},
-    "cosmos25": {"mode": "text", "worker": "external"},
-    "ltx": {"mode": "text", "worker": "external"},
-    "hunyuan": {"mode": "text", "worker": "external"},
-    "wan21": {"mode": "text", "worker": "external"},
-    "wan22": {"mode": "text", "worker": "external"},
+    # torch/TF-ecosystem zoo workers (SURVEY.md 2.4): concrete subprocess
+    # worker modules speaking the framed-pipe protocol; launched inside the
+    # model's own env via worker.extra['python'] when that env differs
+    "cosmos20": {"mode": "text", "worker": "wiw_tpu.workers.zoo.cosmos_worker"},
+    "FTcosmos": {"mode": "text", "worker": "wiw_tpu.workers.zoo.cosmos_worker"},
+    "cosmos25": {"mode": "text",
+                 "worker": "wiw_tpu.workers.zoo.cosmos25_worker"},
+    "ltx": {"mode": "text", "worker": "wiw_tpu.workers.zoo.ltx_worker"},
+    "FTltx": {"mode": "text", "worker": "wiw_tpu.workers.zoo.ltx_worker"},
+    "hunyuan": {"mode": "text", "worker": "wiw_tpu.workers.zoo.hunyuan_worker"},
+    "wan21": {"mode": "text", "worker": "wiw_tpu.workers.zoo.wan_worker"},
+    "wan22": {"mode": "text", "worker": "wiw_tpu.workers.zoo.wan_worker",
+              "flags": {"variant": "wan22"}},
+    "FTwan21": {"mode": "text",
+                "worker": "wiw_tpu.workers.zoo.wan_diffsynth_worker"},
+    "FTwan22": {"mode": "text",
+                "worker": "wiw_tpu.workers.zoo.wan_diffsynth_worker"},
+    "FTwan22-14B": {"mode": "text",
+                    "worker": "wiw_tpu.workers.zoo.wan_diffsynth_worker"},
     "nwm": {"mode": "text", "worker": "wiw_tpu.workers.nwm_worker",
             "width": 224, "height": 224},
-    "se3ds": {"mode": "camera", "worker": "external"},
-    "pathdreamer": {"mode": "camera", "worker": "external"},
+    "se3ds": {"mode": "camera", "worker": "wiw_tpu.workers.zoo.se3ds_worker"},
+    "pathdreamer": {"mode": "camera",
+                    "worker": "wiw_tpu.workers.zoo.se3ds_worker",
+                    "flags": {"variant": "pathdreamer"}},
     # commercial API world model (the reference references a runway worker
-    # it never shipped, SURVEY.md 2.10) — served as an external worker
-    "gen4tur": {"mode": "text", "worker": "external"},
+    # it never shipped, SURVEY.md 2.10)
+    "gen4tur": {"mode": "text", "worker": "wiw_tpu.workers.zoo.runway_worker"},
 }
 
 OUT_WIDTH_DEFAULT = 480  # workers_cfg.py:14-16
@@ -180,17 +193,17 @@ def build_worker_commands(
         if worker.devices:
             dev = worker.devices[i % len(worker.devices)]
             env["CUDA_VISIBLE_DEVICES"] = str(dev)
-        if spec.get("worker") == "external" or "cmd" in worker.extra:
-            template = worker.extra.get("cmd")
-            if not template:
-                raise ValueError(
-                    f"wm_type {worker.wm_type} is an external worker: set "
-                    "worker.extra['cmd'] to its launch command"
-                )
+        if "cmd" in worker.extra:  # operator escape hatch
+            template = worker.extra["cmd"]
             argv = template.split() if isinstance(template, str) else list(template)
         else:
             module = spec.get("worker", "wiw_tpu.workers.svd_action")
-            argv = [python, "-m", module,
+            # zoo workers usually live in their model's own env: the
+            # interpreter is overridable per worker (replaces the
+            # reference's hard-coded per-host python paths,
+            # workers_cfg.py:21-241)
+            py = worker.extra.get("python", python)
+            argv = [py, "-m", module,
                     "--out_width", str(worker.out_width),
                     "--out_height", str(worker.out_height)]
             if worker.unet_path:
@@ -202,8 +215,14 @@ def build_worker_commands(
             if "width" in spec:
                 argv += ["--width", str(spec["width"]),
                          "--height", str(spec["height"])]
+            for k, v in spec.get("flags", {}).items():
+                argv += [f"--{k}", str(v)]
         for k, v in worker.extra.items():
-            if k != "cmd":
+            if k in ("cmd", "python"):
+                continue
+            if v is True:
+                argv += [f"--{k}"]
+            else:
                 argv += [f"--{k}", str(v)]
         out.append((argv, env))
     return out

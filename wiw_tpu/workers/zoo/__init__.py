@@ -1,0 +1,272 @@
+"""WM zoo: torch-ecosystem world-model workers behind the pipe protocol.
+
+Behavioral parity (no code copied) with downstream/api_models/__init__.py:
+every worker implements `input_dict -> output_dict` with
+  * input contract  {b_action, save_dirs, request_model_name[, b_image,
+    return_objects]} (worker_manager.check_inputdict)
+  * action-id -> text prompt rendering per task_type
+    ("Follow this sequence of camera motions: ['forward 0.2m', ...]",
+    api_models/__init__.py:51-99)
+  * conditioning images from in-band `b_image` uint8 [B, C, H, W] or from
+    `<save_dir>/cond_rgb.png` (:100-110, :212-224)
+  * output frames uniformly subsampled/padded to num_output_frames, resized
+    to (out_width, out_height), returned in-band as uint8 [B, T, C, H, W]
+    or written to disk (:113-167, :226-237)
+
+These workers are meant to run inside their model's own (torch/TF) conda
+env as subprocesses of the TPU manager (SubprocessExecutor speaks the same
+framed-pipe protocol as the reference's worker_main). Model libraries are
+imported lazily so the modules are importable — and contract-testable with
+`--fake_pipe` — in any env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+ACTION_STRS = {1: "forward", 2: "turn_left", 3: "turn_right", 4: "stop",
+               0: "placeholder"}
+
+
+def actions_to_strs(action_ids: Sequence[int]) -> List[str]:
+    """[1, 2, ...] -> ['forward 0.2m', 'turn_left 22.5°', ...]."""
+    out = []
+    for a in action_ids:
+        s = ACTION_STRS[int(a)]
+        if s == "forward":
+            s = "forward 0.2m"
+        elif "turn" in s:
+            s = f"{s} 22.5\N{DEGREE SIGN}"
+        out.append(s)
+    return out
+
+
+def render_prompts(b_action, task_type: str = "navigation") -> List[str]:
+    """Action rows -> text prompts (api_models/__init__.py:51-99). The
+    leading action id is the conventional 'stop' placeholder and is skipped
+    for navigation."""
+    if hasattr(b_action, "tolist"):
+        b_action = b_action.tolist()
+    prompts = []
+    for row in b_action:
+        if task_type == "navigation":
+            strs = actions_to_strs(row[1:])
+            prompts.append(
+                f"Follow this sequence of camera motions: {strs}."
+            )
+        elif task_type == "manipulation":
+            prompts.append(
+                f"Follow the instruction to move the robotic arm: {row}."
+            )
+        elif task_type == "freetext":
+            prompts.append(f"{row}.")
+        else:
+            raise ValueError(f"unknown task_type {task_type}")
+    return prompts
+
+
+def load_cond_images(save_dirs: Sequence[str],
+                     b_image: Optional[np.ndarray]) -> List[np.ndarray]:
+    """Conditioning images as uint8 HWC arrays, from b_image [B, C, H, W]
+    uint8 or <save_dir>/cond_rgb.png."""
+    if b_image is not None:
+        arr = np.asarray(b_image)
+        assert arr.ndim == 4, f"b_image must be B C H W, got {arr.shape}"
+        return [np.transpose(arr[i], (1, 2, 0)) for i in range(arr.shape[0])]
+    from PIL import Image
+
+    return [
+        np.asarray(Image.open(osp.join(d, "cond_rgb.png")).convert("RGB"))
+        for d in save_dirs
+    ]
+
+
+def frames_to_uint8(
+    batch_frames: Sequence[Sequence[np.ndarray]],
+    num_output_frames: Optional[int],
+    out_size: tuple,
+    center_crop: bool = False,
+) -> np.ndarray:
+    """Per-batch frame lists (uint8/float HWC) -> uint8 [B, T, C, H, W]:
+    uniform subsample (pad by repeating the last frame when short), bicubic
+    resize to (out_width, out_height) — api_models/__init__.py:113-167."""
+    from PIL import Image
+
+    w_out, h_out = out_size
+    batches = []
+    for frames in batch_frames:
+        T = len(frames)
+        if num_output_frames is not None:
+            if num_output_frames <= T:
+                idx = np.linspace(0, T - 1, num_output_frames).astype(int)
+            else:
+                idx = np.concatenate([
+                    np.arange(T),
+                    np.full(num_output_frames - T, T - 1, int),
+                ])
+            frames = [frames[i] for i in idx]
+        resized = []
+        for f in frames:
+            f = np.asarray(f)
+            if f.dtype != np.uint8:
+                f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+            img = Image.fromarray(f)
+            if center_crop:
+                short = min(w_out, h_out)
+                s = short / min(img.size)
+                img = img.resize(
+                    (round(img.width * s), round(img.height * s)),
+                    Image.BICUBIC,
+                )
+                left = (img.width - w_out) // 2
+                top = (img.height - h_out) // 2
+                img = img.crop((left, top, left + w_out, top + h_out))
+            else:
+                img = img.resize((w_out, h_out), Image.BICUBIC)
+            resized.append(np.transpose(np.asarray(img), (2, 0, 1)))
+        batches.append(np.stack(resized))
+    return np.stack(batches).astype(np.uint8)
+
+
+class FakePipe:
+    """Deterministic stand-in pipeline for contract tests (`--fake_pipe`):
+    emits frames derived from the conditioning image with a per-frame
+    brightness ramp, mimicking a diffusers pipeline's `.frames` output."""
+
+    def __init__(self, num_frames: int = 14):
+        self.num_frames = num_frames
+
+    def __call__(self, image=None, prompt=None, **kw):
+        images = image if isinstance(image, list) else [image]
+        out = []
+        for img in images:
+            arr = np.asarray(img, np.float32)
+            frames = [
+                np.clip(arr + 5.0 * t, 0, 255).astype(np.uint8)
+                for t in range(self.num_frames)
+            ]
+            out.append(frames)
+
+        class R:
+            frames = out
+
+        return R()
+
+
+class ZooWorker:
+    """Base worker: process_input -> pipeline -> process_output.
+
+    Subclasses set `name` and implement `_load_pipe(args)` and optionally
+    `_pipe_kwargs(args)`; `generate` may be overridden for non-diffusers
+    engines (cosmos25 chunking, se3ds poses).
+    """
+
+    name = "zoo"
+    task_type = "navigation"
+
+    def __init__(self, args, pipe=None):
+        self.args = args
+        self.pipe = pipe
+        if self.pipe is None:
+            if getattr(args, "fake_pipe", False):
+                self.pipe = self._make_fake_pipe(args)
+            else:
+                self.pipe = self._load_pipe(args)
+        self.pipe_kwargs = self._pipe_kwargs(args)
+
+    def _make_fake_pipe(self, args):
+        return FakePipe(args.num_output_frames or 14)
+
+    def _load_pipe(self, args):
+        raise NotImplementedError
+
+    def _pipe_kwargs(self, args) -> dict:
+        return {}
+
+    def generate(self, prompts: List[str], images: List[np.ndarray],
+                 b_action) -> List[List[np.ndarray]]:
+        """-> per-item frame lists. Default: a diffusers-style pipeline
+        taking PIL images + prompts and returning `.frames`."""
+        from PIL import Image
+
+        pil = [Image.fromarray(np.asarray(i)) for i in images]
+        result = self.pipe(image=pil, prompt=prompts, **self.pipe_kwargs)
+        return [[np.asarray(f) for f in frames] for frames in result.frames]
+
+    def __call__(self, input_dict: dict) -> dict:
+        assert input_dict["request_model_name"] == self.name, (
+            input_dict.get("request_model_name"), self.name
+        )
+        b_action = input_dict["b_action"]
+        save_dirs = list(input_dict["save_dirs"])
+        return_objects = bool(input_dict.get("return_objects"))
+        prompts = render_prompts(b_action, self.task_type)
+        images = load_cond_images(save_dirs, input_dict.get("b_image"))
+        frames = self.generate(prompts, images, b_action)
+        video = frames_to_uint8(
+            frames, self.args.num_output_frames,
+            (self.args.out_width, self.args.out_height),
+        )
+        if return_objects:
+            return {"save_dirs": save_dirs, "pred_frames": video}
+        from wiw_tpu.agents.saver import save_video
+
+        for i, d in enumerate(save_dirs):
+            save_video(osp.join(d, "pred.mp4"),
+                       np.transpose(video[i], (0, 2, 3, 1)))
+        return {"save_dirs": save_dirs}
+
+
+def base_arg_parser(name: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(name)
+    p.add_argument("--ckpt_path", default="")
+    p.add_argument("--ft_dir", default="", help="fine-tuned override dir")
+    p.add_argument("--lora_path", default="")
+    p.add_argument("--device", default="cuda")
+    p.add_argument("--task_type", default="navigation")
+    p.add_argument("--num_output_frames", type=int, default=14)
+    p.add_argument("--out_width", type=int, default=480)
+    p.add_argument("--out_height", type=int, default=480)
+    p.add_argument("--width", type=int, default=0)
+    p.add_argument("--height", type=int, default=0)
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--guidance_scale", type=float, default=3.0)
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--enable_compile", action="store_true")
+    p.add_argument("--fake_pipe", action="store_true",
+                   help="deterministic test pipeline (contract tests)")
+    p.add_argument("--debug", action="store_true",
+                   help="run one canned sample end-to-end and exit "
+                        "(the reference's per-worker smoke test)")
+    return p
+
+
+def run_worker(worker_cls, argv=None, extra_args=None):
+    """Shared __main__: parse args, optionally --debug, else serve via the
+    framed-pipe worker SDK (worker_main parity)."""
+    parser = base_arg_parser(worker_cls.name)
+    if extra_args:
+        extra_args(parser)
+    args, _unknown = parser.parse_known_args(argv)
+    worker = worker_cls(args)
+    worker.task_type = args.task_type
+    if args.debug:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            out = worker({
+                "b_action": np.array([[4, 1, 1, 2]]),
+                "save_dirs": [td],
+                "request_model_name": worker_cls.name,
+                "return_objects": [True],
+                "b_image": np.zeros((1, 3, 64, 64), np.uint8),
+            })
+            print("debug sample ok:", out["pred_frames"].shape)
+        return
+    from wiw_tpu.serve.worker import main_from_argv
+
+    main_from_argv(worker)

@@ -1,0 +1,93 @@
+"""Cosmos-Predict2.5 worker (wm_type=cosmos25) — vendor-direct engine with
+autoregressive long-rollout chunking.
+
+Behavioral parity (no code copied) with
+downstream/api_models/cosmos25_model.py:30-150:
+  * `cosmos_predict2.inference.Inference` (non-diffusers vendor stack)
+  * inference_type text2world|image2world|video2world selects the number of
+    latent conditional frames (0/1/2)
+  * `--enable_autoregressive` generates long rollouts chunk by chunk with
+    `--chunk_size`/`--chunk_overlap` (cosmos25_model.py:48-50, :91-99)
+  * outputs [-1, 1] BCTHW -> [0, 1] TCHW
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+
+NEGATIVE_PROMPT = (
+    "The video captures a series of frames showing ugly scenes, static "
+    "with no motion, motion blur, over-saturation, shaky footage, low "
+    "resolution, grainy texture, pixelated images, poorly lit areas, "
+    "underexposed and overexposed scenes, poor color balance, washed out "
+    "colors, choppy sequences, jerky movements, low frame rate, "
+    "artifacting, color banding, unnatural transitions, outdated special "
+    "effects, fake elements, unconvincing visuals, poorly edited content, "
+    "jump cuts, visual noise, and flickering. Overall, the video is of "
+    "poor quality."
+)
+
+
+class Cosmos25Worker(ZooWorker):
+    name = "cosmos25"
+
+    def _load_pipe(self, args):
+        from cosmos_predict2.inference import Inference  # vendor stack
+
+        return Inference(args)
+
+    def generate(self, prompts, images, b_action):
+        import os.path as osp
+        import tempfile
+
+        import torch
+        from PIL import Image
+
+        a = self.args
+        cond_frames = {"text2world": 0, "image2world": 1, "video2world": 2}[
+            a.inference_type
+        ]
+        out = []
+        with tempfile.TemporaryDirectory() as td, torch.no_grad():
+            for i, (prompt, img) in enumerate(zip(prompts, images)):
+                input_path = None
+                if cond_frames > 0:
+                    input_path = osp.join(td, f"cond_{i}.png")
+                    Image.fromarray(np.asarray(img)).save(input_path)
+                kwargs = dict(
+                    prompt=prompt, input_path=input_path,
+                    guidance=int(a.guidance_scale),
+                    num_latent_conditional_frames=cond_frames,
+                    resolution=a.resolution, seed=int(a.seed),
+                    negative_prompt=NEGATIVE_PROMPT,
+                    num_steps=int(a.num_inference_steps),
+                )
+                if a.enable_autoregressive:
+                    video = self.pipe.pipe.generate_autoregressive_from_batch(
+                        **kwargs, chunk_size=int(a.chunk_size),
+                        chunk_overlap=int(a.chunk_overlap),
+                    )
+                else:
+                    video = self.pipe.pipe.generate_vid2world(**kwargs)
+                # [-1,1] B C T H W -> [0,1] list of T HWC uint8
+                v = ((video[0].float() + 1.0) / 2.0).clamp(0, 1)
+                v = (v.permute(1, 2, 3, 0).cpu().numpy() * 255).astype(
+                    np.uint8
+                )
+                out.append(list(v))
+        return out
+
+
+def _extra(parser):
+    parser.add_argument("--inference_type", default="image2world",
+                        choices=["text2world", "image2world", "video2world"])
+    parser.add_argument("--resolution", default="none")
+    parser.add_argument("--enable_autoregressive", action="store_true")
+    parser.add_argument("--chunk_size", type=int, default=24)
+    parser.add_argument("--chunk_overlap", type=int, default=8)
+
+
+if __name__ == "__main__":
+    run_worker(Cosmos25Worker, extra_args=_extra)

@@ -1,0 +1,63 @@
+"""Cosmos-Predict2 2B video2world worker (wm_type=cosmos20 / FTcosmos).
+
+Behavioral parity (no code copied) with
+downstream/api_models/cosmos_model.py:47-165: diffusers
+Cosmos2VideoToWorldPipeline in bf16, optional fine-tuned transformer
+override (`--ft_dir/transformer`), the Cosmos negative prompt, 33-frame
+generation at fps 16 (25 for the fine-tuned navigation variant).
+"""
+
+from __future__ import annotations
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+
+NEGATIVE_PROMPT = (
+    "The video captures a series of frames showing ugly scenes, static "
+    "with no motion, motion blur, over-saturation, shaky footage, low "
+    "resolution, grainy texture, pixelated images, poorly lit areas, "
+    "underexposed and overexposed scenes, poor color balance, washed out "
+    "colors, choppy sequences, jerky movements, low frame rate, "
+    "artifacting, color banding, unnatural transitions, outdated special "
+    "effects, fake elements, unconvincing visuals, poorly edited content, "
+    "jump cuts, visual noise, and flickering. Overall, the video is of "
+    "poor quality."
+)
+
+
+class CosmosWorker(ZooWorker):
+    name = "cosmos20"
+
+    def _load_pipe(self, args):
+        import torch
+        from diffusers import Cosmos2VideoToWorldPipeline
+
+        base_id = args.ckpt_path or "nvidia/Cosmos-Predict2-2B-Video2World"
+        kwargs = dict(torch_dtype=torch.bfloat16)
+        if args.ft_dir:
+            from diffusers import CosmosTransformer3DModel
+
+            kwargs["transformer"] = CosmosTransformer3DModel.from_pretrained(
+                f"{args.ft_dir}/transformer", torch_dtype=torch.bfloat16
+            )
+        return Cosmos2VideoToWorldPipeline.from_pretrained(
+            base_id, **kwargs
+        ).to(args.device)
+
+    def _pipe_kwargs(self, args):
+        return {
+            "negative_prompt": [NEGATIVE_PROMPT],
+            "width": args.width or 704,
+            "height": args.height or 704,
+            "num_frames": getattr(args, "num_frames", 33),
+            "num_inference_steps": args.num_inference_steps,
+            "fps": getattr(args, "fps", 16),
+        }
+
+
+def _extra(parser):
+    parser.add_argument("--num_frames", type=int, default=33)
+    parser.add_argument("--fps", type=int, default=16)
+
+
+if __name__ == "__main__":
+    run_worker(CosmosWorker, extra_args=_extra)

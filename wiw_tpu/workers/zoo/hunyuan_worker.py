@@ -1,0 +1,49 @@
+"""HunyuanVideo-I2V worker (wm_type=hunyuan).
+
+Behavioral parity (no code copied) with
+downstream/api_models/hunyuan_model.py:53-129: diffusers
+HunyuanVideoImageToVideoPipeline, bf16 transformer over an fp16 base,
+33-frame default (99 for long rollouts).
+"""
+
+from __future__ import annotations
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+
+
+class HunyuanWorker(ZooWorker):
+    name = "hunyuan"
+
+    def _load_pipe(self, args):
+        import torch
+        from diffusers import (
+            HunyuanVideoImageToVideoPipeline,
+            HunyuanVideoTransformer3DModel,
+        )
+
+        base_id = args.ckpt_path or "hunyuanvideo-community/HunyuanVideo-I2V"
+        transformer = HunyuanVideoTransformer3DModel.from_pretrained(
+            base_id, subfolder="transformer", torch_dtype=torch.bfloat16
+        )
+        pipe = HunyuanVideoImageToVideoPipeline.from_pretrained(
+            base_id, transformer=transformer, torch_dtype=torch.float16
+        )
+        pipe.vae.enable_tiling()
+        return pipe.to(args.device)
+
+    def _pipe_kwargs(self, args):
+        return {
+            "width": args.width or 640,
+            "height": args.height or 480,
+            "num_frames": getattr(args, "num_frames", 33),
+            "num_inference_steps": args.num_inference_steps,
+            "guidance_scale": args.guidance_scale,
+        }
+
+
+def _extra(parser):
+    parser.add_argument("--num_frames", type=int, default=33)
+
+
+if __name__ == "__main__":
+    run_worker(HunyuanWorker, extra_args=_extra)

@@ -1,0 +1,55 @@
+"""LTX-Video 2B image-to-video worker (wm_type=ltx / FTltx).
+
+Behavioral parity (no code copied) with downstream/api_models/ltx_model.py:
+diffusers LTXImageToVideoPipeline in bf16, optional fine-tuned transformer
+override from `--ft_dir/transformer`, the reference's negative prompt, and
+the shared action->prompt / frame post-processing contract.
+
+Runs inside the LTX torch env as a manager subprocess.
+"""
+
+from __future__ import annotations
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+
+NEGATIVE_PROMPT = (
+    "Bright tones, overexposed, blurred details, subtitles, style, works, "
+    "paintings, images, static, overall gray, worst quality, low quality, "
+    "JPEG compression residue, ugly, incomplete, extra fingers, poorly "
+    "drawn hands, poorly drawn faces, deformed, disfigured, misshapen "
+    "limbs, fused fingers, still picture, messy background, three legs"
+)
+
+
+class LTXWorker(ZooWorker):
+    name = "ltx"
+
+    def _load_pipe(self, args):
+        import torch
+        from diffusers import LTXImageToVideoPipeline
+
+        kwargs = dict(torch_dtype=torch.bfloat16, low_cpu_mem_usage=True)
+        if args.ft_dir:
+            from diffusers.models import LTXVideoTransformer3DModel
+
+            kwargs["transformer"] = LTXVideoTransformer3DModel.from_pretrained(
+                f"{args.ft_dir}/transformer", torch_dtype=torch.bfloat16,
+                low_cpu_mem_usage=True,
+            )
+        pipe = LTXImageToVideoPipeline.from_pretrained(
+            args.ckpt_path or "a-r-r-o-w/LTX-Video-0.9.1-diffusers", **kwargs
+        )
+        return pipe.to(args.device)
+
+    def _pipe_kwargs(self, args):
+        return {
+            "negative_prompt": NEGATIVE_PROMPT,
+            "width": args.width or 704,
+            "height": args.height or 480,
+            "num_frames": 25,
+            "num_inference_steps": args.num_inference_steps,
+        }
+
+
+if __name__ == "__main__":
+    run_worker(LTXWorker)

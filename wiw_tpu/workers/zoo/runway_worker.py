@@ -1,0 +1,92 @@
+"""Runway Gen-4 Turbo commercial-API worker (wm_type=gen4tur).
+
+The reference registers this worker (workers_cfg.py:78-84) but never
+shipped `runway_model.py` (SURVEY.md 2.10) — behavior re-derived from the
+registry entry and the public Runway image-to-video REST API: POST the
+conditioning frame + prompt, poll the task until frames are ready.
+Requires RUNWAY_API_KEY; `--fake_pipe` serves the contract offline.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import os
+import time
+
+import numpy as np
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+
+API_BASE = "https://api.dev.runwayml.com/v1"
+
+
+class RunwayClient:
+    def __init__(self, api_key: str, model: str = "gen4_turbo",
+                 poll_secs: float = 3.0, timeout: float = 600.0):
+        self.api_key = api_key
+        self.model = model
+        self.poll_secs = poll_secs
+        self.timeout = timeout
+
+    def _headers(self):
+        return {"Authorization": f"Bearer {self.api_key}",
+                "X-Runway-Version": "2024-11-06",
+                "Content-Type": "application/json"}
+
+    def generate(self, image_rgb: np.ndarray, prompt: str,
+                 duration: int = 5, ratio: str = "1280:720"):
+        import requests
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(image_rgb).save(buf, format="PNG")
+        data_uri = ("data:image/png;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        r = requests.post(
+            f"{API_BASE}/image_to_video", headers=self._headers(),
+            json={"model": self.model, "promptImage": data_uri,
+                  "promptText": prompt, "duration": duration,
+                  "ratio": ratio},
+            timeout=60,
+        )
+        r.raise_for_status()
+        task_id = r.json()["id"]
+        deadline = time.time() + self.timeout
+        while time.time() < deadline:
+            s = requests.get(f"{API_BASE}/tasks/{task_id}",
+                             headers=self._headers(), timeout=60)
+            s.raise_for_status()
+            body = s.json()
+            if body.get("status") == "SUCCEEDED":
+                return body["output"][0]  # video URL
+            if body.get("status") in ("FAILED", "CANCELLED"):
+                raise RuntimeError(f"runway task {task_id}: {body}")
+            time.sleep(self.poll_secs)
+        raise TimeoutError(f"runway task {task_id} timed out")
+
+
+class RunwayWorker(ZooWorker):
+    name = "gen4tur"
+
+    def _load_pipe(self, args):
+        key = os.environ.get("RUNWAY_API_KEY", "")
+        if not key:
+            raise RuntimeError("gen4tur worker needs RUNWAY_API_KEY")
+        return RunwayClient(key)
+
+    def generate(self, prompts, images, b_action):
+        import imageio
+        import requests
+
+        out = []
+        for prompt, img in zip(prompts, images):
+            url = self.pipe.generate(np.asarray(img), prompt)
+            data = requests.get(url, timeout=120).content
+            frames = list(imageio.get_reader(io.BytesIO(data), format="mp4"))
+            out.append([np.asarray(f) for f in frames])
+        return out
+
+
+if __name__ == "__main__":
+    run_worker(RunwayWorker)

@@ -1,0 +1,213 @@
+"""SE3DS / Pathdreamer pose-conditioned pano synthesis workers
+(wm_type=se3ds / pathdreamer).
+
+Behavioral parity (no code copied) with
+downstream/api_models/se3ds_model.py:237-447 and pathdreamer_model.py:
+  * the engine holds a memory of (rgb, seg, depth, pose); inference targets
+    a new camera position (`init_bef_inference` / `batch_inference`)
+  * the worker splits each action-id sequence into yaw segments (pure pano
+    rolls by W*22.5/360 px) and forward segments (engine rollouts along
+    +forward positions), carrying predicted rgb/depth state between
+    segments (se3ds_model.py:389-424)
+  * conditioning pano + depth come from <save_dir>/cond_rgb.png and
+    cond_depth.npy (the solver writes both for camera WMs)
+
+The TensorFlow engines load lazily; `--fake_pipe` swaps in a deterministic
+geometric fake so the contract and the yaw/forward splitting logic are
+testable anywhere.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import List
+
+import numpy as np
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+
+UNIT_TURN_DEG = 22.5
+UNIT_FORWARD_M = 0.2
+
+
+def split_actions(action_ids: List[int], max_len: int = 14) -> List[List[int]]:
+    """Group a flat id sequence into maximal same-kind runs: yaw steps come
+    out as [turn] singletons leading a group; forward runs roll out
+    together (se3ds_model.py:395-415 behavior)."""
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    for a in action_ids[:max_len]:
+        a = int(a)
+        if a == 4 or a == 0:
+            continue
+        if a in (2, 3):
+            if cur:
+                groups.append(cur)
+                cur = []
+            groups.append([a])
+        else:
+            cur.append(a)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def forward_positions(n_steps: int) -> np.ndarray:
+    """(n_steps+1, 3) camera positions along the forward axis."""
+    z = np.arange(n_steps + 1, dtype=np.float32) * UNIT_FORWARD_M
+    pos = np.zeros((n_steps + 1, 3), np.float32)
+    pos[:, 2] = z
+    return pos
+
+
+class FakePoseEngine:
+    """Deterministic pose-synthesis fake: forward motion brightens the pano
+    proportionally to distance."""
+
+    def init_bef_inference(self, rgb, depth):
+        self.rgb = np.asarray(rgb)
+        self.depth = np.asarray(depth)
+
+    def batch_inference(self, positions):
+        rgbs = []
+        for p in positions:
+            gain = 1.0 + 0.1 * float(np.linalg.norm(p))
+            rgbs.append(np.clip(self.rgb[0].astype(np.float32) * gain,
+                                0, 255).astype(np.uint8))
+        return {"rgb": rgbs, "depth": [self.depth[0]] * len(positions)}
+
+
+class SE3DSWorker(ZooWorker):
+    name = "se3ds"
+
+    def _make_fake_pipe(self, args):
+        return FakePoseEngine()
+
+    def _load_pipe(self, args):
+        # TF engine (se3ds_model.py:237-250); heavyweight import gated here
+        from se3ds import model_config, models  # type: ignore
+
+        class Engine:
+            def __init__(self, ckpt):
+                import tensorflow as tf  # noqa: F401
+
+                cfg = model_config.get_config()
+                cfg.depth_scale = 20.0
+                cfg.ckpt_path = ckpt
+                self.model = models.SE3DSModel(cfg)
+
+            def init_bef_inference(self, rgb, depth):
+                import tensorflow as tf
+
+                rgb = tf.convert_to_tensor(rgb)
+                if rgb.shape[-1] != 3:
+                    rgb = tf.transpose(rgb, (0, 2, 3, 1))
+                self.model.reset_memory()
+                B, H, W, _ = rgb.shape
+                self.model.add_to_memory(
+                    rgb, tf.zeros((1, H, W, 1), tf.int32),
+                    tf.convert_to_tensor(depth),
+                    tf.constant([[0, 0, 0]], tf.float32),
+                )
+
+            def batch_inference(self, positions):
+                import tensorflow as tf
+
+                rgbs, depths = [], []
+                for p in positions:
+                    out = self.model(
+                        tf.constant([p], tf.float32),
+                        add_preds_to_memory=True, sample_noise=False,
+                    )
+                    rgbs.append(out.pred_rgb.numpy().squeeze(0))
+                    depths.append(out.pred_depth.numpy().squeeze(0))
+                return {"rgb": rgbs, "depth": depths}
+
+        return Engine(args.ckpt_path or "data/se3ds_ckpt")
+
+    # ------------------------------------------------------------------
+    def _load_cond(self, save_dir: str, b_image, index: int):
+        if b_image is not None:
+            rgb = np.transpose(np.asarray(b_image)[index], (1, 2, 0))
+        else:
+            from PIL import Image
+
+            rgb = np.asarray(
+                Image.open(osp.join(save_dir, "cond_rgb.png")).convert("RGB")
+            )
+        dpath = osp.join(save_dir, "cond_depth.npy")
+        depth = (np.load(dpath) if osp.exists(dpath)
+                 else np.ones(rgb.shape[:2], np.float32))
+        return rgb, depth
+
+    def __call__(self, input_dict: dict) -> dict:
+        assert input_dict["request_model_name"] == self.name
+        b_action = np.asarray(input_dict["b_action"])
+        save_dirs = list(input_dict["save_dirs"])
+        return_objects = bool(input_dict.get("return_objects"))
+        engine = self.pipe
+        out_frames = []
+        for i, d in enumerate(save_dirs):
+            rgb, depth = self._load_cond(d, input_dict.get("b_image"), i)
+            W = rgb.shape[1]
+            frames = [rgb]
+            cur_rgb, cur_depth = rgb[None], depth[None]
+            for group in split_actions(list(b_action[i][1:])):
+                if group[0] in (2, 3):  # yaw: cyclic pano roll
+                    direction = 1 if group[0] == 2 else -1
+                    shift = direction * int(UNIT_TURN_DEG * W / 360)
+                    cur_rgb = np.roll(cur_rgb, shift, axis=2)
+                    cur_depth = np.roll(cur_depth, shift, axis=2)
+                    frames.append(cur_rgb[0])
+                    continue
+                positions = forward_positions(len(group))
+                engine.init_bef_inference(cur_rgb, cur_depth)
+                out = engine.batch_inference(positions)
+                frames.extend(np.asarray(f) for f in out["rgb"][1:])
+                cur_rgb = np.asarray(out["rgb"][-1])[None]
+                cur_depth = np.asarray(out["depth"][-1])[None]
+            out_frames.append(frames)
+        from wiw_tpu.workers.zoo import frames_to_uint8
+
+        video = frames_to_uint8(
+            out_frames, self.args.num_output_frames,
+            (self.args.out_width, self.args.out_height),
+        )
+        if return_objects:
+            return {"save_dirs": save_dirs, "pred_frames": video}
+        from wiw_tpu.agents.saver import save_video
+
+        for i, d in enumerate(save_dirs):
+            save_video(osp.join(d, "pred.mp4"),
+                       np.transpose(video[i], (0, 2, 3, 1)))
+        return {"save_dirs": save_dirs}
+
+
+class PathdreamerWorker(SE3DSWorker):
+    """Pathdreamer shares the pose-target engine contract and the se3ds env
+    (pathdreamer_model.py; workers_cfg.py pathdreamer entry)."""
+
+    name = "pathdreamer"
+
+    def _load_pipe(self, args):
+        from pathdreamer import models  # type: ignore
+
+        return models.PathdreamerEngine(args.ckpt_path)
+
+
+def main():
+    import sys
+
+    cls = SE3DSWorker
+    if "--variant" in sys.argv:
+        v = sys.argv[sys.argv.index("--variant") + 1]
+        cls = PathdreamerWorker if v == "pathdreamer" else SE3DSWorker
+
+    def _extra(parser):
+        parser.add_argument("--variant", default="se3ds")
+
+    run_worker(cls, extra_args=_extra)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""DiffSynth Wan worker with LoRA fine-tunes
+(wm_type=FTwan21 / FTwan22 / FTwan22-14B).
+
+Behavioral parity (no code copied) with
+downstream/api_models/wan_model_diffsynth.py:14-190: DiffSynth
+WanVideoPipeline with ft_method in {lora, full, no_ft}; LoRA weights load
+into the DiT (and the low-noise dit2 for the 14B MoE variant, which takes
+two --lora_path entries).
+"""
+
+from __future__ import annotations
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+from wiw_tpu.workers.zoo.wan_worker import WAN_NEGATIVE
+
+
+class WanDiffSynthWorker(ZooWorker):
+    name = "FTwan22"
+
+    def _load_pipe(self, args):
+        import torch
+        from diffsynth.pipelines.wan_video_new import (
+            ModelConfig,
+            WanVideoPipeline,
+        )
+
+        model_id = args.ckpt_path or "Wan-AI/Wan2.2-TI2V-5B"
+        pipe = WanVideoPipeline.from_pretrained(
+            torch_dtype=torch.bfloat16, device=args.device,
+            model_configs=[ModelConfig(model_id=model_id)],
+        )
+        ft = getattr(args, "ft_method", "no_ft")
+        if ft == "lora":
+            paths = args.lora_path if isinstance(args.lora_path, list) \
+                else [args.lora_path]
+            assert 0 < len(paths) <= 2, paths
+            for i, path in enumerate(paths):
+                # two LoRAs = (high-noise dit, low-noise dit2) of the 14B
+                # MoE (wan_model_diffsynth.py:67-74)
+                target = pipe.dit2 if (i == 1 and hasattr(pipe, "dit2")) \
+                    else pipe.dit
+                pipe.load_lora(target, path, alpha=1.0)
+        return pipe
+
+    def generate(self, prompts, images, b_action):
+        import numpy as np
+        from PIL import Image
+
+        a = self.args
+        out = []
+        for prompt, img in zip(prompts, images):
+            res = self.pipe(
+                prompt=prompt, negative_prompt=WAN_NEGATIVE,
+                input_image=Image.fromarray(np.asarray(img)),
+                num_frames=getattr(a, "num_frames", 25),
+                num_inference_steps=a.num_inference_steps,
+                seed=a.seed,
+                width=a.width or 704, height=a.height or 704,
+            )
+            frames = res if isinstance(res, list) else res.frames
+            out.append([np.asarray(f) for f in frames])
+        return out
+
+
+def _extra(parser):
+    parser.add_argument("--num_frames", type=int, default=25)
+    parser.add_argument("--ft_method", default="no_ft",
+                        choices=["lora", "full", "no_ft"])
+
+
+if __name__ == "__main__":
+    run_worker(WanDiffSynthWorker, extra_args=_extra)

@@ -1,0 +1,112 @@
+"""Wan image-to-video workers (wm_type=wan21 / wan22 / wan22_i2v).
+
+Behavioral parity (no code copied) with downstream/api_models/wan_model.py
+(Wan2.1-I2V-14B: CLIP vision + UMT5 text encoders, fp32 VAE, bf16
+transformer, optional fine-tuned transformer override) and
+wan22_ti2v_model.py / wan22_i2v_model.py (Wan2.2 TI2V-5B / I2V variants).
+"""
+
+from __future__ import annotations
+
+from wiw_tpu.workers.zoo import ZooWorker, run_worker
+
+WAN_NEGATIVE = (
+    "bright colors, overexposed, static, blurred details, subtitles, "
+    "style, artwork, painting, picture, still, overall gray, worst "
+    "quality, low quality, JPEG compression artifacts, ugly, deformed, "
+    "extra fingers, poorly drawn hands, poorly drawn face, malformed, "
+    "disfigured, deformed limbs, fused fingers, static motionless frame, "
+    "cluttered background, three legs, crowded background, walking "
+    "backwards"
+)
+
+
+class Wan21Worker(ZooWorker):
+    name = "wan21"
+    base_id = "Wan-AI/Wan2.1-I2V-14B-480P-Diffusers"
+
+    def _load_pipe(self, args):
+        import torch
+        from diffusers import AutoencoderKLWan, WanImageToVideoPipeline
+        from transformers import CLIPVisionModel, UMT5EncoderModel
+
+        model_id = args.ckpt_path or self.base_id
+        image_encoder = CLIPVisionModel.from_pretrained(
+            model_id, subfolder="image_encoder", torch_dtype=torch.float32
+        )
+        text_encoder = UMT5EncoderModel.from_pretrained(
+            model_id, subfolder="text_encoder", torch_dtype=torch.bfloat16
+        )
+        vae = AutoencoderKLWan.from_pretrained(
+            model_id, subfolder="vae", torch_dtype=torch.float32
+        )
+        kwargs = dict(
+            image_encoder=image_encoder, text_encoder=text_encoder, vae=vae,
+            torch_dtype=torch.bfloat16,
+        )
+        if args.ft_dir:
+            from diffusers import WanTransformer3DModel
+
+            kwargs["transformer"] = WanTransformer3DModel.from_pretrained(
+                f"{args.ft_dir}/transformer", torch_dtype=torch.bfloat16
+            )
+        return WanImageToVideoPipeline.from_pretrained(
+            model_id, **kwargs
+        ).to(args.device)
+
+    def _pipe_kwargs(self, args):
+        return {
+            "negative_prompt": WAN_NEGATIVE,
+            "width": args.width or 832,
+            "height": args.height or 480,
+            "num_frames": getattr(args, "num_frames", 25),
+            "num_inference_steps": args.num_inference_steps,
+            "guidance_scale": args.guidance_scale,
+        }
+
+
+class Wan22TI2VWorker(Wan21Worker):
+    """Wan2.2 TI2V-5B (wan22_ti2v_model.py:41-72)."""
+
+    name = "wan22"
+    base_id = "Wan-AI/Wan2.2-TI2V-5B-Diffusers"
+
+    def _load_pipe(self, args):
+        import torch
+        from diffusers import AutoencoderKLWan, WanImageToVideoPipeline
+
+        model_id = args.ckpt_path or self.base_id
+        vae = AutoencoderKLWan.from_pretrained(
+            model_id, subfolder="vae", torch_dtype=torch.float32
+        )
+        return WanImageToVideoPipeline.from_pretrained(
+            model_id, vae=vae, torch_dtype=torch.bfloat16
+        ).to(args.device)
+
+
+class Wan22I2VWorker(Wan21Worker):
+    """Wan2.2 I2V-A14B (wan22_i2v_model.py)."""
+
+    name = "wan22_i2v"
+    base_id = "Wan-AI/Wan2.2-I2V-A14B-Diffusers"
+
+
+def _extra(parser):
+    parser.add_argument("--num_frames", type=int, default=25)
+    parser.add_argument("--variant", default="wan21",
+                        choices=["wan21", "wan22", "wan22_i2v"])
+
+
+def main():
+    import sys
+
+    variant = "wan21"
+    if "--variant" in sys.argv:
+        variant = sys.argv[sys.argv.index("--variant") + 1]
+    cls = {"wan21": Wan21Worker, "wan22": Wan22TI2VWorker,
+           "wan22_i2v": Wan22I2VWorker}[variant]
+    run_worker(cls, extra_args=_extra)
+
+
+if __name__ == "__main__":
+    main()
