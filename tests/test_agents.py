@@ -366,9 +366,10 @@ class TestImaginationModes:
                        sim=sim)
             out = s.imagine_by_model_type([["forward", "forward"]], str(tmp_path))
             sent = capture[0]["b_action"]
-            assert sent.shape == (1, 4, 3)  # (x, z, yaw) per frame
-            # [stop, fwd, fwd, fwd(pad)] walks -z (habitat) with yaw 0
-            np.testing.assert_allclose(sent[0, -1], [0.0, -0.6, 0.0], atol=1e-6)
+            # wire contract carries padded ACTION IDS; the camera worker
+            # converts ids to poses itself (se3ds_model.py:379-424)
+            assert sent.shape == (1, 4)
+            np.testing.assert_array_equal(sent[0], [4, 1, 1, 1])
         finally:
             server.stop()
 

@@ -1,0 +1,137 @@
+"""Prompt-library + VLM-client upgrade tests (reference parity:
+downstream/lm/prompts/* roles; downstream/prompts.py:171-283 multimodal
+assembly; downstream/vlm.py:70-94 response_format, :418-446 pruning)."""
+
+import numpy as np
+import pytest
+
+from wiw_tpu.agents.prompts import PROMPT_ROLES, load_prompt, render_prompt
+from wiw_tpu.agents.vlm import (
+    VLMClient,
+    build_messages,
+    count_message_tokens,
+    file_url_content,
+    make_response_format,
+    prune_messages_to_fit,
+    video_content,
+)
+
+SLOTS = {
+    "question": "what color is the sofa?",
+    "detected_objs": {0: "sofa"},
+    "high_level_plan": {"Action Plan": "x", "Chosen Landmark": 0},
+    "object_name": "chair",
+    "instruction": "go to the kitchen",
+}
+
+
+class TestPromptLibrary:
+    def test_all_13_roles_exist_and_render(self):
+        assert len(PROMPT_ROLES) == 13
+        for role in PROMPT_ROLES:
+            text = render_prompt(role, **SLOTS)
+            assert len(text) > 40, role
+            assert "{" not in text.replace("{'", "'").replace(
+                "{0", "0") or "'" in text  # slots all filled
+
+    def test_slot_contract(self):
+        t = render_prompt("high_level/aeqa_highlevel_planner", **SLOTS)
+        assert "what color is the sofa?" in t
+        assert "Chosen Landmark" in t and "Answer" in t
+        t2 = render_prompt("task/aeqa_planner", **SLOTS,
+                           look_ahead_action_num=4)
+        assert "4" in t2
+
+    def test_planner_slots(self):
+        t = render_prompt("task/ar_planner", look_ahead_action_num=3,
+                          obs_key="panorama")
+        assert "<3>" in t and "panorama" in t
+
+    def test_templates_are_original(self):
+        """No template line longer than 30 chars appears verbatim in the
+        reference prompt files (anti copy check)."""
+        import os
+
+        ref = "/root/reference/downstream/lm/prompts"
+        if not os.path.isdir(ref):
+            pytest.skip("reference not present")
+        ref_text = ""
+        for root, _, files in os.walk(ref):
+            for f in files:
+                ref_text += open(os.path.join(root, f)).read()
+        for role in PROMPT_ROLES:
+            for line in load_prompt(role).splitlines():
+                line = line.strip()
+                if len(line) > 45 and not line.startswith(("Format:", "{{")):
+                    assert line not in ref_text, (role, line)
+
+
+class TestMultimodalMessages:
+    def test_video_content_from_array(self):
+        frames = np.zeros((4, 16, 16, 3), np.uint8)
+        c = video_content(frames)
+        assert c["type"] == "video_url"
+        assert c["video_url"]["url"].startswith("data:video/")
+
+    def test_build_messages_routes_ranks(self):
+        msgs = build_messages("sys", [
+            "text", np.zeros((8, 8, 3), np.uint8),
+            np.zeros((3, 8, 8, 3), np.uint8),
+            file_url_content("/tmp/x.png"),
+        ])
+        content = msgs[1]["content"]
+        kinds = [c["type"] for c in content]
+        assert kinds == ["text", "image_url", "video_url", "image_url"]
+        assert content[3]["image_url"]["url"].startswith("file:///")
+
+    def test_token_accounting_and_pruning(self):
+        msgs = [{"role": "system", "content": "s"}]
+        for i in range(10):
+            msgs.append({"role": "user",
+                         "content": [{"type": "text", "text": "word " * 200}]})
+        n = count_message_tokens(msgs)
+        assert n > 1000
+        pruned = prune_messages_to_fit(msgs, 600)
+        assert count_message_tokens(pruned) <= 600
+        assert pruned[0]["role"] == "system"  # system never dropped
+
+
+class TestClassifyRobustness:
+    def test_skips_leading_whitespace_position(self):
+        """Models that emit '\\n' first still classify from the next
+        position's logprobs."""
+        def transport(messages, **kw):
+            return {
+                "text": "\nB",
+                "top_logprobs_seq": [
+                    {"\n": -0.01, " ": -4.0},
+                    {"B": -0.1, "A": -2.0},
+                ],
+            }
+        client = VLMClient(transport)
+        idx, prob = client.classify([], 3)
+        assert idx == 1 and prob > 0.5
+
+    def test_response_format_schema(self):
+        rf = make_response_format(["Reason", "Answer"])
+        assert rf["type"] == "json_schema"
+        assert rf["json_schema"]["schema"]["required"] == ["Reason", "Answer"]
+
+    def test_plan_json_passes_response_format(self):
+        seen = {}
+
+        def transport(messages, max_tokens=0, response_format=None):
+            seen["rf"] = response_format
+            return {"text": '{"Reason": "r", "Answer": "a"}'}
+        client = VLMClient(transport)
+        out = client.plan_json([], ["Reason", "Answer"],
+                               use_response_format=True)
+        assert out["Answer"] == "a"
+        assert seen["rf"] is not None
+
+    def test_plan_json_transport_without_rf_support(self):
+        def transport(messages, max_tokens=0):
+            return {"text": '{"Reason": "r", "Answer": "a"}'}
+        client = VLMClient(transport)
+        out = client.plan_json([], ["Reason"], use_response_format=True)
+        assert out["Reason"] == "r"

@@ -4,15 +4,44 @@ Role parity (no text copied) with downstream/prompts.py:95-445 and the 13
 prompt files under downstream/lm/prompts/{task,aux,high_level}: each task
 has a planner prompt (propose action sequences), an answerer prompt
 (recognize / decide stop / answer), and auxiliary prompts (imagination
-framing, surround-view annotation). Text is original; the contract (slots,
-option formats, JSON keys) matches what the solvers parse.
+framing, surround-view annotation). The production templates live as text
+files under wiw_tpu/agents/lm_prompts/ with the same role set and slot
+contract ({obs_key}, {look_ahead_action_num}, {question}, {detected_objs},
+{high_level_plan}, {object_name}, {instruction}); text is original.
 """
 
 from __future__ import annotations
 
+import functools
+import os.path as osp
 from typing import List, Sequence
 
 from wiw_tpu.agents.solver import ACTION_TEXT
+
+_PROMPT_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "lm_prompts")
+
+PROMPT_ROLES = (
+    "task/ar_planner", "task/ar_answerer", "task/ignav_planner",
+    "task/ignav_answerer", "task/ignav_evaluator", "task/aeqa_planner",
+    "aux/ar_planner", "aux/ar_answerer", "aux/ignav_evaluator_N_action",
+    "aux/aeqa_highlevel_planner", "high_level/aeqa_highlevel_planner",
+    "high_level/objnav_highlevel_planner", "high_level/vln_highlevel_planner",
+)
+
+
+@functools.lru_cache(maxsize=None)
+def load_prompt(role: str) -> str:
+    """Raw template for a role like 'task/ar_planner'."""
+    with open(osp.join(_PROMPT_DIR, role + ".txt")) as f:
+        return f.read()
+
+
+def render_prompt(role: str, **slots) -> str:
+    """Template + slot values -> final prompt text. Unfilled optional slots
+    default to sensible values (obs_key -> 'RGB image')."""
+    slots.setdefault("obs_key", "RGB image")
+    slots.setdefault("look_ahead_action_num", 4)
+    return load_prompt(role).format(**slots)
 
 UNIT_NOTE = (
     "Each action is atomic: 'forward 0.2m' moves 0.2 meters ahead; "
@@ -27,6 +56,16 @@ def action_space_text(include_stop: bool = False) -> str:
     )
     return "\n".join(
         f"{i + 1}. {ACTION_TEXT[n]}" for i, n in enumerate(names)
+    )
+
+
+def sequence_format_note(seq_len: int, num_seqs: int) -> str:
+    """Output-format suffix appended to planner templates: how many
+    sequences, how to separate actions (matches VLMClient.parse_action_seqs)."""
+    return (
+        f"{UNIT_NOTE}\nAvailable actions:\n{action_space_text()}\n"
+        f"Output {num_seqs} distinct action sequences of exactly {seq_len} "
+        "actions each, one sequence per line, actions separated by commas."
     )
 
 

@@ -101,14 +101,17 @@ class AEQASolver(Solver):
             # heuristic fallback: explore forward, answer empty
             return {"Reason": "explore", "Action Plan": ["forward 0.2m"] * 2,
                     "Chosen View": 0, "Answer": ""}
-        from wiw_tpu.agents.prompts import (
-            highlevel_prompt_aeqa,
-            imagination_context_note,
-        )
+        from wiw_tpu.agents.prompts import render_prompt
         from wiw_tpu.agents.surround import annotated_surround_views
         from wiw_tpu.agents.vlm import build_messages
 
-        parts: list = [highlevel_prompt_aeqa(question)]
+        detected = {
+            i: s["label"] for i, s in enumerate(self.objects.summary())
+        }
+        parts: list = [render_prompt(
+            "high_level/aeqa_highlevel_planner", question=question,
+            detected_objs=detected, obs_key="perspective RGB views",
+        )]
         parts += annotated_surround_views(self.sim.get_pano(), size=256)
         if len(self.objects):
             # the object memory joins the context with entity ids so the
@@ -125,7 +128,7 @@ class AEQASolver(Solver):
                 )
             parts.append("\n".join(lines))
         if imagine_frames:
-            parts.append(imagination_context_note(len(imagine_frames)))
+            parts.append(render_prompt("aux/aeqa_highlevel_planner"))
             parts += imagine_frames
         return self.vlm.plan_json(
             build_messages("You are an embodied question-answering agent.",

@@ -67,17 +67,23 @@ class ARSolver(Solver):
 
     # ------------------------------------------------------------------
     def recognize(self, st: State, extra_images: List[np.ndarray]) -> tuple:
-        """Classify the target category; returns (answer, prob)."""
+        """Classify the target category; returns (answer, prob). Prompts:
+        task/ar_answerer (+ aux/ar_answerer when imagined crops are in
+        context) — lm/prompts parity."""
         if self.vlm is None:
             return self.object_set[0] if self.object_set else "", 0.0
+        from wiw_tpu.agents.prompts import render_prompt
         from wiw_tpu.agents.vlm import build_messages
 
-        parts = ["What is the target object? Options:"]
+        parts: list = ["Options:"]
         parts += [f"{chr(65+i)}. {o}" for i, o in enumerate(self.object_set)]
+        parts.append("Reply with the single option letter only.")
         parts.append(self.sim.get_pano())
-        parts.extend(extra_images)
+        if extra_images:
+            parts.append(render_prompt("aux/ar_answerer"))
+            parts.extend(extra_images)
         idx, prob = self.vlm.classify(
-            build_messages("You are an active recognition agent.", parts),
+            build_messages(render_prompt("task/ar_answerer"), parts),
             len(self.object_set),
         )
         return self.object_set[idx], prob
@@ -87,11 +93,18 @@ class ARSolver(Solver):
         if self.use_heuristic_policy or self.vlm is None:
             seqs, _ = self.heur_sample_next_action_seqs(past, self.cfg.query_num)
             return seqs
+        from wiw_tpu.agents.prompts import render_prompt, sequence_format_note
         from wiw_tpu.agents.vlm import build_messages
 
         space = list(ACTION_TEXT.values())[:3]
         msgs = build_messages(
-            "Propose exploratory action sequences.", [self.sim.get_pano()]
+            render_prompt(
+                "task/ar_planner", obs_key="equirectangular panorama",
+                look_ahead_action_num=self.cfg.look_ahead_action_num,
+            ),
+            [self.sim.get_pano(),
+             sequence_format_note(self.cfg.look_ahead_action_num,
+                                  self.cfg.query_num)],
         )
         return self.vlm.sample_action_seqs(
             msgs, space, self.cfg.look_ahead_action_num, self.cfg.query_num
@@ -228,11 +241,25 @@ class ARSolver(Solver):
 
     def pick_next_action(self, st: State) -> str:
         if self.vlm is not None and not self.use_heuristic_policy:
+            from wiw_tpu.agents.prompts import (
+                render_prompt,
+                sequence_format_note,
+            )
             from wiw_tpu.agents.vlm import build_messages
 
             space = list(ACTION_TEXT.values())[:3]
+            parts: list = [self.sim.get_pano()]
+            recent_preds = st.get_from_recent_state("pred_save_paths")
+            if recent_preds:
+                parts.insert(0, render_prompt("aux/ar_planner"))
+            parts.append(sequence_format_note(1, 1))
             seqs = self.vlm.sample_action_seqs(
-                build_messages("Pick the next action.", [self.sim.get_pano()]),
+                build_messages(
+                    render_prompt("task/ar_planner",
+                                  obs_key="equirectangular panorama",
+                                  look_ahead_action_num=1),
+                    parts,
+                ),
                 space, 1, 1,
             )
             return seqs[0][0]

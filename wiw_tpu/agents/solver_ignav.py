@@ -73,32 +73,43 @@ class IGNavSolver(Solver):
                  success_checker: Optional[Callable] = None,
                  max_action_num: int = 50,
                  lookahead: int = 5, query_num: int = 3,
-                 use_heuristic_policy: bool = True):
+                 use_heuristic_policy: bool = True,
+                 rank_mode: str = "reward"):
         config.look_ahead_action_num = lookahead
         config.query_num = query_num
         config.task = "IGNav"
         super().__init__(config, sim)
         self.vlm = vlm
+        # 'vlm' = evaluator ranking (the reference default); 'reward' = the
+        # LPIPS arm (solver_IGNav.py:546-596)
+        self.rank_mode = rank_mode
         self.reward_fn = reward_fn or lpips_reward_fn() or mse_reward
         self.success_checker = success_checker
         self.max_action_num = max_action_num
         self.use_heuristic_policy = use_heuristic_policy
 
     # ------------------------------------------------------------------
-    def propose_candidates(self, st: State) -> List[List[str]]:
+    def propose_candidates(self, st: State, goal_img=None) -> List[List[str]]:
         past = [a for acts in st.action_traj for a in acts] \
             if st.action_traj and isinstance(st.action_traj[0], list) \
             else list(st.action_traj)
         if self.use_heuristic_policy or self.vlm is None:
             seqs, _ = self.heur_sample_next_action_seqs(past, self.cfg.query_num)
             return seqs
+        from wiw_tpu.agents.prompts import render_prompt, sequence_format_note
         from wiw_tpu.agents.vlm import build_messages
 
         space = list(ACTION_TEXT.values())[:3]
+        parts: list = [self.sim.get_pano()]
+        if goal_img is not None:
+            parts.append(goal_img)
+        parts.append(sequence_format_note(self.cfg.look_ahead_action_num,
+                                          self.cfg.query_num))
         msgs = build_messages(
-            "You are an embodied navigation planner.",
-            ["Propose action sequences to reach the goal image.",
-             self.sim.get_pano()],
+            render_prompt("task/ignav_planner",
+                          obs_key="equirectangular panorama",
+                          look_ahead_action_num=self.cfg.look_ahead_action_num),
+            parts,
         )
         return self.vlm.sample_action_seqs(
             msgs, space, self.cfg.look_ahead_action_num, self.cfg.query_num
@@ -107,23 +118,57 @@ class IGNavSolver(Solver):
     def pick_by_reward(self, goal_img: np.ndarray, pred_frames: np.ndarray,
                        candidates: List[List[str]]) -> int:
         """pred_frames: [B, T, C, H, W] uint8; reward on each candidate's
-        final frame (solver_IGNav.py:546-596)."""
+        final frame (solver_IGNav.py:546-596, the LPIPS arm)."""
         rewards = []
         for i in range(pred_frames.shape[0]):
             final = np.transpose(pred_frames[i, -1], (1, 2, 0))  # HWC
             rewards.append(self.reward_fn(goal_img, final))
         return int(np.argmax(rewards))
 
+    def pick_by_vlm(self, goal_img: np.ndarray, pred_frames: np.ndarray,
+                    candidates: List[List[str]]) -> int:
+        """The reference's DEFAULT ranking arm: a VLM evaluator sees each
+        candidate's imagined outcome plus the goal image and picks the best
+        plan (task/ignav_evaluator + aux/ignav_evaluator_N_action roles)."""
+        from wiw_tpu.agents.prompts import render_prompt
+        from wiw_tpu.agents.vlm import build_messages
+
+        parts: list = [render_prompt("aux/ignav_evaluator_N_action")]
+        for i, cand in enumerate(candidates):
+            parts.append(f"Action Plan {chr(65 + i)}: {list(cand)}")
+            parts.append(np.transpose(pred_frames[i, -1], (1, 2, 0)))
+        parts.append("Goal image:")
+        parts.append(goal_img)
+        parts.append(
+            "Which plan's predicted observation best matches the goal? "
+            "Reply with the single plan letter."
+        )
+        msgs = build_messages(
+            render_prompt("task/ignav_evaluator",
+                          look_ahead_action_num=self.cfg.look_ahead_action_num),
+            parts,
+        )
+        idx, _ = self.vlm.classify(msgs, len(candidates))
+        return int(idx)
+
+    def pick_candidate(self, goal_img, pred_frames, candidates) -> int:
+        if self.rank_mode == "vlm" and self.vlm is not None:
+            return self.pick_by_vlm(goal_img, pred_frames, candidates)
+        return self.pick_by_reward(goal_img, pred_frames, candidates)
+
     def check_stop(self, st: State, goal_img: np.ndarray) -> bool:
         if self.success_checker is not None:
             return bool(self.success_checker(self.sim, goal_img))
         if self.vlm is not None:
+            from wiw_tpu.agents.prompts import render_prompt
             from wiw_tpu.agents.vlm import build_messages
 
             msgs = build_messages(
-                "Decide whether the agent has reached the goal.",
-                ["Current view:", self.sim.get_pano(), "Goal:", goal_img,
-                 "Answer 'stop' if reached, 'continue' otherwise."],
+                render_prompt("task/ignav_answerer",
+                              obs_key="equirectangular panorama"),
+                [self.sim.get_pano(), "Goal image:", goal_img,
+                 "A. stop\nB. continue navigating\n"
+                 "Reply with the single option letter."],
             )
             idx, _ = self.vlm.classify(msgs, 2)
             return idx == 0
@@ -142,9 +187,9 @@ class IGNavSolver(Solver):
             if self.check_stop(st, goal_img):
                 success = True
                 break
-            candidates = self.propose_candidates(st)
+            candidates = self.propose_candidates(st, goal_img)
             out = self.imagine_by_model_type(candidates, save_dir)
-            best = self.pick_by_reward(goal_img, out["pred_frames"], candidates)
+            best = self.pick_candidate(goal_img, out["pred_frames"], candidates)
             seq = candidates[best]
             executed = seq[: max(len(seq) - 2, 1)]
             for action_text in executed:

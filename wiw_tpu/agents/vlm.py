@@ -53,12 +53,65 @@ def image_content(img: np.ndarray) -> dict:
     }
 
 
+def file_url_content(path: str) -> dict:
+    """Local-file image reference for a colocated vLLM server
+    (prompts.py:171-283 file-URL mode — avoids base64 blowup)."""
+    import os.path as osp
+
+    return {
+        "type": "image_url",
+        "image_url": {"url": "file://" + osp.abspath(path)},
+    }
+
+
+def video_content(frames_or_path, fps: int = 7) -> dict:
+    """Video message content (prompts.py video assembly): an mp4 path or a
+    uint8 [T, H, W, C] array, sent as a data-URL video_url (vLLM's
+    multimodal video format)."""
+    mime = "video/mp4"
+    if isinstance(frames_or_path, str):
+        with open(frames_or_path, "rb") as f:
+            data = f.read()
+        if frames_or_path.endswith(".gif"):
+            mime = "video/gif"
+    else:
+        import tempfile
+
+        import imageio
+
+        frames = list(np.asarray(frames_or_path))
+        try:
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+                imageio.mimwrite(f.name, frames, fps=fps)
+                data = open(f.name, "rb").read()
+        except Exception:
+            # hosts without an ffmpeg backend: GIF is still a decodable
+            # video container for vLLM's video_url
+            mime = "video/gif"
+            with tempfile.NamedTemporaryFile(suffix=".gif") as f:
+                imageio.mimwrite(f.name, frames,
+                                 duration=max(1, int(1000 / fps)))
+                data = open(f.name, "rb").read()
+    return {
+        "type": "video_url",
+        "video_url": {
+            "url": f"data:{mime};base64," + base64.b64encode(data).decode()
+        },
+    }
+
+
 def build_messages(system: str, user_parts: Sequence) -> List[dict]:
-    """user_parts: strings and/or ndarray images, in display order."""
+    """user_parts in display order: strings, ndarray images (rank 3) or
+    videos (rank 4), or pre-built content dicts (file_url_content /
+    video_content outputs)."""
     content = []
     for part in user_parts:
         if isinstance(part, str):
             content.append({"type": "text", "text": part})
+        elif isinstance(part, dict):
+            content.append(part)
+        elif getattr(part, "ndim", 3) == 4:
+            content.append(video_content(part))
         else:
             content.append(image_content(part))
     msgs = []
@@ -66,6 +119,67 @@ def build_messages(system: str, user_parts: Sequence) -> List[dict]:
         msgs.append({"role": "system", "content": system})
     msgs.append({"role": "user", "content": content})
     return msgs
+
+
+# -- context accounting (vlm.py:418-446 pruning is length-aware) ------------
+
+def count_message_tokens(messages: List[dict]) -> int:
+    """Token estimate: tiktoken when available, else chars/4; images count
+    a flat 1024 tokens each (Qwen-VL-scale patches), videos 4096."""
+    try:
+        import tiktoken
+
+        enc = tiktoken.get_encoding("cl100k_base")
+
+        def text_tokens(s):
+            return len(enc.encode(s))
+    except Exception:  # pragma: no cover - tiktoken missing
+        def text_tokens(s):
+            return max(1, len(s) // 4)
+
+    total = 0
+    for m in messages:
+        c = m.get("content")
+        if isinstance(c, str):
+            total += text_tokens(c)
+            continue
+        for part in c or []:
+            t = part.get("type")
+            if t == "text":
+                total += text_tokens(part.get("text", ""))
+            elif t == "video_url":
+                total += 4096
+            else:
+                total += 1024
+    return total
+
+
+def prune_messages_to_fit(messages: List[dict], max_tokens: int) -> List[dict]:
+    """Drop the oldest non-system messages until under budget
+    (vlm.py:418-446 behavior)."""
+    msgs = list(messages)
+    while len(msgs) > 2 and count_message_tokens(msgs) > max_tokens:
+        drop = 1 if msgs and msgs[0].get("role") == "system" else 0
+        msgs.pop(drop)
+    return msgs
+
+
+def make_response_format(required_keys: Sequence[str], name: str = "plan"
+                         ) -> dict:
+    """OpenAI json_schema response_format for structured plans — the
+    commercial-model path (vlm.py:70-94 uses pydantic models; this emits
+    the equivalent schema without the pydantic dependency)."""
+    return {
+        "type": "json_schema",
+        "json_schema": {
+            "name": name,
+            "schema": {
+                "type": "object",
+                "properties": {k: {} for k in required_keys},
+                "required": list(required_keys),
+            },
+        },
+    }
 
 
 def parse_json_loose(text: str):
@@ -97,19 +211,25 @@ class OpenAITransport:
         self.model = model
 
     def __call__(self, messages, logprobs: bool = False, top_logprobs: int = 20,
-                 max_tokens: int = 512, temperature: float = 1.0) -> dict:
+                 max_tokens: int = 512, temperature: float = 1.0,
+                 response_format: Optional[dict] = None) -> dict:
+        kwargs = {}
+        if response_format is not None:
+            kwargs["response_format"] = response_format
         resp = self.client.chat.completions.create(
             model=self.model, messages=messages, max_tokens=max_tokens,
             temperature=temperature, logprobs=logprobs,
-            top_logprobs=top_logprobs if logprobs else None,
+            top_logprobs=top_logprobs if logprobs else None, **kwargs,
         )
         choice = resp.choices[0]
         out = {"text": choice.message.content}
         if logprobs and choice.logprobs and choice.logprobs.content:
-            first = choice.logprobs.content[0]
-            out["top_logprobs"] = {
-                t.token: t.logprob for t in first.top_logprobs
-            }
+            # all positions, so classify can skip leading whitespace tokens
+            out["top_logprobs_seq"] = [
+                {t.token: t.logprob for t in pos.top_logprobs}
+                for pos in choice.logprobs.content
+            ]
+            out["top_logprobs"] = out["top_logprobs_seq"][0]
         return out
 
 
@@ -123,11 +243,21 @@ class VLMClient:
 
     # -- classification -------------------------------------------------
     def classify(self, messages: List[dict], num_options: int) -> tuple[int, float]:
-        """Pick among num_options via first-token logprobs; returns
-        (option_index, probability)."""
+        """Pick among num_options via choice-token logprobs; returns
+        (option_index, probability). Uses the FIRST generated position whose
+        top-logprobs contain a choice token — models that emit leading
+        whitespace/newlines still classify correctly."""
         alphabet = self.choices[:num_options]
         resp = self.transport(messages, logprobs=True, max_tokens=4)
-        lp = resp.get("top_logprobs") or {}
+        seq = resp.get("top_logprobs_seq")
+        if not seq:
+            seq = [resp.get("top_logprobs") or {}]
+        lp = {}
+        for pos in seq:
+            hits = {t: v for t, v in pos.items() if t.strip() in alphabet}
+            if hits:
+                lp = pos
+                break
         scores = {}
         for tok, logprob in lp.items():
             t = tok.strip()
@@ -211,10 +341,27 @@ class VLMClient:
         return results
 
     # -- JSON plans -----------------------------------------------------
-    def plan_json(self, messages: List[dict], required_keys: Sequence[str]
-                  ) -> Optional[dict]:
-        for _ in range(self.max_retries):
-            resp = self.transport(messages, max_tokens=1024)
+    def plan_json(self, messages: List[dict], required_keys: Sequence[str],
+                  use_response_format: bool = False) -> Optional[dict]:
+        """Structured plan fetch; `use_response_format` asks the endpoint to
+        constrain decoding to the plan schema (commercial-model path,
+        vlm.py:70-94)."""
+        kwargs = {}
+        if use_response_format:
+            kwargs["response_format"] = make_response_format(required_keys)
+        for attempt in range(self.max_retries):
+            try:
+                resp = self.transport(messages, max_tokens=1024, **kwargs)
+            except TypeError:  # transport without response_format support
+                kwargs = {}
+                resp = self.transport(messages, max_tokens=1024)
+            except Exception as e:
+                if "context" in repr(e).lower() and len(messages) > 2:
+                    messages = prune_messages_to_fit(
+                        messages, max(1024, count_message_tokens(messages) // 2)
+                    )
+                    continue
+                raise
             js = parse_json_loose(resp.get("text") or "")
             if isinstance(js, dict) and all(k in js for k in required_keys):
                 return js
