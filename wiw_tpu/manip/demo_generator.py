@@ -1,0 +1,135 @@
+"""Manipulation demo dataset generator.
+
+Behavioral parity (no code copied) with
+downstream/world-in-world-manip/wiw_manip/envs/tools/dataset_generator_NLP.py
+(:32-260): for each task and variation, collect `episodes_per_variation`
+demos and persist them under the RLBench dataset layout
+
+    <root>/<task>/variation<k>/episodes/episode<i>/
+        front_rgb/<step>.png
+        low_dim_obs.pkl          (per-step poses/gripper states)
+        variation_descriptions.pkl
+
+The saving logic is env-agnostic (works against FakeManipEnv in tests);
+real demo collection needs the RLBench host (make_rlbench_env).
+
+Usage:
+    python -m wiw_tpu.manip.demo_generator --save_path data/manip \
+        --tasks slide_block_to_color_target --episodes_per_variation 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+from wiw_tpu.manip.env import MANIP_TASKS, FakeManipEnv
+
+VARIATIONS_FOLDER = "variation%d"
+EPISODES_FOLDER = "episodes"
+EPISODE_FOLDER = "episode%d"
+
+
+def save_demo(save_dir: str, frames: List[np.ndarray],
+              poses: List[np.ndarray], instruction: str,
+              variation: int) -> None:
+    """Persist one episode in the RLBench-compatible layout."""
+    from PIL import Image
+
+    rgb_dir = osp.join(save_dir, "front_rgb")
+    os.makedirs(rgb_dir, exist_ok=True)
+    for i, f in enumerate(frames):
+        Image.fromarray(np.asarray(f, np.uint8)).save(
+            osp.join(rgb_dir, f"{i}.png")
+        )
+    low_dim = {
+        "gripper_pose": [np.asarray(p[:7], np.float32) for p in poses],
+        "gripper_open": [float(p[7]) for p in poses],
+    }
+    with open(osp.join(save_dir, "low_dim_obs.pkl"), "wb") as f:
+        pickle.dump(low_dim, f)
+    with open(osp.join(save_dir, "variation_descriptions.pkl"), "wb") as f:
+        pickle.dump([instruction], f)
+    with open(osp.join(save_dir, "variation_number.pkl"), "wb") as f:
+        pickle.dump(variation, f)
+
+
+def episode_dir(root: str, task: str, variation: int, episode: int) -> str:
+    return osp.join(root, task, VARIATIONS_FOLDER % variation,
+                    EPISODES_FOLDER, EPISODE_FOLDER % episode)
+
+
+def collect_episode(env, task: str, variation: int,
+                    scripted_poses: Optional[List[np.ndarray]] = None):
+    """One episode rollout -> (frames, poses, instruction). With a real
+    RLBench env the demo comes from the task's motion planner; the fake env
+    uses scripted poses (tests)."""
+    obs = env.reset(task, variation)
+    frames = [obs["rgb"]]
+    poses = [obs["pose"]]
+    if scripted_poses is None and hasattr(env, "get_demo"):
+        demo = env.get_demo(task, variation, 0)
+        for step_obs in demo:
+            frames.append(np.asarray(step_obs.front_rgb, np.uint8))
+            poses.append(np.concatenate([
+                np.asarray(step_obs.gripper_pose, np.float32),
+                [float(step_obs.gripper_open)],
+            ]))
+    else:
+        for p in scripted_poses or []:
+            obs = env.step_to_pose(p)
+            frames.append(obs["rgb"])
+            poses.append(obs["pose"])
+    return frames, poses, env.instruction()
+
+
+def generate(env, root: str, tasks: List[str], variations: int,
+             episodes_per_variation: int, scripted=None) -> int:
+    """Collect + save the dataset; returns the number of episodes saved."""
+    n = 0
+    for task in tasks:
+        for var in range(variations):
+            for ep in range(episodes_per_variation):
+                frames, poses, instruction = collect_episode(
+                    env, task, var, scripted_poses=scripted
+                )
+                d = episode_dir(root, task, var, ep)
+                os.makedirs(d, exist_ok=True)
+                save_demo(d, frames, poses, instruction, var)
+                n += 1
+    return n
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("manip demo generator")
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--tasks", nargs="+", default=MANIP_TASKS)
+    p.add_argument("--variations", type=int, default=1)
+    p.add_argument("--episodes_per_variation", type=int, default=25)
+    p.add_argument("--dataset_root", default="")
+    p.add_argument("--image_size", type=int, default=500)
+    p.add_argument("--fake_env", action="store_true",
+                   help="kinematic fake env (smoke runs without RLBench)")
+    args = p.parse_args(argv)
+
+    if args.fake_env:
+        env = FakeManipEnv(image_size=args.image_size)
+        scripted = [np.array([0.2, 0.0, 1.0, 0, 0, 0, 1, 1], np.float32)]
+    else:
+        from wiw_tpu.manip.env import make_rlbench_env
+
+        env = make_rlbench_env(dataset_root=args.dataset_root,
+                               img_size=(args.image_size, args.image_size))
+        scripted = None
+    n = generate(env, args.save_path, args.tasks, args.variations,
+                 args.episodes_per_variation, scripted=scripted)
+    print(f"saved {n} episodes under {args.save_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -85,16 +85,118 @@ class FakeManipEnv:
         return f"{self.task.replace('_', ' ')} (variation {self.variation})"
 
 
-def make_rlbench_env(headless: bool = True):
+class RLBenchManipEnv:
+    """Real RLBench/AMSolver adapter (ManipEnv protocol).
+
+    Behavioral parity (no code copied) with
+    downstream/world-in-world-manip/wiw_manip/envs/RLBenchEnv.py:27-332:
+      * AMSolver `Environment` with the absolute end-effector pose-plan
+        action mode (ABS_EE_POSE_PLAN_WORLD_FRAME), all observations on at
+        `img_size`
+      * reset loads a (task, variation) and returns the live demo's
+        instruction + first observation
+      * `step_to_pose` drives an 8-D [xyz, quat, gripper] target; task
+        success comes from the task's own success() check
+      * per-episode step cap (max_step=15)
+
+    Requires CoppeliaSim + PyRep + the amsolver fork on the host
+    (docs/01_setup_env.md:162-189); imports are method-local so this class
+    is importable (and mock-testable) anywhere.
+    """
+
+    def __init__(self, dataset_root: str = "", img_size=(500, 500),
+                 headless: bool = True, max_step: int = 15):
+        from amsolver.action_modes import ActionMode, ArmActionMode
+        from amsolver.environment import Environment
+        from amsolver.observation_config import ObservationConfig
+
+        obs_config = ObservationConfig()
+        obs_config.set_all(True)
+        obs_config.set_image_size(tuple(img_size))
+        action_mode = ActionMode(ArmActionMode.ABS_EE_POSE_PLAN_WORLD_FRAME)
+        self.env = Environment(
+            action_mode, obs_config=obs_config, headless=headless,
+            dataset_root=dataset_root,
+        )
+        self.env.launch()
+        self.max_step = max_step
+        self._task_env = None
+        self._steps = 0
+        self._obs = None
+        self._instruction = ""
+        self._succeeded = False
+
+    # ------------------------------------------------------------------
+    def reset(self, task: str, variation: int) -> dict:
+        from amsolver.backend.utils import task_file_to_task_class
+
+        assert task in MANIP_TASKS, (task, MANIP_TASKS)
+        task_class = task_file_to_task_class(task, parent_folder="vlm")
+        self._task_env = self.env.get_task(task_class)
+        self._task_env.set_variation(variation)
+        desc, obs = self._task_env.reset()
+        self._instruction = desc[0] if isinstance(desc, (list, tuple)) else str(desc)
+        self._obs = obs
+        self._steps = 0
+        self._succeeded = False
+        return self.observe()
+
+    @staticmethod
+    def _obs_to_dict(obs) -> dict:
+        rgb = np.asarray(obs.front_rgb, np.uint8)
+        pose = np.concatenate([
+            np.asarray(obs.gripper_pose, np.float32),
+            np.asarray([obs.gripper_open], np.float32),
+        ])
+        return {"rgb": rgb, "pose": pose}
+
+    def observe(self) -> dict:
+        return self._obs_to_dict(self._obs)
+
+    def step_to_pose(self, pose: np.ndarray) -> dict:
+        assert self._task_env is not None, "reset() first"
+        action = np.asarray(pose, np.float32).reshape(-1)
+        obs, _reward, terminate = self._task_env.step(action)[:3]
+        self._obs = obs
+        self._steps += 1
+        ok, _ = self._task_env._task.success()
+        self._succeeded = bool(ok) or bool(
+            terminate and not self._steps >= self.max_step
+        )
+        return self.observe()
+
+    def success(self) -> bool:
+        return self._succeeded
+
+    def instruction(self) -> str:
+        return self._instruction
+
+    def get_demo(self, task: str, variation: int, episode: int):
+        """Stored demo playback for planners needing keypose references
+        (RLBenchEnv.get_demo:152-166 role)."""
+        assert self._task_env is not None
+        return self._task_env.get_demos(
+            amount=1, live_demos=False, random_selection=False,
+            from_episode_number=episode,
+        )[0]
+
+    def close(self) -> None:
+        try:
+            self.env.shutdown()
+        except Exception:
+            pass
+
+
+def make_rlbench_env(dataset_root: str = "", headless: bool = True,
+                     img_size=(500, 500), max_step: int = 15):
     """Real RLBench env when installed (gated import)."""
     try:
-        from rlbench.environment import Environment  # noqa: F401
+        import amsolver  # noqa: F401
     except ImportError as e:
         raise ImportError(
-            "rlbench is not installed; use FakeManipEnv or install "
-            "RLBench/PyRep (docs/01_setup_env.md:162-189 in the reference)"
+            "amsolver/RLBench is not installed; use FakeManipEnv or install "
+            "CoppeliaSim+PyRep+amsolver (docs/01_setup_env.md:162-189 in "
+            "the reference)"
         ) from e
-    raise NotImplementedError(
-        "RLBench adapter: wire Environment+task handles here on a machine "
-        "with CoppeliaSim"
-    )
+    return RLBenchManipEnv(dataset_root=dataset_root, headless=headless,
+                           img_size=img_size, max_step=max_step)

@@ -140,10 +140,23 @@ class CrossAttention(nn.Module):
             # from every cross-attn). to_q/to_k params still materialize at
             # init for checkpoint-mapping compatibility.
             if self.is_initializing():
-                q_mod(x[..., :1, :])
+                q_mod(x.reshape(-1, 1, x.shape[-1])[:1])
                 k_mod(context)
             o = out_mod(v_mod(context))  # [B, 1, C] — one row per batch
+            o = o.reshape(o.shape[0], *([1] * (x.ndim - 2)), o.shape[-1])
             return jnp.broadcast_to(o, x.shape)
+        if x.ndim == 4:
+            # temporal cross-attn with a multi-token context on [B, F, S, C]
+            # (the SVD-dagger past_obs multi-frame CLIP path): fold positions
+            # into batch for the attention itself
+            B, F, S, C = x.shape
+            xq = x.transpose(0, 2, 1, 3).reshape(B * S, F, C)
+            ctx = jnp.repeat(context, S, axis=0)
+            out = attention_bsd(
+                q_mod(xq), k_mod(ctx), v_mod(ctx), self.heads
+            )
+            out = out_mod(out)
+            return out.reshape(B, S, F, C).transpose(0, 2, 1, 3)
         q = q_mod(x)
         k = k_mod(context)
         v = v_mod(context)
@@ -174,10 +187,35 @@ class BasicTransformerBlock(nn.Module):
         return x + h
 
 
+class TemporalSelfAttention(nn.Module):
+    """Self-attention across frames on [B, F, S, C] — no transposes, no
+    tiny batched matmuls (ops/temporal_attention.py). Parameter tree is
+    identical to CrossAttention so checkpoints map unchanged."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, F, S, C]
+        from wiw_tpu.ops.temporal_attention import temporal_self_attention
+
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        out = temporal_self_attention(q, k, v, self.heads)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")(out)
+
+
 class TemporalBasicTransformerBlock(nn.Module):
     """Temporal block: ff_in -> self-attn over frames -> cross -> ff.
 
-    Input/output [B*S, F, C] (frames are the sequence axis).
+    Input/output [B, F, S, C] — the frame axis mixes only inside attn1;
+    norms and feed-forwards are position-independent, so the whole block
+    runs in the spatial layout with ZERO transposes (the reference
+    transposes to [B*S, F, C] around every temporal block,
+    transformer_temporal.py:437-448).
     """
 
     heads: int
@@ -191,9 +229,9 @@ class TemporalBasicTransformerBlock(nn.Module):
             LayerNorm(dtype=self.dtype, name="norm_in")(x)
         )
         x = h + residual  # is_res: dim == time_mix_inner_dim in SVD
-        h = CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
-            LayerNorm(dtype=self.dtype, name="norm1")(x)
-        )
+        h = TemporalSelfAttention(
+            self.heads, self.dim_head, dtype=self.dtype, name="attn1"
+        )(LayerNorm(dtype=self.dtype, name="norm1")(x))
         x = x + h
         if context is not None:
             h = CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn2")(
@@ -398,11 +436,11 @@ class TransformerSpatioTemporal(nn.Module):
             t_emb.astype(self.dtype)
         )  # [F, C]
 
-        # context for temporal cross-attn: first-frame context per spatial pos
-        time_context = None
-        if context is not None:
-            # [B, S, 1024] -> [B*H*W, S, 1024]
-            time_context = jnp.repeat(context, H * W, axis=0)
+        # context for temporal cross-attn: the per-batch context rows are
+        # consumed directly by the [B, F, S, C]-native temporal block (the
+        # single-token shortcut / folded multi-token path broadcast them;
+        # no repeat-per-position materialization)
+        time_context = context
 
         time_mixer = AlphaBlender(alpha_init=0.5, name="time_mixer")
         time_mixer_action = (
@@ -417,14 +455,13 @@ class TransformerSpatioTemporal(nn.Module):
                 name=f"transformer_blocks_{layer}",
             )(h, context=spatial_context)
 
-            # temporal: [B*F, HW, C] -> [B*HW, F, C], + frame positional emb
+            # temporal: stays in [B, F, HW, C] (+ frame positional emb) —
+            # the reshape to/from [B*F, HW, C] is free, no transposes
             hmix = h.reshape(B, num_frames, H * W, inner) + pos[None, :, None, :]
-            hmix = hmix.transpose(0, 2, 1, 3).reshape(B * H * W, num_frames, inner)
             hmix = TemporalBasicTransformerBlock(
                 self.heads, self.dim_head, dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{layer}",
             )(hmix, context=time_context)
-            hmix = hmix.reshape(B, H * W, num_frames, inner).transpose(0, 2, 1, 3)
             hmix = hmix.reshape(BF, H * W, inner)
             h = time_mixer(h, hmix)
 

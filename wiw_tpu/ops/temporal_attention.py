@@ -1,0 +1,141 @@
+"""Temporal self-attention over frames, natively in [B, F, S, C] layout.
+
+The SVD temporal transformer attends across F=14 frames independently at
+every spatial position. The torch-style formulation transposes to
+[B*S, F, C] and runs 92k tiny (14x64x14) matmuls — both the transposes
+(~165 MB per block at L0) and the MXU-hostile shapes are pure overhead
+(reference layout: transformer_temporal.py:437-448).
+
+Here the data never leaves [B, F, S, H*D]: a Pallas kernel tiles S into
+lanes/sublanes and computes the FxF frame attention with VPU elementwise
+ops (per position: logits[f,g] = sum_d q[f]k[g], softmax over g, weighted
+sum of v) — zero transposes, zero tiny matmuls. An XLA einsum fallback with
+identical semantics covers CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_frames: int, sm_scale: float,
+            head_dim: int):
+    """One (b*h, s_block) program: frame-to-frame attention for a tile of
+    spatial positions. Refs are [1, F, s_blk, D].
+
+    All compute is VPU elementwise (mul + lane-reduce + exp): a dot_general
+    formulation would lower to 14x64x14 MXU matmuls — exactly the
+    MXU-hostile shape this kernel exists to avoid.
+    """
+    F = num_frames
+    HD = q_ref.shape[-1]
+    D = head_dim
+    heads = HD // D
+    # keep k/v resident in bf16 (fp32 copies blow the 16M scoped-VMEM
+    # budget); per-slice casts happen in registers
+    k = k_ref[0]  # [F, s_blk, HD]
+    v = v_ref[0]
+
+    def per_frame(f, carry):
+        # fori over f keeps only ONE frame's temporaries live (a fully
+        # unrolled F x F x H loop nest overflows scoped VMEM)
+        qf = q_ref[0, f].astype(jnp.float32) * sm_scale  # [s_blk, HD]
+        outs = []
+        for h in range(heads):
+            sl = slice(h * D, (h + 1) * D)
+            qh = qf[:, sl]
+            cols = [
+                jnp.sum(qh * k[g][:, sl].astype(jnp.float32),
+                        axis=-1, keepdims=True)
+                for g in range(F)
+            ]  # F x [s_blk, 1]
+            logits = jnp.concatenate(cols, axis=1)  # [s_blk, F]
+            m = jnp.max(logits, axis=1, keepdims=True)
+            p = jnp.exp(logits - m)
+            w = p / jnp.sum(p, axis=1, keepdims=True)
+            out = w[:, 0:1] * v[0][:, sl].astype(jnp.float32)
+            for g in range(1, F):
+                out = out + w[:, g:g + 1] * v[g][:, sl].astype(jnp.float32)
+            outs.append(out)
+        o_ref[0, f] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, F, per_frame, 0)
+
+
+def _best_s_block(S: int, F: int, HD: int) -> int:
+    """Largest divisor of S (multiple of 8 sublanes) whose [F, s_blk, HD]
+    bf16 block stays ~1.2 MB — 4 double-buffered refs + the fp32 k/v copies
+    then fit the 16 MB scoped-VMEM budget."""
+    cap = max(8, int(6e5 // (2 * F * HD)) // 8 * 8)
+    best = 8
+    b = 8
+    while b <= min(cap, S):
+        if S % b == 0:
+            best = b
+        b += 8
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def temporal_self_attention_pallas(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q, k, v: [B, F, S, H*D] -> [B, F, S, H*D]; attention over F per
+    (position, head)."""
+    B, F, S, HD = q.shape
+    D = HD // heads
+    sm_scale = D ** -0.5
+    s_blk = _best_s_block(S, F, HD)
+
+    # full-channel blocks (Pallas requires the last block dim to be 128-
+    # divisible or whole); heads split INSIDE the kernel by static slices —
+    # no head transpose, no materialization
+    grid = (B, S // s_blk)
+    spec = pl.BlockSpec((1, F, s_blk, HD), lambda b, si: (b, 0, si, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, num_frames=F, sm_scale=float(sm_scale),
+                          head_dim=D),
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, F, S, HD), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def temporal_self_attention_xla(q, k, v, heads: int) -> jnp.ndarray:
+    """Reference-semantics einsum path (used on CPU and as the numerics
+    oracle for the kernel)."""
+    B, F, S, HD = q.shape
+    D = HD // heads
+    qh = q.reshape(B, F, S, heads, D)
+    kh = k.reshape(B, F, S, heads, D)
+    vh = v.reshape(B, F, S, heads, D)
+    logits = jnp.einsum("bfshd,bgshd->bshfg", qh, kh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * D ** -0.5, axis=-1)
+    out = jnp.einsum("bshfg,bgshd->bfshd", w.astype(v.dtype), vh)
+    return out.reshape(B, F, S, HD)
+
+
+def temporal_self_attention(q, k, v, heads: int) -> jnp.ndarray:
+    """[B, F, S, H*D] frame attention; Pallas on TPU, XLA elsewhere."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    S = q.shape[2]
+    import os
+
+    if (on_tpu and S % 64 == 0
+            and os.environ.get("WIW_TEMPORAL_ATTN", "xla") == "pallas"):
+        return temporal_self_attention_pallas(q, k, v, heads)
+    return temporal_self_attention_xla(q, k, v, heads)
