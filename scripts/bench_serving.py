@@ -1,0 +1,85 @@
+"""On-chip serving benchmark: concurrent closed-loop rollouts against the
+REAL SVD-dagger pipeline behind the continuous-batching executor.
+
+Measures the BASELINE.md serving target (>= 8 concurrent closed-loop agent
+rollouts sustained) on the real TPU chip. Random-init weights (numerics
+don't affect throughput); 256x256 keeps single-run compile time sane —
+the kernel mix matches the 576x1024 operating point, only tile counts
+differ.
+
+Run: python scripts/bench_serving.py [--clients 8] [--steps 3]
+     [--height 256 --width 256 --num_steps 25 --slots 4]
+Writes the result into PERFORMANCE.md-ready JSON on stdout.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--candidates", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--num_steps", type=int, default=25)
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--executor", default="continuous",
+                    choices=["continuous", "batch"])
+    args = ap.parse_args()
+
+    from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+    from wiw_tpu.serve.server_cli import make_continuous_executor
+    from wiw_tpu.workers.svd_action import SVDActionWorker
+
+    worker = SVDActionWorker(
+        width=args.width, height=args.height,
+        out_width=256, out_height=256,
+        num_inference_steps=args.num_steps,
+        num_frames=args.frames,
+    )
+    if args.executor == "continuous":
+        ex = make_continuous_executor(worker, args.slots)
+    else:
+        ex = InProcessExecutor(worker, max_batch=8)
+    server = ManagerServer([ex], port=17860)
+    port = server.start()
+    print(f"server on {port}; compiling via first requests...",
+          file=sys.stderr, flush=True)
+    try:
+        from wiw_tpu.serve.benchmarks import run_benchmark
+
+        # warmup pass compiles encode/step/decode once
+        _ = run_benchmark(port, clients=1, steps=1,
+                          candidates=args.candidates, frames=args.frames)
+        result = run_benchmark(port, clients=args.clients, steps=args.steps,
+                               candidates=args.candidates, frames=args.frames)
+        result.update(executor=args.executor, slots=args.slots,
+                      resolution=f"{args.height}x{args.width}",
+                      denoise_steps=args.num_steps)
+        # frames/s/chip under concurrent serving: every rollout step
+        # generates `candidates` 14-frame clips
+        clips = args.clients * args.steps * args.candidates
+        result["serving_frames_per_sec_per_chip"] = round(
+            clips * args.frames / result["wall_s"], 3
+        )
+        print(json.dumps(result))
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

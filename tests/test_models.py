@@ -172,3 +172,25 @@ class TestRemat:
         g = jax.grad(loss)(params)
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestTemporalAttentionOp:
+    def test_pallas_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wiw_tpu.ops.temporal_attention import (
+            temporal_self_attention_pallas,
+            temporal_self_attention_xla,
+        )
+
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (2, 5, 128, 2 * 8))
+        k = jax.random.normal(jax.random.PRNGKey(1), q.shape)
+        v = jax.random.normal(jax.random.PRNGKey(2), q.shape)
+        ref = temporal_self_attention_xla(q, k, v, heads=2)
+        out = temporal_self_attention_pallas(q, k, v, heads=2, interpret=True)
+        import numpy as np
+
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

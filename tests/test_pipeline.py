@@ -170,3 +170,26 @@ class TestShardedAccum:
         state, frozen, batch = tr.place(state, frozen, batch)
         state, metrics = step(state, frozen, batch, key)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestTrainerGuards:
+    def test_make_train_step_before_init_state_raises(self):
+        import pytest as _pytest
+
+        from wiw_tpu.models.clip import CLIPVisionConfig
+        from wiw_tpu.models.unet import UNetConfig
+        from wiw_tpu.models.vae import VAEConfig
+        from wiw_tpu.sampling.pipeline import SVDPipeline
+        from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+        pipe = SVDPipeline(
+            UNetConfig(block_out_channels=(8, 16), num_attention_heads=(1, 2),
+                       layers_per_block=1, num_frames=2),
+            VAEConfig(block_out_channels=(4, 4, 4), layers_per_block=1),
+            CLIPVisionConfig(hidden_size=8, intermediate_size=16,
+                             num_layers=1, num_heads=1, patch_size=56,
+                             projection_dim=1024),
+        )
+        trainer = Trainer(pipe, TrainConfig(train_params="new"))
+        with _pytest.raises(RuntimeError, match="init_state"):
+            trainer.make_train_step()

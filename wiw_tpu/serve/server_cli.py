@@ -98,10 +98,12 @@ def main(argv=None):
     ap.add_argument("--out_width", type=int, default=480)
     ap.add_argument("--out_height", type=int, default=480)
     ap.add_argument("--num_inference_steps", type=int, default=30)
-    ap.add_argument("--executor", default="batch",
+    ap.add_argument("--executor", default="continuous",
                     choices=["batch", "continuous"],
-                    help="'continuous' = step-level admission (one denoise "
-                         "slot per request item)")
+                    help="'continuous' (default, the TPU-first serving "
+                         "path) = step-level admission: each request item "
+                         "claims a denoise slot and joins BETWEEN Euler "
+                         "steps; 'batch' = whole-request micro-batching")
     ap.add_argument("--num_slots", type=int, default=4)
     ap.add_argument("--warmup_batches", default="1",
                     help="comma-separated batch buckets to precompile "

@@ -124,6 +124,7 @@ class Trainer:
         self.cfg = train_config
         self.mesh = mesh
         self.tx = self._make_optimizer()
+        self._tx = None  # bound by init_state (param-dependent masking)
 
     def _make_optimizer(self):
         c = self.cfg
@@ -261,6 +262,13 @@ class Trainer:
         axis [A, B, ...] and gradients average over it via lax.scan.
         """
         c = self.cfg
+
+        if self._tx is None:
+            raise RuntimeError(
+                "Trainer.make_train_step() called before init_state(); "
+                "with train_params != 'full' the optimizer is built from "
+                "the param tree — call trainer.init_state(params) first"
+            )
 
         def train_step(state, frozen, batch, key):
             params = state["params"]
