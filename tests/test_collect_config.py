@@ -157,13 +157,13 @@ class TestWorkerCommands:
         assert "--num_inference_steps" in argv0
 
     def test_external_requires_cmd(self):
-        import pytest as _pytest
-
         from wiw_tpu.utils.config import WorkerConfig, build_worker_commands
 
+        # zoo workers now launch from concrete modules without an operator
+        # command; extra['cmd'] stays as the escape hatch
         w = WorkerConfig(wm_type="cosmos20", num_workers=1)
-        with _pytest.raises(ValueError, match="external"):
-            build_worker_commands(w)
+        argv0, _ = build_worker_commands(w)[0]
+        assert "wiw_tpu.workers.zoo.cosmos_worker" in argv0
         w2 = WorkerConfig(wm_type="cosmos20", num_workers=1,
                           extra={"cmd": "/env/bin/python cosmos_worker.py"})
         argv, _ = build_worker_commands(w2)[0]

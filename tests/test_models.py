@@ -194,3 +194,24 @@ class TestTemporalAttentionOp:
 
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestFusedGEGLU:
+    def test_pallas_matches_xla(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from wiw_tpu.ops.fused_mlp import geglu_ffn_pallas, geglu_ffn_xla
+
+        key = jax.random.PRNGKey(0)
+        C, inner, M = 64, 256, 256
+        x = jax.random.normal(key, (M, C))
+        w1 = jax.random.normal(jax.random.PRNGKey(1), (C, 2 * inner)) * 0.05
+        b1 = jax.random.normal(jax.random.PRNGKey(2), (2 * inner,)) * 0.05
+        w2 = jax.random.normal(jax.random.PRNGKey(3), (inner, C)) * 0.05
+        b2 = jax.random.normal(jax.random.PRNGKey(4), (C,)) * 0.05
+        ref = geglu_ffn_xla(x, w1, b1, w2, b2)
+        out = geglu_ffn_pallas(x, w1, b1, w2, b2, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
