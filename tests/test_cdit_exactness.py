@@ -1,0 +1,156 @@
+"""CDiT weight-exactness vs the reference NWM model
+(downstream/api_models/nwm/diffusion/cdit.py), random weights, converted
+through models/convert.convert_cdit_state_dict.
+
+timm is not in this image; a faithful stub of the three timm layers the
+reference uses (PatchEmbed / Attention / Mlp — standard public semantics)
+is injected so the reference module imports unmodified.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+NWM_DIR = "/root/reference/downstream/api_models/nwm/diffusion"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(NWM_DIR), reason="reference nwm not present"
+)
+
+
+def _install_timm_stub():
+    import torch.nn as tnn
+
+    class PatchEmbed(tnn.Module):
+        def __init__(self, img_size, patch_size, in_chans, embed_dim,
+                     bias=True):
+            super().__init__()
+            self.patch_size = (patch_size, patch_size)
+            self.num_patches = (img_size // patch_size) ** 2
+            self.proj = tnn.Conv2d(in_chans, embed_dim,
+                                   kernel_size=patch_size,
+                                   stride=patch_size, bias=bias)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class Attention(tnn.Module):
+        def __init__(self, dim, num_heads=8, qkv_bias=False):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = tnn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = tnn.Linear(dim, dim)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(
+                B, N, 3, self.num_heads, C // self.num_heads
+            ).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv.unbind(0)
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = attn.softmax(dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(out)
+
+    class Mlp(tnn.Module):
+        def __init__(self, in_features, hidden_features, act_layer,
+                     drop=0.0):
+            super().__init__()
+            self.fc1 = tnn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = tnn.Linear(hidden_features, in_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt.PatchEmbed, vt.Attention, vt.Mlp = PatchEmbed, Attention, Mlp
+    models = types.ModuleType("timm.models")
+    models.vision_transformer = vt
+    timm = types.ModuleType("timm")
+    timm.models = models
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", models)
+    sys.modules.setdefault("timm.models.vision_transformer", vt)
+
+
+def _ref_cdit():
+    _install_timm_stub()
+    if NWM_DIR not in sys.path:
+        sys.path.insert(0, NWM_DIR)
+    import importlib
+
+    cdit_mod = importlib.import_module("cdit")
+    torch.manual_seed(0)
+    m = cdit_mod.CDiT(
+        input_size=16, context_size=2, patch_size=2, in_channels=4,
+        hidden_size=96, depth=2, num_heads=4, mlp_ratio=4.0,
+        learn_sigma=True,
+    ).eval()
+    # the zero-initialized adaLN/final layers would hide most mismatches —
+    # randomize them for a discriminative test
+    g = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for name, p in m.named_parameters():
+            if p.abs().sum() == 0:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+    return m
+
+
+class TestCDiTExactness:
+    def test_forward_matches_reference(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wiw_tpu.models.cdit import CDiT, CDiTConfig
+        from wiw_tpu.models.convert import convert_cdit_state_dict, validate_converted
+
+        ref = _ref_cdit()
+        state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = convert_cdit_state_dict(state)
+
+        cfg = CDiTConfig(input_size=16, context_size=2, patch_size=2,
+                         in_channels=4, hidden_size=96, depth=2,
+                         num_heads=4, learn_sigma=True)
+        model = CDiT(cfg)
+
+        rng = np.random.RandomState(0)
+        B = 2
+        x = rng.randn(B, 4, 16, 16).astype(np.float32)
+        x_cond = rng.randn(B, 2, 4, 16, 16).astype(np.float32)
+        t = np.array([3.0, 17.0], np.float32)
+        rel_t = np.array([1.0, 2.0], np.float32)
+        xya = rng.randn(B, 3).astype(np.float32)
+
+        with torch.no_grad():
+            out_t = ref(
+                torch.from_numpy(x), torch.from_numpy(t),
+                torch.from_numpy(xya), torch.from_numpy(x_cond),
+                torch.from_numpy(rel_t),
+            ).numpy()
+
+        init = model.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+            jnp.asarray(xya),
+            jnp.asarray(x_cond.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(rel_t),
+        )["params"]
+        validate_converted(params, init)
+
+        out_f = model.apply(
+            {"params": params},
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+            jnp.asarray(xya),
+            jnp.asarray(x_cond.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(rel_t),
+        )
+        out_f = np.asarray(out_f).transpose(0, 3, 1, 2)
+        scale = np.abs(out_t).max() + 1e-8
+        err = np.abs(out_f - out_t).max() / scale
+        assert err < 1e-3, f"CDiT relative max err {err:.2e}"

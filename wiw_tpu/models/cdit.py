@@ -71,19 +71,22 @@ class FourierMLP(nn.Module):
 
 
 class ActionEmbedderXYA(nn.Module):
-    """(x, y, angle) -> hidden via three summed Fourier towers
-    (cdit.py:65-81)."""
+    """(x, y, angle) -> hidden via three CONCATENATED Fourier towers of
+    widths (h//3, h//3, h - 2*(h//3)) (cdit.py:65-81 — x_emb/y_emb get
+    hidden//3 each, angle_emb the remainder)."""
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, xya):  # [B, 3]
-        return (
-            FourierMLP(self.hidden, dtype=self.dtype, name="x_emb")(xya[:, 0])
-            + FourierMLP(self.hidden, dtype=self.dtype, name="y_emb")(xya[:, 1])
-            + FourierMLP(self.hidden, dtype=self.dtype, name="angle_emb")(xya[:, 2])
-        )
+        h3 = self.hidden // 3
+        return jnp.concatenate([
+            FourierMLP(h3, dtype=self.dtype, name="x_emb")(xya[:, 0]),
+            FourierMLP(h3, dtype=self.dtype, name="y_emb")(xya[:, 1]),
+            FourierMLP(self.hidden - 2 * h3, dtype=self.dtype,
+                       name="angle_emb")(xya[:, 2]),
+        ], axis=-1)
 
 
 def _modulate(x, shift, scale):

@@ -169,6 +169,79 @@ def validate_converted(converted: Dict, reference_params: Dict) -> None:
         raise ValueError("checkpoint conversion diff:\n" + "\n".join(msg))
 
 
+def convert_cdit_state_dict(state: Dict[str, np.ndarray]) -> Dict:
+    """NWM CDiT torch state dict -> wiw_tpu.models.cdit flax params
+    (nwm/diffusion/cdit.py layout: timm PatchEmbed/Attention/Mlp blocks,
+    torch MultiheadAttention cross-attn with fused in_proj + bias_kv)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        v = np.asarray(v)
+        if k.startswith("x_embedder.proj."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            out[f"x_embedder/{leaf}"] = (
+                v.transpose(2, 3, 1, 0) if leaf == "kernel" else v
+            )
+        elif k == "pos_embed":
+            out["pos_embed"] = v
+        elif k.startswith(("t_embedder.mlp.", "time_embedder.mlp.")):
+            mod = k.split(".")[0]
+            idx = k.split(".")[2]
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            val = v.T if leaf == "kernel" else v
+            out[f"{mod}/mlp_{idx}/{leaf}"] = val
+        elif k.startswith("y_embedder."):
+            _, tower, _, idx, leaf_t = k.split(".")
+            leaf = "kernel" if leaf_t == "weight" else "bias"
+            val = v.T if leaf == "kernel" else v
+            out[f"y_embedder/{tower}/mlp_{idx}/{leaf}"] = val
+        elif k.startswith("final_layer.adaLN_modulation.1."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            out[f"final_adaLN_1/{leaf}"] = v.T if leaf == "kernel" else v
+        elif k.startswith("final_layer.linear."):
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            out[f"final_linear/{leaf}"] = v.T if leaf == "kernel" else v
+        elif ".cttn." in k:
+            blk = k.split(".")[1]
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            if "in_proj_" in k:  # fused [3C, C] -> q/k/v
+                C = v.shape[0] // 3
+                for i, name in enumerate(("q", "k", "v")):
+                    part = v[i * C:(i + 1) * C]
+                    out[f"blocks_{blk}/cttn_{name}/{leaf}"] = (
+                        part.T if leaf == "kernel" else part
+                    )
+            elif "out_proj" in k:
+                out[f"blocks_{blk}/cttn_out/{leaf}"] = (
+                    v.T if leaf == "kernel" else v
+                )
+            elif k.endswith(("bias_k", "bias_v")):
+                out[f"blocks_{blk}/cttn_{k[-6:]}"] = v.reshape(-1)
+        elif ".attn." in k:
+            blk = k.split(".")[1]
+            sub = "attn_qkv" if ".qkv." in k else "attn_proj"
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            out[f"blocks_{blk}/{sub}/{leaf}"] = v.T if leaf == "kernel" else v
+        elif ".mlp.fc" in k:
+            blk = k.split(".")[1]
+            fc = "mlp_fc1" if ".fc1." in k else "mlp_fc2"
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            out[f"blocks_{blk}/{fc}/{leaf}"] = v.T if leaf == "kernel" else v
+        elif ".adaLN_modulation.1." in k:
+            blk = k.split(".")[1]
+            leaf = "kernel" if k.endswith("weight") else "bias"
+            out[f"blocks_{blk}/adaLN_modulation_1/{leaf}"] = (
+                v.T if leaf == "kernel" else v
+            )
+    tree: Dict = {}
+    for path_str, v in out.items():
+        node = tree
+        parts = path_str.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return tree
+
+
 def load_unet(path: str, reference_params: Dict | None = None) -> Dict:
     """Load + convert a diffusers UNet dir (config.json + safetensors)."""
     converted = convert_state_dict(load_safetensors_dir(path))
