@@ -167,3 +167,15 @@ class TestIGDatasetPacking:
         path = ds.goal_image_path(ds[1])
         arr = np.asarray(Image.open(path))
         assert arr[0, 0, 0] == 40
+
+
+class TestSceneLock:
+    def test_claim_and_done(self, tmp_path):
+        from wiw_tpu.data.collect import claim_scene, mark_scene_done
+
+        root = str(tmp_path)
+        assert claim_scene(root, "sceneA")
+        assert not claim_scene(root, "sceneA")  # second claimant loses
+        mark_scene_done(root, "sceneA")
+        assert not claim_scene(root, "sceneA")  # done -> skip
+        assert claim_scene(root, "sceneB")

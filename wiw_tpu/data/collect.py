@@ -231,3 +231,23 @@ def near_black_ratio(img: np.ndarray, thresh: int = 10) -> float:
     """Fraction of near-black pixels (render sanity check,
     HabitatRender.py:435-441)."""
     return float(np.mean(np.all(np.asarray(img) <= thresh, axis=-1)))
+
+
+def claim_scene(out_root: str, scene_id: str) -> bool:
+    """Distributed scene lock: atomically mkdir the scene directory; the
+    process that creates it owns the scene, everyone else skips (the
+    reference's set_current_episodes mkdir-as-lock,
+    HabitatRender.py:521-549). A scene with a `_done` marker is complete."""
+    scene_dir = osp.join(out_root, scene_id)
+    if osp.exists(osp.join(scene_dir, "_done")):
+        return False
+    try:
+        os.makedirs(scene_dir)
+        return True
+    except FileExistsError:
+        return False
+
+
+def mark_scene_done(out_root: str, scene_id: str) -> None:
+    with open(osp.join(out_root, scene_id, "_done"), "w") as f:
+        f.write("done\n")

@@ -134,14 +134,25 @@ class HabitatNavEnv:
 
 
 def _collect_scene(scene_path: str, out_root: str, args) -> None:
-    from wiw_tpu.data.collect import TrajectoryCollector
+    from wiw_tpu.data.collect import (
+        TrajectoryCollector,
+        claim_scene,
+        mark_scene_done,
+    )
 
     scene_id = os.path.basename(scene_path).split(".")[0]
+    # mkdir-as-lock: lets many hosts share one scene list without
+    # coordination (HabitatRender.py:521-549); done scenes resume-skip
+    if not claim_scene(out_root, scene_id):
+        print(f"[collect] scene {scene_id} claimed/done elsewhere, skipping",
+              flush=True)
+        return
     env = HabitatNavEnv(scene_path, pano_height=args.pano_height,
                         pano_width=args.pano_width)
     coll = TrajectoryCollector(env, out_root, scene_id,
                                num_save_threads=args.num_recoder)
     coll.collect_scene(num_points=args.num_points, num_trajs=args.num_trajs)
+    mark_scene_done(out_root, scene_id)
 
 
 def main(argv=None):
