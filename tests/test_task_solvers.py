@@ -442,3 +442,59 @@ class TestAEQALandmarkNav:
         pts = np.array([[50.0, 0.0, 0.0]]) + 0.05 * np.random.RandomState(0).randn(20, 3)
         idx = solver.objects.add_detection("door", pts)
         assert solver.plan_landmark_actions(idx) == []
+
+
+class TestSurroundAnnotations:
+    def test_overlay_detections_draws_contours_and_indices(self):
+        from wiw_tpu.agents.surround import overlay_detections
+
+        view = np.full((64, 64, 3), 120, np.uint8)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[20:40, 20:40] = 1
+        out = overlay_detections(
+            view, [{"mask": mask, "label": "sofa"},
+                   {"bbox": {"x_min": 5, "y_min": 5, "x_max": 15,
+                             "y_max": 15}, "label": "door"}],
+        )
+        assert out.shape == view.shape
+        assert (out != view).any()  # something was drawn
+        # original untouched
+        assert (view == 120).all()
+
+    def test_aeqa_planner_receives_annotated_views(self, tmp_path):
+        class CountingVLM(ScriptedVLM):
+            def __init__(self):
+                super().__init__(plans=[
+                    {"Reason": "r", "Action Plan": [], "Chosen View": "",
+                     "Chosen Landmark": "", "Answer": "x"},
+                    {"Reason": "r", "Action Plan": [], "Chosen View": "",
+                     "Chosen Landmark": "", "Answer": "x"},
+                ])
+                self.n_images = []
+
+            def plan_json(self, messages, required, **kw):
+                user = next(m for m in messages if m["role"] == "user")
+                self.n_images.append(sum(
+                    1 for c in user["content"]
+                    if c.get("type") == "image_url"
+                ))
+                return super().plan_json(messages, required)
+
+        class DetClient:
+            def send_batch(self, d):
+                mask = np.zeros((256, 256), np.uint8)
+                mask[100:140, 100:140] = 1
+                return {"detections": [[{"mask": mask, "label": "chair",
+                                         "score": 0.9}]],
+                        "save_dirs": d["save_dirs"]}
+
+        sim = FakeSimulator()
+        vlm = CountingVLM()
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            detector_client=DetClient(), max_action_num=10,
+        )
+        solver.run_episode({"question": "q", "question_id": "q9",
+                            "scene_id": "s"}, str(tmp_path / "wm"))
+        # 4 annotated + 4 clean views
+        assert vlm.n_images[0] == 8

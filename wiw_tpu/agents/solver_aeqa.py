@@ -55,11 +55,13 @@ class AEQASolver(Solver):
         """Query the GroundingSAM2 server over the saved surround views
         (solver_AEQA.py detection path; server contract 'gd_sam2'), then
         accumulate masked depth backprojections into the 3D object memory
-        (state_obj.py role)."""
+        (state_obj.py role). The raw detections are kept for the annotated
+        surround views the high-level planner sees."""
         if self.detector_client is None:
             return []
         out = self.detector_client.send_batch({"save_dirs": [save_dir]})
         detections = out.get("detections", [])
+        self._last_detections = detections
         self.accumulate_detections(detections)
         return detections
 
@@ -112,7 +114,21 @@ class AEQASolver(Solver):
             "high_level/aeqa_highlevel_planner", question=question,
             detected_objs=detected, obs_key="perspective RGB views",
         )]
-        parts += annotated_surround_views(self.sim.get_pano(), size=256)
+        views = annotated_surround_views(self.sim.get_pano(), size=256)
+        # detection overlays (contours + object indices) on the annotated
+        # copies; the clean views follow, like the reference's annotated +
+        # clean stitched panoramas
+        last = getattr(self, "_last_detections", None)
+        if last:
+            from wiw_tpu.agents.surround import overlay_detections
+
+            per_view = last if isinstance(last[0], list) else [last]
+            annotated = [
+                overlay_detections(v, per_view[i % len(per_view)])
+                for i, v in enumerate(views)
+            ]
+            parts += annotated
+        parts += views
         if len(self.objects):
             # the object memory joins the context with entity ids so the
             # planner can pick a 'Chosen Landmark' (solver_AEQA.py planning

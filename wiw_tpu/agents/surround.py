@@ -41,3 +41,36 @@ def annotated_surround_views(
 def choose_view_yaw(view_index: int) -> float:
     """'Chosen View' index -> yaw degrees to face it (front/left/right/back)."""
     return [0.0, 90.0, -90.0, 180.0][int(view_index) % 4]
+
+
+def overlay_detections(view: np.ndarray, detections: Sequence[dict],
+                       start_index: int = 0) -> np.ndarray:
+    """Draw each detection's contour + indexed label box on a view
+    (the reference's annotated stitched panorama: contours + unique object
+    indices, solver_AEQA planning input). Detections carry 'mask'
+    ([H, W] bool/uint8) or 'bbox' {x_min,...} plus 'label'."""
+    import cv2
+
+    out = np.ascontiguousarray(np.asarray(view).copy())
+    for i, det in enumerate(detections):
+        idx = start_index + i
+        color = (60 + 47 * idx % 196, 200 - 31 * idx % 180, 80 + 73 * idx % 176)
+        x, y = 4, 14 + 12 * i
+        mask = det.get("mask")
+        if mask is not None and np.asarray(mask).shape[:2] == out.shape[:2]:
+            m = (np.asarray(mask) > 0).astype(np.uint8)
+            contours, _ = cv2.findContours(
+                m, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+            )
+            cv2.drawContours(out, contours, -1, color, 2)
+            ys, xs = np.nonzero(m)
+            if xs.size:
+                x, y = int(xs.min()), max(int(ys.min()) - 4, 10)
+        elif det.get("bbox"):
+            bb = det["bbox"]
+            cv2.rectangle(out, (bb["x_min"], bb["y_min"]),
+                          (bb["x_max"], bb["y_max"]), color, 2)
+            x, y = bb["x_min"], max(bb["y_min"] - 4, 10)
+        cv2.putText(out, f"{idx}:{det.get('label', 'obj')}", (x, y),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.35, color, 1, cv2.LINE_AA)
+    return out
