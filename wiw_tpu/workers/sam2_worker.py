@@ -156,6 +156,8 @@ class SAM2Worker:
         }
 
     def _save_blend(self, save_dir: str, frames, masks):
+        """Blended visualization + the raw mask video (the reference's
+        VideoPropagationSaver writes both, sam2_model.py:111-298)."""
         from wiw_tpu.agents.saver import save_video
 
         blend = frames.copy()
@@ -164,6 +166,8 @@ class SAM2Worker:
             blend[..., 1].astype(np.int32) + 80, 255
         ).astype(np.uint8), blend[..., 1])
         save_video(osp.join(save_dir, "mask_blend.mp4"), blend)
+        save_video(osp.join(save_dir, "mask.mp4"),
+                   np.repeat(masks[..., None], 3, axis=-1))
 
 
 def main():
