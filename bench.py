@@ -55,6 +55,15 @@ def build(height, width, frames, steps):
         atids[:2], action_ids[:2],
     )
     jax.block_until_ready(params)
+    if os.environ.get("WIW_QUANT", "") == "int8":
+        # W8A8 serving mode: trunk kernels int8 on the MXU's 2x-rate path
+        # (ops/quant.py; numerics bound vs bf16 tested in tests/test_quant.py)
+        from wiw_tpu.ops.quant import count_quantized, quantize_params
+
+        params = jax.jit(quantize_params)(params)
+        jax.block_until_ready(params)
+        print(f"quantized {count_quantized(params)} kernels to int8",
+              file=sys.stderr)
     print("params initialized", file=sys.stderr)
 
     sigmas = S.karras_sigmas(steps)

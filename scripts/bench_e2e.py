@@ -1,0 +1,90 @@
+"""End-to-end clip benchmark: CLIP encode + VAE encode + 25-step denoise +
+chunked VAE decode through SVDPipeline.generate (the full serving path,
+not just the denoise loop).
+
+Usage: python scripts/bench_e2e.py [--height 576 --width 1024] [--steps 25]
+       [--quant int8] [--reps 3]
+Prints one JSON line per run with seconds/clip and frames/s/chip.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--quant", default="", choices=["", "int8"])
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--decode_chunk", type=int, default=7)
+    args = ap.parse_args()
+
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+
+    gen = GenerationConfig(
+        height=args.height, width=args.width, num_frames=args.frames,
+        num_inference_steps=args.steps, task_type="navigation",
+        decode_chunk_frames=args.decode_chunk,
+    )
+    cfg = UNetConfig(
+        num_frames=args.frames, action_strategy="micro_cond",
+        action_input_channel=args.frames, dtype="bfloat16",
+    )
+    pipe = SVDPipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.init_params(jax.random.PRNGKey(0), gen)
+    pipe.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim > 1 else x,
+        pipe.params,
+    )
+    print(f"init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    if args.quant == "int8":
+        n = pipe.quantize_unet()
+        print(f"quantized {n} kernels", file=sys.stderr)
+
+    key = jax.random.PRNGKey(1)
+    image = jnp.zeros((1, args.height, args.width, 3), jnp.float32)
+    actions = jnp.ones((1, args.frames), jnp.int32)
+
+    t0 = time.perf_counter()
+    out = pipe.generate(key, image, gen, actions=actions)
+    jax.block_until_ready(out)
+    float(out.sum())
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first {compile_s:.1f}s", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        out = pipe.generate(key, image, gen, actions=actions)
+        float(out.sum())
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "svd_e2e_clip_seconds",
+        "config": f"{args.frames}f@{args.height}x{args.width}x{args.steps}"
+                  + (f"+{args.quant}" if args.quant else ""),
+        "seconds_per_clip": round(best, 2),
+        "frames_per_sec_per_chip": round(args.frames / best, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

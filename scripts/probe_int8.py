@@ -1,0 +1,153 @@
+"""Probe: relay sync cost, bf16 vs int8 MXU rates, int8 conv support.
+
+Establishes whether a W8A8 quantized serving mode can beat the bf16 path
+on this chip (v5e int8 peak is ~2x the bf16 peak). All loops run on-device
+via lax.scan over fresh input copies; the per-call host sync is measured
+from an empty jit and subtracted.
+
+Run: python scripts/probe_int8.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_unet import loop  # noqa: E402
+
+SYNC = 0.0
+
+
+def timeit(name, fn, *args, reps=5, inner=1, flops=None):
+    f = jax.jit(fn)
+    t0 = time.perf_counter()
+    float(jnp.asarray(f(*args)).sum())
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(jnp.asarray(f(*args)).sum())
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - SYNC, 1e-9) / inner
+    msg = f"{name:48s} {dt*1e3:9.3f} ms   (compile {compile_s:.1f}s)"
+    if flops:
+        msg += f"   {flops/dt/1e12:7.1f} T/s"
+    print(msg, flush=True)
+    return dt
+
+
+def main():
+    global SYNC
+    key = jax.random.PRNGKey(0)
+
+    # empty-jit sync cost
+    z = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x.sum())
+    float(f(z))
+    best = float("inf")
+    for _ in range(20):
+        t0 = time.perf_counter()
+        float(f(z))
+        best = min(best, time.perf_counter() - t0)
+    SYNC = best
+    print(f"sync cost (empty jit + float()): {SYNC*1e3:.1f} ms", flush=True)
+
+    N = 8192
+    fl = 2 * N ** 3
+    a16 = jax.random.normal(key, (N, N)).astype(jnp.bfloat16)
+    b16 = jax.random.normal(key, (N, N)).astype(jnp.bfloat16)
+    timeit("matmul bf16 8192^3 x8", loop(lambda a, b: a @ b, 8),
+           a16, b16, inner=8, flops=fl)
+
+    a8 = (jax.random.normal(key, (N, N)) * 10).astype(jnp.int8)
+    b8 = (jax.random.normal(key, (N, N)) * 10).astype(jnp.int8)
+
+    def mm_int8(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    timeit("matmul int8->int32 8192^3 x8", loop(mm_int8, 8),
+           a8, b8, inner=8, flops=fl)
+
+    # mixed: int8 weights, bf16 activations (weight-only quant)
+    def mm_w8a16(a, b):
+        return jax.lax.dot_general(
+            a, b.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    timeit("matmul bf16 x (int8->bf16 w) 8192^3 x8", loop(mm_w8a16, 8),
+           a16, b8, inner=8, flops=fl)
+
+    # quantize-dynamic + int8 matmul + dequant (full W8A8 path cost)
+    scale_b = jnp.float32(0.1)
+
+    def mm_w8a8_dyn(a, b):
+        amax = jnp.max(jnp.abs(a), axis=1, keepdims=True).astype(jnp.float32)
+        sa = amax / 127.0
+        aq = jnp.clip(jnp.round(a.astype(jnp.float32) / sa), -127, 127
+                      ).astype(jnp.int8)
+        acc = jax.lax.dot_general(aq, b, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * sa * scale_b).astype(jnp.bfloat16)
+    timeit("W8A8 dynamic (quant+mm+dequant) 8192^3 x8", loop(mm_w8a8_dyn, 8),
+           a16, b8, inner=8, flops=fl)
+
+    # int8 conv3x3 at the L0 shape
+    BF, HP, WP, C = 28, 72, 128, 320
+    x8 = (jax.random.normal(key, (BF, HP, WP, C)) * 10).astype(jnp.int8)
+    w8 = (jax.random.normal(key, (3, 3, C, C)) * 10).astype(jnp.int8)
+    flc = 2 * BF * HP * WP * 9 * C * C
+
+    def conv_int8(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+    try:
+        timeit("conv3x3 int8 L0 (28,72,128,320) x8", loop(conv_int8, 8),
+               x8, w8, inner=8, flops=flc)
+    except Exception as e:  # pragma: no cover
+        print(f"conv int8 unsupported: {type(e).__name__}: {e}")
+
+    x16 = jax.random.normal(key, (BF, HP, WP, C)).astype(jnp.bfloat16)
+    w16 = jax.random.normal(key, (3, 3, C, C)).astype(jnp.bfloat16)
+
+    def conv_bf16(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+    timeit("conv3x3 bf16 L0 (28,72,128,320) x8", loop(conv_bf16, 8),
+           x16, w16, inner=8, flops=flc)
+
+    # attention-shaped int8: QK^T with D=64 contraction
+    S, D = 9216, 64
+    q8 = (jax.random.normal(key, (S, D)) * 10).astype(jnp.int8)
+    k8 = (jax.random.normal(key, (S, D)) * 10).astype(jnp.int8)
+    q16 = jax.random.normal(key, (S, D)).astype(jnp.bfloat16)
+    k16 = jax.random.normal(key, (S, D)).astype(jnp.bfloat16)
+    fla = 2 * S * S * D
+
+    def qk_int8(q, k):
+        return jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+
+    def qk_bf16(q, k):
+        return jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    timeit("QK^T int8 (9216x9216x64) x8", loop(qk_int8, 8),
+           q8, k8, inner=8, flops=fla)
+    timeit("QK^T bf16 (9216x9216x64) x8", loop(qk_bf16, 8),
+           q16, k16, inner=8, flops=fla)
+
+
+if __name__ == "__main__":
+    main()

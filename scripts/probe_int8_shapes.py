@@ -1,0 +1,146 @@
+"""Why is W8A8 slower in the full UNet? Probe the actual UNet shapes.
+
+Hypothesis: at UNet aspect ratios (long M, small K/N) the int32 accumulator
+materialization + separate dequant pass dominates — the 2x MXU rate only
+wins when the epilogue fuses. Probe variants per shape:
+  bf16               — baseline
+  w8a8_int32         — dynamic quant, int32 out, dequant (current quant.py)
+  w8a8_f32pref       — preferred_element_type=f32 (skip int32->f32 convert)
+  w8a8_bf16pref      — preferred_element_type=bf16 (2-byte accum out)
+  w8only_bf16        — int8 weights dequantized to bf16 before matmul
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_unet import loop  # noqa: E402
+
+key = jax.random.PRNGKey(0)
+_empty = jax.jit(lambda x: x + 1.0)
+float(_empty(jnp.float32(0)))
+SYNC = min(
+    (lambda t0: (float(_empty(jnp.float32(0))), time.perf_counter() - t0)[1])(
+        time.perf_counter())
+    for _ in range(10)
+)
+print(f"sync {SYNC*1e3:.1f} ms", flush=True)
+
+
+def timeit(name, fn, *args, inner=8, flops=None):
+    f = jax.jit(loop(fn, inner))
+    try:
+        float(jnp.asarray(f(*args)).sum())
+    except Exception as e:
+        print(f"{name:44s} FAILED {type(e).__name__}: {str(e)[:90]}")
+        return
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.asarray(f(*args)).sum())
+        best = min(best, time.perf_counter() - t0)
+    dt = max(best - SYNC, 1e-9) / inner
+    msg = f"{name:44s} {dt*1e3:8.3f} ms"
+    if flops:
+        msg += f"  {flops/dt/1e12:6.1f} T/s"
+    print(msg, flush=True)
+
+
+def quant_rows(x):
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sa = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.round(xf / sa).astype(jnp.int8), sa
+
+
+def mk(shape, dtype=jnp.bfloat16):
+    return jax.random.normal(key, shape).astype(dtype)
+
+
+SHAPES = [
+    ("GEGLU-L0 proj 258048x320x2560", (28 * 9216, 320), (320, 2560)),
+    ("GEGLU-L0 out  258048x1280x320", (28 * 9216, 1280), (1280, 320)),
+    ("attn-L2 qkv   18432x1280x1280", (28 * 576, 1280), (1280, 1280)),
+]
+
+for name, xs, ws in SHAPES:
+    x = mk(xs)
+    w = mk(ws)
+    w8 = (jax.random.normal(key, ws) * 10).astype(jnp.int8)
+    sw = jnp.full((ws[1],), 0.01, jnp.float32)
+    fl = 2 * xs[0] * ws[0] * ws[1]
+
+    timeit(f"{name} bf16", lambda x, w: x @ w, x, w, flops=fl)
+
+    def w8a8_int32(x, w8=w8, sw=sw):
+        x8, sa = quant_rows(x)
+        acc = jax.lax.dot_general(x8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * sa * sw).astype(jnp.bfloat16)
+    timeit(f"{name} w8a8_int32", w8a8_int32, x, flops=fl)
+
+    def w8a8_f32(x, w8=w8, sw=sw):
+        x8, sa = quant_rows(x)
+        acc = jax.lax.dot_general(x8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return (acc * sa * sw).astype(jnp.bfloat16)
+    timeit(f"{name} w8a8_f32pref", w8a8_f32, x, flops=fl)
+
+    def w8a8_bf16(x, w8=w8, sw=sw):
+        x8, sa = quant_rows(x)
+        acc = jax.lax.dot_general(x8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.bfloat16)
+        return acc * sa.astype(jnp.bfloat16) * sw.astype(jnp.bfloat16)
+    timeit(f"{name} w8a8_bf16pref", w8a8_bf16, x, flops=fl)
+
+
+# conv L0 shape
+import functools  # noqa: E402
+
+BF, HP, WP, C = 28, 72, 128, 320
+x = mk((BF, HP, WP, C))
+w = mk((3, 3, C, C))
+w8 = (jax.random.normal(key, (3, 3, C, C)) * 10).astype(jnp.int8)
+sw = jnp.full((C,), 0.01, jnp.float32)
+flc = 2 * BF * HP * WP * 9 * C * C
+conv = functools.partial(
+    jax.lax.conv_general_dilated, window_strides=(1, 1),
+    padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+timeit("conv-L0 bf16", lambda x, w: conv(x, w), x, w, flops=flc)
+
+
+def conv_w8a8(x, w8=w8, sw=sw):
+    xf = x.astype(jnp.float32)
+    sa = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    x8 = jnp.round(xf / sa).astype(jnp.int8)
+    acc = conv(x8, w8, preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (sa * sw)).astype(jnp.bfloat16)
+timeit("conv-L0 w8a8_int32 (dyn per-tensor)", conv_w8a8, x, flops=flc)
+
+
+def conv_w8a8_f32(x, w8=w8, sw=sw):
+    xf = x.astype(jnp.float32)
+    sa = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+    x8 = jnp.round(xf / sa).astype(jnp.int8)
+    acc = conv(x8, w8, preferred_element_type=jnp.float32)
+    return (acc * (sa * sw)).astype(jnp.bfloat16)
+timeit("conv-L0 w8a8_f32pref", conv_w8a8_f32, x, flops=flc)
+
+
+def conv_w8a8_static(x, w8=w8, sw=sw):
+    # static activation scale (no dynamic abs-max pass)
+    x8 = jnp.round(x.astype(jnp.float32) * 25.0).astype(jnp.int8)
+    acc = conv(x8, w8, preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (0.04 * sw)).astype(jnp.bfloat16)
+timeit("conv-L0 w8a8_static-scale", conv_w8a8_static, x, flops=flc)

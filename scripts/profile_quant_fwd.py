@@ -1,0 +1,83 @@
+"""Full-fwd timing: bf16 vs int8 variants (conv-only / proj-only / both /
+aggressive) to locate where W8A8 wins or loses inside the compiled model.
+
+Run: python scripts/profile_quant_fwd.py [variants...]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal  # noqa: E402
+from wiw_tpu.ops import quant as Q  # noqa: E402
+
+B, F, HP, WP = 2, 14, 72, 128
+key = jax.random.PRNGKey(0)
+
+cfg = UNetConfig(num_frames=F, action_strategy="micro_cond",
+                 action_input_channel=F, dtype="bfloat16")
+model = UNetSpatioTemporal(cfg)
+sample = jax.random.normal(key, (B, F, HP, WP, 8)).astype(jnp.bfloat16)
+ts = jnp.zeros((B,))
+ctx = jax.random.normal(key, (B, 1, 1024)).astype(jnp.bfloat16)
+atids = jnp.tile(jnp.array([[6.0, 127.0, 0.02]]), (B, 1))
+aids = jnp.zeros((B, F, F))
+
+
+def init_fn(k):
+    p = model.init(k, sample, ts, ctx, atids, aids)["params"]
+    return jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), p)
+
+
+params = jax.jit(init_fn)(key)
+jax.block_until_ready(params)
+print("init done", flush=True)
+
+VARIANTS = {
+    "bf16": None,
+    "conv2d": frozenset({"conv1", "conv2", "conv"}),
+    "conv_spatial": frozenset({"conv1", "conv2", "conv"}),  # deny temporal below
+    "proj": frozenset({"net_0_proj"}),
+    "default": Q.QUANT_KERNEL_MODULES,
+    "aggressive": Q.QUANT_KERNEL_MODULES_AGGRESSIVE,
+}
+
+
+def timeit(name, p):
+    def fwd(p, s):
+        return model.apply({"params": p}, s, ts, ctx, atids, aids).sum()
+    f = jax.jit(fwd)
+    t0 = time.perf_counter()
+    float(f(p, sample))
+    c = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(p, sample))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:16s} {best*1e3:8.1f} ms  (compile {c:.0f}s, "
+          f"{Q.count_quantized(p)} int8 kernels)", flush=True)
+
+
+want = sys.argv[1:] or ["bf16", "conv2d", "proj", "default"]
+for name in want:
+    mods = VARIANTS[name]
+    if mods is None:
+        qp = params
+    elif name == "conv_spatial":
+        # quantize only the spatial 2D convs: deny temporal res blocks
+        qp = Q.quantize_params(params, extra_deny=("temporal_res_block",),
+                               modules=mods)
+    else:
+        qp = Q.quantize_params(params, modules=mods)
+    timeit(name, qp)

@@ -1,0 +1,233 @@
+"""Round-2 flash-attention experiments at the SVD L0 shape (28,5,9216,64).
+
+Variants:
+  * floor_mm      — QK + PV matmuls only (no softmax): the MXU floor
+  * noexp         — full kernel with exp replaced by identity: isolates
+                    the exp cost from the reduction/bookkeeping cost
+  * v2            — q pre-scaled (kills the [bq,bkv] logit scaling) and
+                    denominator folded into the PV matmul via a ones
+                    column appended to V (kills the p.sum VPU reduction)
+  * v2 + bkv sweep
+
+Run: python scripts/tune_attention2.py
+"""
+
+import functools
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B, H, S, D = 28, 5, 9216, 64
+FLOPS = 4 * B * H * S * S * D
+N_ITER = 8
+NEG_INF = -1e30
+
+key = jax.random.PRNGKey(0)
+q = jax.random.normal(key, (B, H, S, D)).astype(jnp.bfloat16)
+k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, D)).astype(jnp.bfloat16)
+v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D)).astype(jnp.bfloat16)
+
+_empty = jax.jit(lambda x: x + 1.0)
+float(_empty(jnp.float32(0)))
+SYNC = min(
+    (lambda t0: (float(_empty(jnp.float32(0))), time.perf_counter() - t0)[1])(
+        time.perf_counter())
+    for _ in range(10)
+)
+print(f"relay sync overhead: {SYNC*1e3:.1f} ms", flush=True)
+
+
+def bench(name, fn, reps=3):
+    qs = jnp.stack([q] * N_ITER)
+
+    def run(qs, k, v):
+        def body(c, qi):
+            return c + jnp.sum(fn(qi, k, v).astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), qs)
+        return c
+
+    f = jax.jit(run)
+    try:
+        float(f(qs, k, v))
+    except Exception as e:
+        print(f"{name:52s} FAILED {type(e).__name__}: {str(e)[:100]}")
+        return
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(qs, k, v))
+        best = min(best, time.perf_counter() - t0)
+    per = (best - SYNC) / N_ITER
+    print(f"{name:52s} {per*1e3:8.2f} ms  {FLOPS/per/1e12:6.1f} TF/s",
+          flush=True)
+
+
+# ---------------------------------------------------------------- variants
+def _kern_floor(q_ref, k_ref, v_ref, o_ref, *, bkv):
+    qb = q_ref[0]
+    Skv = k_ref.shape[1]
+    acc0 = jnp.zeros((qb.shape[0], v_ref.shape[2]), jnp.float32)
+
+    def body(i, acc):
+        kb = k_ref[0, pl.ds(i * bkv, bkv), :]
+        vb = v_ref[0, pl.ds(i * bkv, bkv), :]
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return acc + jax.lax.dot_general(
+            s.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    o_ref[0] = jax.lax.fori_loop(0, Skv // bkv, body, acc0).astype(o_ref.dtype)
+
+
+def _kern_noexp(q_ref, k_ref, v_ref, o_ref, *, bkv):
+    qb = q_ref[0]
+    Skv = k_ref.shape[1]
+    bq = qb.shape[0]
+
+    def body(i, carry):
+        acc, m, denom = carry
+        kb = k_ref[0, pl.ds(i * bkv, bkv), :]
+        vb = v_ref[0, pl.ds(i * bkv, bkv), :]
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
+        p = s - m_new          # identity instead of exp
+        scale = m - m_new
+        acc = acc * scale + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        denom = denom * scale + p.sum(axis=1, keepdims=True)
+        return acc, m_new, denom
+
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    d0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _m, denom = jax.lax.fori_loop(0, Skv // bkv, body, (acc0, m0, d0))
+    o_ref[0] = (acc / (denom + 1.0)).astype(o_ref.dtype)
+
+
+def _kern_v2(q_ref, k_ref, v_ref, o_ref, *, bkv):
+    """q pre-scaled by caller; V carries a ones column at index D (so PV
+    accumulates the softmax denominator for free)."""
+    qb = q_ref[0]
+    Skv = k_ref.shape[1]
+    bq = qb.shape[0]
+    Dv = v_ref.shape[2]  # D + pad with ones at column D
+
+    def body(i, carry):
+        acc, m = carry
+        kb = k_ref[0, pl.ds(i * bkv, bkv), :]
+        vb = v_ref[0, pl.ds(i * bkv, bkv), :]
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        scale = jnp.exp(m - m_new)
+        acc = acc * scale + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new
+
+    acc0 = jnp.zeros((bq, Dv), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    acc, _m = jax.lax.fori_loop(0, Skv // bkv, body, (acc0, m0))
+    # normalize all Dv columns by the ones-column sum (col D divides to 1)
+    o_ref[0] = (acc / acc[:, D:D + 1]).astype(o_ref.dtype)
+
+
+def _call(kern, qx, kx, vx, bq, bkv, out_d=None):
+    Bh, Sq, Dq = qx.shape
+    Dv = vx.shape[2]
+    out_d = out_d or Dv
+    grid = (Bh, Sq // bq)
+    return pl.pallas_call(
+        functools.partial(kern, bkv=bkv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, Dq), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Dq), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, Dv), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, out_d), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bh, Sq, out_d), qx.dtype),
+    )(qx, kx, vx)
+
+
+def floor_mm(q, k, v, bq=1024, bkv=512):
+    qf = q.reshape(B * H, S, D)
+    return _call(_kern_floor, qf, k.reshape(B * H, S, D),
+                 v.reshape(B * H, S, D), bq, bkv).reshape(B, H, S, D)
+
+
+def noexp(q, k, v, bq=1024, bkv=512):
+    qf = q.reshape(B * H, S, D)
+    return _call(_kern_noexp, qf, k.reshape(B * H, S, D),
+                 v.reshape(B * H, S, D), bq, bkv).reshape(B, H, S, D)
+
+
+def v2(q, k, v, bq=1024, bkv=512):
+    qf = (q.astype(jnp.float32) * (D ** -0.5)).astype(q.dtype)
+    qf = qf.reshape(B * H, S, D)
+    ones = jnp.ones((B * H, S, 1), v.dtype)
+    vf = jnp.concatenate([v.reshape(B * H, S, D), ones], axis=2)
+    out = _call(_kern_v2, qf, k.reshape(B * H, S, D), vf, bq, bkv,
+                out_d=D + 1)
+    return out[:, :, :D].reshape(B, H, S, D)
+
+
+if __name__ == "__main__":
+    from wiw_tpu.ops.pallas_attention import flash_attention_bhsd
+
+    # correctness of v2 vs the production kernel
+    o_ref = flash_attention_bhsd(q[:2, :1], k[:2, :1], v[:2, :1])
+    import numpy as np
+    qs = (q[:2, :1].astype(jnp.float32) * D ** -0.5).astype(jnp.bfloat16)
+    ones = jnp.ones((2, 1, S, 1), jnp.bfloat16)
+    vv = jnp.concatenate([v[:2, :1], ones], axis=3)
+    o_v2 = pl.pallas_call(
+        functools.partial(_kern_v2, bkv=512),
+        grid=(2, S // 1024),
+        in_specs=[
+            pl.BlockSpec((1, 1024, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D + 1), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1024, D + 1), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, S, D + 1), jnp.bfloat16),
+    )(qs.reshape(2, S, D), k[:2, :1].reshape(2, S, D), vv.reshape(2, S, D + 1))
+    diff = np.abs(np.asarray(o_v2[:, :, :D], np.float32)
+                  - np.asarray(o_ref.reshape(2, S, D), np.float32)).max()
+    print(f"v2 vs production max|diff|: {diff:.4f}", flush=True)
+
+    bench("production bq=1024 bkv=512",
+          lambda q, k, v: flash_attention_bhsd(q, k, v))
+    bench("floor_mm  (no softmax)", floor_mm)
+    bench("noexp     (identity for exp)", noexp)
+    bench("v2 prescale+ones bkv=512", v2)
+    for bkv in (1024, 2304, 4608):
+        bench(f"v2 prescale+ones bkv={bkv}",
+              lambda q, k, v, bkv=bkv: v2(q, k, v, bkv=bkv))
+    for bq in (512, 2304):
+        bench(f"v2 prescale+ones bq={bq} bkv=1024",
+              lambda q, k, v, bq=bq: v2(q, k, v, bq=bq, bkv=1024))

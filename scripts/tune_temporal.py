@@ -1,0 +1,166 @@
+"""Temporal frame-attention formulations at the L0 shape [2,14,9216,320].
+
+The exact computation is fixed (softmax over 14 frames per position/head);
+the cost is all layout + intermediate materialization (fp32 logits
+[B,S,H,F,G] stream ~1.4 GB per block to HBM). Variants probe XLA
+layout/precision/chunking choices.
+
+Run: python scripts/tune_temporal.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B, F, S, C = 2, 14, 9216, 320
+H = 5
+D = C // H
+N_ITER = 8
+
+key = jax.random.PRNGKey(0)
+x = jax.random.normal(key, (B, F, S, C)).astype(jnp.bfloat16)
+
+_empty = jax.jit(lambda x: x + 1.0)
+float(_empty(jnp.float32(0)))
+SYNC = min(
+    (lambda t0: (float(_empty(jnp.float32(0))), time.perf_counter() - t0)[1])(
+        time.perf_counter())
+    for _ in range(10)
+)
+print(f"sync {SYNC*1e3:.1f} ms", flush=True)
+
+
+def bench(name, fn, reps=3):
+    xs = jnp.stack([x] * N_ITER)
+
+    def run(xs):
+        def body(c, xi):
+            return c + jnp.sum(fn(xi).astype(jnp.float32)), None
+        c, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return c
+
+    f = jax.jit(run)
+    try:
+        float(f(xs))
+    except Exception as e:
+        print(f"{name:44s} FAILED {type(e).__name__}: {str(e)[:90]}")
+        return
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(f(xs))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:44s} {(best-SYNC)/N_ITER*1e3:8.2f} ms", flush=True)
+
+
+def current(x):
+    """production path (ops/temporal_attention.temporal_self_attention_xla)"""
+    qh = x.reshape(B, F, S, H, D)
+    logits = jnp.einsum("bfshd,bgshd->bshfg", qh, qh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * D ** -0.5, axis=-1)
+    out = jnp.einsum("bshfg,bgshd->bfshd", w.astype(x.dtype), qh)
+    return out.reshape(B, F, S, C)
+
+
+def bf16_logits(x):
+    qh = (x.astype(jnp.float32) * D ** -0.5).astype(jnp.bfloat16)
+    qh = qh.reshape(B, F, S, H, D)
+    kh = x.reshape(B, F, S, H, D)
+    logits = jnp.einsum("bfshd,bgshd->bshfg", qh, kh,
+                        preferred_element_type=jnp.bfloat16)
+    m = logits.max(axis=-1, keepdims=True)
+    p = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+    w = p / p.sum(axis=-1, keepdims=True)
+    out = jnp.einsum("bshfg,bgshd->bfshd", w, kh)
+    return out.reshape(B, F, S, C)
+
+
+def fg_flat(x):
+    """flatten (f,g) to one 196-wide minor dim for the softmax stage"""
+    qh = x.reshape(B, F, S, H, D)
+    logits = jnp.einsum("bfshd,bgshd->bshfg", qh, qh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits * D ** -0.5, axis=-1)
+    out = jnp.einsum("bshfg,bgshd->bfshd", w.astype(x.dtype), qh)
+    return out.reshape(B, F, S, C)
+
+
+def chunked(x, n_chunks=9):
+    """lax.map over S-chunks: bounds the live fp32 logits working set"""
+    qh = x.reshape(B, F, S, H, D)
+    cs = S // n_chunks
+
+    def one(c):
+        q = jax.lax.dynamic_slice_in_dim(qh, c * cs, cs, axis=2)
+        logits = jnp.einsum("bfshd,bgshd->bshfg", q, q,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits * D ** -0.5, axis=-1)
+        return jnp.einsum("bshfg,bgshd->bfshd", w.astype(x.dtype), q)
+
+    outs = jax.lax.map(one, jnp.arange(n_chunks))
+    # outs: [n, B, F, cs, H, D] -> [B, F, S, H, D]
+    out = jnp.moveaxis(outs, 0, 3).reshape(B, F, S, H, D)
+    return out.reshape(B, F, S, C)
+
+
+def smax_g_sublane(x):
+    """logits laid out [B,H,F,G,S]: S in lanes, softmax over G (sublanes)"""
+    qh = x.reshape(B, F, S, H, D)
+    logits = jnp.einsum("bfshd,bgshd->bhfgs", qh, qh,
+                        preferred_element_type=jnp.float32)
+    logits = logits * D ** -0.5
+    m = logits.max(axis=3, keepdims=True)
+    p = jnp.exp(logits - m)
+    w = (p / p.sum(axis=3, keepdims=True)).astype(x.dtype)
+    out = jnp.einsum("bhfgs,bgshd->bfshd", w, qh)
+    return out.reshape(B, F, S, C)
+
+
+def batched_dot(x):
+    """fold (b,s,h) into one batch axis and let XLA pick the batched-matmul
+    lowering on [N, F, D] x [N, G, D]"""
+    qh = x.reshape(B, F, S, H, D).transpose(0, 2, 3, 1, 4)  # [B,S,H,F,D]
+    q2 = qh.reshape(B * S * H, F, D)
+    logits = jax.lax.dot_general(
+        q2, q2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [N, F, G]
+    w = jax.nn.softmax(logits * D ** -0.5, axis=-1).astype(x.dtype)
+    out = jax.lax.dot_general(
+        w, q2, (((2,), (1,)), ((0,), (0,))))  # [N, F, D]
+    out = out.reshape(B, S, H, F, D).transpose(0, 3, 1, 2, 4)
+    return out.reshape(B, F, S, C)
+
+
+if __name__ == "__main__":
+    import numpy as np
+    ref = np.asarray(jax.jit(current)(x)[:, :, :256].astype(jnp.float32))
+    for name, fn in [("bf16_logits", bf16_logits), ("chunked", chunked),
+                     ("smax_g_sublane", smax_g_sublane),
+                     ("batched_dot", batched_dot)]:
+        try:
+            got = np.asarray(
+                jax.jit(lambda y, fn=fn: fn(y))(x)[:, :, :256]
+                .astype(jnp.float32))
+        except Exception as e:
+            print(f"{name} correctness-run failed: {e}")
+            continue
+        err = np.abs(got - ref).max()
+        print(f"{name:20s} max|diff| vs current = {err:.4f}", flush=True)
+
+    bench("current (bshfg fp32)", current)
+    bench("bf16 logits", bf16_logits)
+    bench("chunked lax.map 9", chunked)
+    bench("chunked lax.map 3", lambda x: chunked(x, 3))
+    bench("softmax-over-sublanes (bhfgs)", smax_g_sublane)
+    bench("batched dot (N,F,D)", batched_dot)

@@ -195,6 +195,25 @@ class TestTemporalAttentionOp:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
+    def test_batched_matches_xla(self):
+        import jax
+        import jax.numpy as jnp  # noqa: F401
+        import numpy as np
+
+        from wiw_tpu.ops.temporal_attention import (
+            temporal_self_attention_batched,
+            temporal_self_attention_xla,
+        )
+
+        key = jax.random.PRNGKey(3)
+        q = jax.random.normal(key, (2, 5, 96, 3 * 8))
+        k = jax.random.normal(jax.random.PRNGKey(4), q.shape)
+        v = jax.random.normal(jax.random.PRNGKey(5), q.shape)
+        ref = temporal_self_attention_xla(q, k, v, heads=3)
+        out = temporal_self_attention_batched(q, k, v, heads=3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
 
 class TestFusedGEGLU:
     def test_pallas_matches_xla(self):

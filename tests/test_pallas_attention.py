@@ -9,12 +9,13 @@ from wiw_tpu.ops.pallas_attention import flash_attention_bhsd
 
 
 class TestPallasAttention:
-    def _check(self, B, H, S, D, bq, bkv):
+    def _check(self, B, H, S, D, bq, bkv, kernel="v2"):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(k1, (B, H, S, D), jnp.float32)
         k = jax.random.normal(k2, (B, H, S, D), jnp.float32)
         v = jax.random.normal(k3, (B, H, S, D), jnp.float32)
-        ours = flash_attention_bhsd(q, k, v, bq=bq, bkv=bkv, interpret=True)
+        ours = flash_attention_bhsd(q, k, v, bq=bq, bkv=bkv, interpret=True,
+                                    kernel=kernel)
         ref = _xla_attention(q, k, v, D ** -0.5)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
@@ -27,6 +28,21 @@ class TestPallasAttention:
 
     def test_multi_q_blocks(self):
         self._check(1, 1, 512, 64, bq=256, bkv=256)
+
+    def test_v1_kernel(self):
+        self._check(2, 2, 512, 64, bq=128, bkv=128, kernel="v1")
+
+    def test_v2_matches_v1(self):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(k1, (2, 2, 384, 64), jnp.float32)
+        k = jax.random.normal(k2, (2, 2, 384, 64), jnp.float32)
+        v = jax.random.normal(k3, (2, 2, 384, 64), jnp.float32)
+        o1 = flash_attention_bhsd(q, k, v, bq=128, bkv=128, interpret=True,
+                                  kernel="v1")
+        o2 = flash_attention_bhsd(q, k, v, bq=128, bkv=128, interpret=True,
+                                  kernel="v2")
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=2e-5, rtol=2e-5)
 
     def test_bf16_inputs(self):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)

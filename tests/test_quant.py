@@ -1,0 +1,157 @@
+"""W8A8 int8 serving path: op correctness, param-tree transform, UNet parity.
+
+The int8 path is a serving-time numerics change; these tests pin
+(a) quantize/dequantize round-trip error bounds,
+(b) that `quantize_params` only touches the trunk and the init tree is
+    unchanged (checkpoint compatibility),
+(c) that the quantized UNet forward stays close to the bf16 forward at
+    random weights (loose tolerance — random weights are near worst-case
+    for quantization).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiw_tpu.ops.quant import (
+    count_quantized,
+    quantize_kernel,
+    quantize_params,
+    w8a8_conv,
+    w8a8_dense,
+)
+
+
+def test_quantize_kernel_roundtrip():
+    k = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.3
+    w8, scale = quantize_kernel(k)
+    assert w8.dtype == jnp.int8 and scale.shape == (32,)
+    deq = w8.astype(jnp.float32) * scale
+    err = np.abs(np.asarray(deq - k)).max(axis=0)
+    step = np.asarray(scale)
+    assert (err <= 0.5 * step + 1e-7).all()
+
+
+def test_w8a8_dense_close_to_f32():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (128, 256))
+    w = jax.random.normal(jax.random.PRNGKey(2), (256, 64)) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(3), (64,)) * 0.1
+    w8, sw = quantize_kernel(w)
+    out_q = w8a8_dense(x, w8, sw, b, dtype=jnp.float32)
+    out_f = x @ w + b
+    rel = np.linalg.norm(np.asarray(out_q - out_f)) / np.linalg.norm(
+        np.asarray(out_f))
+    assert rel < 0.02, rel
+
+
+def test_w8a8_dense_batched_rank3():
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 7, 32))
+    w = jax.random.normal(jax.random.PRNGKey(5), (32, 16)) * 0.1
+    w8, sw = quantize_kernel(w)
+    out = w8a8_dense(x, w8, sw, None, dtype=jnp.float32)
+    ref = jnp.einsum("bsk,kn->bsn", x, w)
+    rel = np.linalg.norm(np.asarray(out - ref)) / np.linalg.norm(
+        np.asarray(ref))
+    assert out.shape == (2, 7, 16) and rel < 0.03
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_w8a8_conv_close_to_f32(nd):
+    key = jax.random.PRNGKey(6)
+    if nd == 2:
+        x = jax.random.normal(key, (2, 8, 8, 16))
+        w = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 16, 16)) * 0.1
+        strides, padding = (1, 1), ((1, 1), (1, 1))
+        dn = ("NHWC", "HWIO", "NHWC")
+    else:
+        x = jax.random.normal(key, (1, 4, 8, 8, 16))
+        w = jax.random.normal(jax.random.PRNGKey(7), (3, 1, 1, 16, 16)) * 0.1
+        strides, padding = (1, 1, 1), ((1, 1), (0, 0), (0, 0))
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+    w8, sw = quantize_kernel(w)
+    out = w8a8_conv(x, w8, sw, None, strides=strides, padding=padding,
+                    dtype=jnp.float32)
+    ref = jax.lax.conv_general_dilated(x, w, strides, padding,
+                                       dimension_numbers=dn)
+    rel = np.linalg.norm(np.asarray(out - ref)) / np.linalg.norm(
+        np.asarray(ref))
+    assert rel < 0.03, rel
+
+
+def _tiny_unet():
+    from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+
+    cfg = UNetConfig(
+        block_out_channels=(32, 64, 64, 64),
+        num_attention_heads=(2, 4, 4, 4),
+        layers_per_block=1,
+        num_frames=3,
+        action_strategy="micro_cond",
+        action_input_channel=3,
+        dtype="float32",
+    )
+    model = UNetSpatioTemporal(cfg)
+    B, F = 2, 3
+    sample = jax.random.normal(jax.random.PRNGKey(0), (B, F, 8, 16, 8))
+    ts = jnp.array([0.5, 1.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 1024))
+    atids = jnp.tile(jnp.array([[6.0, 127.0, 0.02]]), (B, 1))
+    aids = jax.random.uniform(jax.random.PRNGKey(2), (B, F, F))
+    args = (sample, ts, ctx, atids, aids)
+    params = model.init(jax.random.PRNGKey(3), *args)["params"]
+    return model, params, args
+
+
+def test_unet_quantized_forward_close():
+    model, params, args = _tiny_unet()
+    out_f = model.apply({"params": params}, *args)
+
+    qparams = quantize_params(params)
+    nq = count_quantized(qparams)
+    assert nq > 50, nq
+    # init tree untouched: no scales, no int8
+    assert count_quantized(params) == 0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    assert not any("kernel_scale" in jax.tree_util.keystr(p) for p, _ in flat)
+
+    out_q = model.apply({"params": qparams}, *args)
+    rel = np.linalg.norm(np.asarray(out_q - out_f)) / np.linalg.norm(
+        np.asarray(out_f))
+    assert rel < 0.15, rel
+    # cosine similarity as the per-element agreement proxy
+    a = np.asarray(out_q).ravel()
+    b = np.asarray(out_f).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99, cos
+
+
+def test_quantize_params_spares_sensitive_layers():
+    _model, params, _args = _tiny_unet()
+    qparams = quantize_params(params)
+    # conv_in / conv_out / embeddings stay float
+    assert qparams["conv_in"]["kernel"].dtype != jnp.int8
+    assert qparams["conv_out"]["kernel"].dtype != jnp.int8
+    assert (qparams["time_embedding"]["linear_1"]["kernel"].dtype
+            != jnp.int8)
+    # time_emb_proj inside the trunk stays float
+    r = qparams["down_blocks_0"]["resnets_0"]["spatial_res_block"]
+    assert r["time_emb_proj"]["kernel"].dtype != jnp.int8
+    assert r["conv1"]["kernel"].dtype == jnp.int8
+    assert r["conv1"]["kernel_scale"].shape == (32,)
+    # temporal (3,1,1) convs stay bf16 (int8 3D conv lowering is slower)
+    t = qparams["down_blocks_0"]["resnets_0"]["temporal_res_block"]
+    assert t["conv1"]["kernel"].dtype != jnp.int8
+    # GEGLU out-projection stays bf16 (K-heavy/N-small loses)
+    ff = qparams["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]["ff"]
+    assert ff["net_0_proj"]["kernel"].dtype == jnp.int8
+    assert ff["net_2"]["kernel"].dtype != jnp.int8
+
+
+def test_quantized_jit_compiles():
+    model, params, args = _tiny_unet()
+    qparams = quantize_params(params)
+    f = jax.jit(lambda p, *a: model.apply({"params": p}, *a))
+    out = f(qparams, *args)
+    assert np.isfinite(np.asarray(out)).all()

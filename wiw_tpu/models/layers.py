@@ -25,14 +25,116 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from flax.linen.dtypes import promote_dtype
+
 from wiw_tpu.core.schedule import timestep_embedding
 from wiw_tpu.ops.attention import attention_bsd
+from wiw_tpu.ops.quant import w8a8_conv, w8a8_dense
 
 Dtype = jnp.dtype
 
 
 def silu(x):
     return nn.silu(x)
+
+
+class Dense(nn.Module):
+    """nn.Dense-compatible projection with an int8 W8A8 fast path.
+
+    Param tree is identical to nn.Dense (`kernel` [K, N], `bias` [N]). When
+    the bound kernel is int8 (produced by ops/quant.quantize_params), the
+    matmul runs on the MXU's 2x-rate int8 path with dynamic per-row
+    activation scales; otherwise behaves exactly like Dense(dtype=...).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        if kernel.dtype == jnp.int8:
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,),
+                jnp.float32,
+            )
+            return w8a8_dense(x, kernel, scale, bias, dtype=self.dtype)
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(
+            x, kernel, (((x.ndim - 1,), (0,)), ((), ()))
+        )
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class Conv(nn.Module):
+    """nn.Conv-compatible channels-last convolution with an int8 path.
+
+    Param tree matches nn.Conv (`kernel` [*window, I, O], `bias` [O]).
+    int8 kernels route through ops/quant.w8a8_conv (per-tensor dynamic
+    activation scale; ~2x MXU rate, scripts/probe_int8.py).
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: object = 1
+    padding: object = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    def _canon(self):
+        nd = len(self.kernel_size)
+        s = self.strides
+        strides = (s,) * nd if isinstance(s, int) else tuple(s)
+        p = self.padding
+        if isinstance(p, int):
+            padding = ((p, p),) * nd
+        elif isinstance(p, str):
+            padding = p
+        else:
+            padding = tuple(tuple(pair) for pair in p)
+        return strides, padding
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_ch, self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+            if self.use_bias else None
+        )
+        strides, padding = self._canon()
+        if kernel.dtype == jnp.int8:
+            scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,),
+                jnp.float32,
+            )
+            return w8a8_conv(x, kernel, scale, bias, strides=strides,
+                             padding=padding, dtype=self.dtype)
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        nd = len(self.kernel_size)
+        dn = (("NHWC", "HWIO", "NHWC") if nd == 2
+              else ("NDHWC", "DHWIO", "NDHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, strides, padding, dimension_numbers=dn,
+        )
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class GroupNorm(nn.Module):
@@ -88,9 +190,9 @@ class TimestepEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(x)
+        x = Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(x)
         x = silu(x)
-        x = nn.Dense(self.out_dim or self.embed_dim, dtype=self.dtype, name="linear_2")(x)
+        x = Dense(self.out_dim or self.embed_dim, dtype=self.dtype, name="linear_2")(x)
         return x
 
 
@@ -110,10 +212,10 @@ class FeedForward(nn.Module):
     def __call__(self, x):
         dim = x.shape[-1]
         inner = dim * self.mult
-        hidden = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        hidden = Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         hidden, gate = jnp.split(hidden, 2, axis=-1)
         x = hidden * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.dim_out or dim, dtype=self.dtype, name="net_2")(x)
+        return Dense(self.dim_out or dim, dtype=self.dtype, name="net_2")(x)
 
 
 class CrossAttention(nn.Module):
@@ -132,10 +234,10 @@ class CrossAttention(nn.Module):
         is_cross = context is not None
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q_mod = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
-        k_mod = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
-        v_mod = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
-        out_mod = nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")
+        q_mod = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        k_mod = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
+        v_mod = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
+        out_mod = Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")
         if is_cross and context.shape[-2] == 1:
             # Exact algebraic shortcut: with a single key token, softmax over
             # the key axis is identically 1, so attention output == V for
@@ -206,11 +308,11 @@ class TemporalSelfAttention(nn.Module):
         from wiw_tpu.ops.temporal_attention import temporal_self_attention
 
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
         out = temporal_self_attention(q, k, v, self.heads)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")(out)
+        return Dense(x.shape[-1], dtype=self.dtype, name="to_out_0")(out)
 
 
 class TemporalBasicTransformerBlock(nn.Module):
@@ -283,17 +385,17 @@ class ResnetBlock2D(nn.Module):
         in_channels = x.shape[-1]
         h = GroupNorm(eps=self.eps, name="norm1")(x)
         h = silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_temb and temb is not None:
-            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            t = Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 silu(temb)
             )
             h = h + t[:, None, None, :]
         h = GroupNorm(eps=self.eps, name="norm2")(h)
         h = silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(
+            x = Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
             )(x)
         return x + h
@@ -314,24 +416,24 @@ class TemporalResnetBlock(nn.Module):
         h = silu(h)
         # NB: XLA's native (3,1,1) conv lowering beats hand-rolled shifted
         # matmuls here (77 vs 55 TF/s measured on v5e) — keep nn.Conv
-        h = nn.Conv(
+        h = Conv(
             self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
             dtype=self.dtype, name="conv1",
         )(h)
         if self.use_temb and temb is not None:
             # temb: [B, F, C_temb] -> add per-frame bias
-            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            t = Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 silu(temb)
             )
             h = h + t[:, :, None, None, :]
         h = GroupNorm(eps=self.eps, name="norm2")(h)
         h = silu(h)
-        h = nn.Conv(
+        h = Conv(
             self.out_channels, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
             dtype=self.dtype, name="conv2",
         )(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(
+            x = Conv(
                 self.out_channels, (1, 1, 1), dtype=self.dtype, name="conv_shortcut"
             )(x)
         return x + h
@@ -382,7 +484,7 @@ class Downsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
-        return nn.Conv(
+        return Conv(
             self.out_channels, (3, 3), strides=(2, 2), padding=pad,
             dtype=self.dtype, name="conv",
         )(x)
@@ -397,7 +499,7 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 
 class TransformerSpatioTemporal(nn.Module):
@@ -427,7 +529,7 @@ class TransformerSpatioTemporal(nn.Module):
 
         h = GroupNorm(eps=1e-6, name="norm")(x)
         h = h.reshape(BF, H * W, C)
-        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        h = Dense(inner, dtype=self.dtype, name="proj_in")(h)
 
         # context for spatial cross-attn: per-frame rows [B*F, S, 1024]
         spatial_context = None
@@ -477,5 +579,5 @@ class TransformerSpatioTemporal(nn.Module):
                 )(h, context=action_context)
                 h = time_mixer_action(h, hact)
 
-        h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+        h = Dense(C, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(BF, H, W, C) + residual

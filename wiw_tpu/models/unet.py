@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 from wiw_tpu.core.schedule import timestep_embedding
 from wiw_tpu.models.layers import (
+    Conv,
+    Dense,
     GroupNorm,
     SpatioTemporalResBlock,
     TimestepEmbedding,
@@ -83,11 +85,11 @@ class ActionEmbedderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [B, F, 4]
-        h = nn.Dense(256, dtype=self.dtype, name="layers_0")(x)
+        h = Dense(256, dtype=self.dtype, name="layers_0")(x)
         h = silu(h)
-        h = nn.Dense(512, dtype=self.dtype, name="layers_2")(h)
+        h = Dense(512, dtype=self.dtype, name="layers_2")(h)
         h = silu(h)
-        h = nn.Dense(self.out_dim, dtype=self.dtype, name="layers_4")(h)
+        h = Dense(self.out_dim, dtype=self.dtype, name="layers_4")(h)
         pos = self.param(
             "pos_embedding",
             nn.initializers.normal(1.0),
@@ -117,7 +119,7 @@ class ActionEmbedderFourier(nn.Module):
         # [B, F, A, 12] in order (cos x, sin x, cos 2x, ..., sin 10x), then
         # row-major flatten of (A, 12) — matches embeddings.py:925-938
         features = jnp.stack(feats, axis=-1).reshape(B, F, A * 12)
-        return nn.Dense(self.embed_dim, dtype=self.dtype, name="proj")(
+        return Dense(self.embed_dim, dtype=self.dtype, name="proj")(
             features.astype(self.dtype)
         )
 
@@ -175,7 +177,7 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(
+        return Conv(
             self.out_channels, (3, 3), strides=(2, 2), padding=1,
             dtype=self.dtype, name="conv",
         )(x)
@@ -245,7 +247,7 @@ class UNetSpatioTemporal(nn.Module):
 
         # ---- UNet trunk ---------------------------------------------------
         x = sample.astype(dt).reshape(B * F, H, W, sample.shape[-1])
-        x = nn.Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
+        x = Conv(ch0, (3, 3), padding=1, dtype=dt, name="conv_in")(x)
 
         # remat wrappers: num_frames (arg index 2 counting self) is static
         CrossBlock = (
@@ -334,5 +336,5 @@ class UNetSpatioTemporal(nn.Module):
 
         x = GroupNorm(eps=1e-5, name="conv_norm_out")(x)
         x = silu(x)
-        x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
+        x = Conv(cfg.out_channels, (3, 3), padding=1, dtype=dt, name="conv_out")(x)
         return x.reshape(B, F, H, W, cfg.out_channels).astype(jnp.float32)

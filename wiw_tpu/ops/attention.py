@@ -60,6 +60,48 @@ def _flash_attention_fn(q_seq: int, kv_seq: int):
     return functools.partial(flash_attention, block_sizes=bs)
 
 
+@functools.lru_cache(maxsize=None)
+def _custom_flash_fn(q_seq: int, kv_seq: int):
+    """The in-house v2 kernel (ops/pallas_attention.py) for the forward —
+    16% faster than the stock kernel at the SVD spatial shape (39.9 vs
+    47.6 ms at (28,5,9216,64) on v5e) — with the stock kernel's
+    custom-VJP backward for training (the v2 kernel defines no bwd; both
+    compute exact attention, so gradients agree up to bf16 rounding; the
+    bwd pays one extra forward recompute, which remat pays anyway)."""
+    from wiw_tpu.ops.pallas_attention import flash_attention_bhsd
+
+    # bq=512 keeps the [bq, bkv] fp32 logits + padded-V blocks inside the
+    # default 16 MB scoped-VMEM budget when embedded in the full UNet
+    # program (bq=1024 OOMs there unless --xla_tpu_scoped_vmem_limit_kib
+    # is raised); measured 74.2 vs 76.0 TF/s standalone — ~2%.
+    import os
+
+    bq_cap = int(os.environ.get("WIW_FLASH_BQ", "512"))
+    bq = _best_block(q_seq, cap=bq_cap)
+    bkv = _best_block(kv_seq, cap=1152)
+    fwd_fn = functools.partial(flash_attention_bhsd, bq=bq, bkv=bkv)
+    stock = _flash_attention_fn(q_seq, kv_seq)
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return fwd_fn(q, k, v)
+
+    def attn_fwd(q, k, v):
+        return fwd_fn(q, k, v), (q, k, v)
+
+    def attn_bwd(res, g):
+        q, k, v = res
+        scale = q.shape[-1] ** -0.5
+        _, vjp = jax.vjp(
+            lambda a, b, c: stock(a, b, c, causal=False, sm_scale=scale),
+            q, k, v,
+        )
+        return vjp(g)
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn
+
+
 def _xla_attention(q, k, v, scale):
     """Reference attention: einsum QK^T -> fp32 softmax -> PV."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -89,8 +131,7 @@ def dot_product_attention(
             and k.shape[2] % 128 == 0
         )
     if use_pallas:
-        flash = _flash_attention_fn(q.shape[2], k.shape[2])
-        return flash(q, k, v, causal=False, sm_scale=scale)
+        return _custom_flash_fn(q.shape[2], k.shape[2])(q, k, v)
     return _xla_attention(q, k, v, scale)
 
 

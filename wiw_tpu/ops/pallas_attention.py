@@ -11,6 +11,14 @@ Design (vs the stock jax flash kernel):
   * all tiles lane-aligned: bq, bkv multiples of 128; D=64 contraction
     runs at half-MXU (hardware limit for this head size; see
     PERFORMANCE.md headroom notes).
+  * v2 (default): q is pre-scaled by sm_scale (removes the [bq, bkv]
+    logit-scaling VPU pass) and the softmax DENOMINATOR rides the PV
+    matmul as a ones column appended to V (removes the p.sum VPU
+    reduction; the MXU computes <=128 output lanes at the same cost for
+    N=64 or 65). Measured 59.3 -> 76.0 TF/s at (28,5,9216,64) on v5e —
+    within 8% of the kernel's pure-matmul floor (82 TF/s,
+    scripts/tune_attention2.py); numerically identical to v1 within bf16
+    rounding (max|diff| 2e-4).
 
 `flash_attention_bhsd(q, k, v)` matches jax.nn semantics for non-causal
 attention; correctness is tested in interpreter mode on CPU and against
@@ -110,13 +118,50 @@ def _attn_kernel_unroll2(q_ref, k_ref, v_ref, o_ref, *, bkv: int,
     o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
+def _attn_kernel_v2(q_ref, k_ref, v_ref, o_ref, *, bkv: int,
+                    sm_scale: float, d_out: int):
+    """v2: q pre-scaled in-kernel; V carries a ones column at index d_out,
+    so the PV matmul accumulates the softmax denominator for free and the
+    running (acc, m) carry needs no separate denom."""
+    qb = (q_ref[0].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    Skv = k_ref.shape[1]
+    bq = qb.shape[0]
+    Dv = v_ref.shape[2]  # d_out + 1 (ones column)
+
+    def body(i, carry):
+        acc, m = carry
+        k_blk = k_ref[0, pl.ds(i * bkv, bkv), :]
+        v_blk = v_ref[0, pl.ds(i * bkv, bkv), :]
+        s = jax.lax.dot_general(
+            qb, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bkv] fp32, already sm_scaled via q
+        m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        scale = jnp.exp(m - m_new)
+        acc = acc * scale + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new
+
+    acc0 = jnp.zeros((bq, Dv), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    acc, _m = jax.lax.fori_loop(0, Skv // bkv, body, (acc0, m0))
+    # the ones column accumulated sum(p) — divide everything by it
+    # (column d_out itself normalizes to 1 and is sliced off by the caller)
+    o_ref[0] = (acc / acc[:, d_out:d_out + 1]).astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("bq", "bkv", "sm_scale", "interpret", "unroll2")
+    jax.jit,
+    static_argnames=("bq", "bkv", "sm_scale", "interpret", "unroll2",
+                     "kernel"),
 )
 def flash_attention_bhsd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    bq: int = 1024, bkv: int = 512, sm_scale: float | None = None,
-    interpret: bool = False, unroll2: bool = False,
+    bq: int = 1024, bkv: int = 1024, sm_scale: float | None = None,
+    interpret: bool = False, unroll2: bool = False, kernel: str = "v2",
 ) -> jnp.ndarray:
     """Non-causal attention over [B, H, S, D]; KV resident per (b, h)."""
     B, H, Sq, D = q.shape
@@ -130,11 +175,33 @@ def flash_attention_bhsd(
     qf = q.reshape(B * H, Sq, D)
     kf = k.reshape(B * H, Skv, D)
     vf = v.reshape(B * H, Skv, D)
+    grid = (B * H, Sq // bq)
+
+    if kernel == "v2":
+        ones = jnp.ones((B * H, Skv, 1), v.dtype)
+        vf = jnp.concatenate([vf, ones], axis=2)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_v2, bkv=bkv,
+                              sm_scale=float(sm_scale), d_out=D),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Skv, D), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Skv, D + 1), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D + 1), lambda bh, qi: (bh, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * H, Sq, D + 1), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+        return out[:, :, :D].reshape(B, H, Sq, D)
 
     kern = _attn_kernel
     if unroll2 and Skv % (2 * bkv) == 0:
         kern = _attn_kernel_unroll2
-    grid = (B * H, Sq // bq)
     out = pl.pallas_call(
         functools.partial(kern, bkv=bkv, sm_scale=float(sm_scale)),
         grid=grid,

@@ -1,0 +1,190 @@
+"""W8A8 int8 quantized serving path for the UNet trunk.
+
+The v5e MXU runs int8 at ~2x its bf16 rate (measured on this chip:
+370 vs 187 T/s for 8192^3 matmul, 252 vs 125 T/s for the L0 3x3 conv;
+the full dynamic quant+matmul+dequant pipeline sustains 336 T/s —
+scripts/probe_int8.py). This module provides:
+
+  * `quantize_kernel`    — symmetric per-out-channel int8 weight quant
+  * `w8a8_dense`         — per-row dynamic activation quant + int8 matmul
+  * `w8a8_conv`          — per-tensor dynamic activation quant + int8 conv
+                           (per-row scales don't factor out of a conv's
+                           spatial window, so convs use one scale per call)
+  * `quantize_params`    — walk a UNet param tree and replace trunk kernels
+                           with (int8 kernel, fp32 `kernel_scale`); the
+                           model's Dense/Conv wrappers (models/layers.py)
+                           detect int8 kernels at trace time and route
+                           through the w8a8 ops.
+
+Weights are quantized once at load; activations dynamically per call
+(scales computed on-device inside the compiled step). Inference-only:
+the int8 ops are not differentiated — training stays bf16/fp32.
+
+Quantization choices (symmetric, round-to-nearest-even, clip to +-127)
+follow standard W8A8 practice for diffusion UNets (per-out-channel
+weights, dynamic per-token/per-tensor activations); the first/last convs
+(`conv_in`/`conv_out`) and all time/action-embedding MLPs stay high
+precision — they are compute-trivial and numerically sensitive.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+# module names whose `kernel` is eligible for int8. Selection is driven by
+# FULL-MODEL measurements (scripts/profile_quant_fwd.py on v5e, 14f
+# 576x1024 fwd at 1194 ms bf16), not standalone op rates: inside the
+# compiled UNet the quant/dequant passes interact with XLA's
+# producer/epilogue fusions, which reshuffles the standalone wins —
+#   * spatial 3x3 convs only:           1194 -> 1126 ms  (KEEP, -68)
+#   * GEGLU in-projection (K=C, N=8C):  1194 -> 1160 ms  (KEEP, -34)
+#   * + temporal (3,1,1) convs:         1194 -> 1325 ms  (the 3D int8
+#     conv lowering alone costs ~+200 ms — temporal res blocks DENIED)
+#   * K-heavy/N-small matmuls (GEGLU out, qkv/out/proj): lose or wash
+#     even standalone (e.g. GEGLU out 104 -> 45 T/s).
+QUANT_KERNEL_MODULES = frozenset({
+    "conv1", "conv2", "conv",
+    "net_0_proj",
+})
+
+# the full candidate set, for sensitivity/throughput ablations
+QUANT_KERNEL_MODULES_AGGRESSIVE = frozenset({
+    "conv1", "conv2", "conv_shortcut", "conv",
+    "to_q", "to_k", "to_v", "to_out_0",
+    "net_0_proj", "net_2",
+    "proj_in", "proj_out",
+})
+
+# top-level subtrees within which quantization applies
+QUANT_SUBTREES = ("down_blocks", "mid_block", "up_blocks")
+
+# module names never quantized even inside an eligible subtree
+# (temporal_res_block: XLA's int8 (3,1,1) conv lowering is ~2.5x slower
+# in-model than the bf16 conv — see table above)
+QUANT_DENYLIST = frozenset({"time_emb_proj", "temporal_res_block"})
+
+
+def quantize_kernel(w: jnp.ndarray):
+    """Symmetric per-out-channel int8 quantization of a kernel.
+
+    The output-channel axis is the LAST axis for both Dense kernels
+    [K, N] and conv kernels [*window, I, O].
+    Returns (int8 kernel, fp32 scale[N]) with w ~= w8 * scale.
+    """
+    wf = jnp.asarray(w, jnp.float32)
+    axes = tuple(range(wf.ndim - 1))
+    amax = jnp.max(jnp.abs(wf), axis=axes)
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    w8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return w8, scale
+
+
+def _quant_rows(x: jnp.ndarray):
+    """Per-row (last-axis) dynamic int8 quantization. Returns (x8, scale)
+    with scale shaped like x minus the last axis (keepdims)."""
+    xf = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    x8 = jnp.round(xf / scale).astype(jnp.int8)
+    return x8, scale
+
+
+def w8a8_dense(x, w8, w_scale, bias=None, dtype=jnp.bfloat16):
+    """x @ dequant(w8) with int8 MXU matmul.
+
+    x: [..., K] float; w8: [K, N] int8; w_scale: [N] fp32.
+    Activation scale is dynamic per row (per token), so the dequant is a
+    rank-1 outer product folded into the epilogue.
+    """
+    x8, sa = _quant_rows(x)
+    acc = jax.lax.dot_general(
+        x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * sa * w_scale
+    if bias is not None:
+        out = out + jnp.asarray(bias, jnp.float32)
+    return out.astype(dtype)
+
+
+def w8a8_conv(x, w8, w_scale, bias=None, *, strides, padding,
+              dtype=jnp.bfloat16):
+    """conv(x, dequant(w8)) with int8 MXU conv, channels-last.
+
+    x: [N, *spatial, C] float (2D or 3D spatial); w8: [*window, I, O] int8.
+    One dynamic activation scale per call (per-position scales don't
+    factor out of the window sum).
+    """
+    xf = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(xf))
+    sa = jnp.maximum(amax, _EPS) / 127.0
+    x8 = jnp.round(xf / sa).astype(jnp.int8)
+    nd = x.ndim - 2
+    dn = ("NHWC", "HWIO", "NHWC") if nd == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    acc = jax.lax.conv_general_dilated(
+        x8, w8, strides, padding, dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sa * w_scale)
+    if bias is not None:
+        out = out + jnp.asarray(bias, jnp.float32)
+    return out.astype(dtype)
+
+
+def _eligible(path: Sequence[str], modules=QUANT_KERNEL_MODULES) -> bool:
+    if not path or not path[0].startswith(QUANT_SUBTREES):
+        return False
+    if any(p in QUANT_DENYLIST for p in path):
+        return False
+    return path[-1] in modules
+
+
+def quantize_params(params, extra_deny: Sequence[str] = (),
+                    modules=QUANT_KERNEL_MODULES):
+    """Replace eligible trunk kernels with int8 + `kernel_scale`.
+
+    `params` is the UNet's `{"params": ...}["params"]` tree. Returns a new
+    tree; non-eligible leaves are untouched. `extra_deny`: module names to
+    additionally exclude (e.g. for sensitivity ablations). `modules`: the
+    eligible module-name set (default = the measured-win set; pass
+    QUANT_KERNEL_MODULES_AGGRESSIVE for the full candidate set).
+    """
+    deny = QUANT_DENYLIST | set(extra_deny)
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            p = path + (k,)
+            if (
+                isinstance(v, dict)
+                and "kernel" in v
+                and not isinstance(v["kernel"], dict)
+                and _eligible(p, modules)
+                and not (deny & set(p))
+            ):
+                w8, scale = quantize_kernel(v["kernel"])
+                new = dict(v)
+                new["kernel"] = w8
+                new["kernel_scale"] = scale
+                out[k] = new
+            else:
+                out[k] = walk(v, p)
+        return out
+
+    return walk(dict(params), ())
+
+
+def count_quantized(params) -> int:
+    """Number of int8 kernels in a (possibly quantized) param tree."""
+    n = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.int8:
+            n += 1
+    return n

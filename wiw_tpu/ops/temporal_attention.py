@@ -112,8 +112,8 @@ def temporal_self_attention_pallas(
 
 
 def temporal_self_attention_xla(q, k, v, heads: int) -> jnp.ndarray:
-    """Reference-semantics einsum path (used on CPU and as the numerics
-    oracle for the kernel)."""
+    """Reference-semantics einsum path (numerics oracle for the other
+    formulations; materializes fp32 [B,S,H,F,G] logits)."""
     B, F, S, HD = q.shape
     D = HD // heads
     qh = q.reshape(B, F, S, heads, D)
@@ -126,16 +126,52 @@ def temporal_self_attention_xla(q, k, v, heads: int) -> jnp.ndarray:
     return out.reshape(B, F, S, HD)
 
 
+def temporal_self_attention_batched(q, k, v, heads: int) -> jnp.ndarray:
+    """Fold (batch, position, head) into ONE batch axis and run the FxF
+    attention as batched [N, F, D] dot_generals.
+
+    Bit-exact vs the einsum oracle, and 34% faster on v5e at the L0 shape
+    (9.50 -> 6.27 ms for [2,14,9216,320] incl. the layout round-trip,
+    scripts/tune_temporal.py) — XLA's batched-matmul lowering beats both
+    the bshfg einsum (whose fp32 logits stream ~1.4 GB through HBM in a
+    tiling-hostile minor-dim-14 layout) and a hand-written VPU kernel
+    (per-(f,g) cross-lane reductions)."""
+    B, F, S, HD = q.shape
+    D = HD // heads
+
+    def fold(x):
+        return (x.reshape(B, F, S, heads, D)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(B * S * heads, F, D))
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    logits = jax.lax.dot_general(
+        qf, kf, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [N, F, G]
+    w = jax.nn.softmax(logits * D ** -0.5, axis=-1).astype(v.dtype)
+    out = jax.lax.dot_general(w, vf, (((2,), (1,)), ((0,), (0,))))
+    out = (out.reshape(B, S, heads, F, D)
+           .transpose(0, 3, 1, 2, 4)
+           .reshape(B, F, S, HD))
+    return out
+
+
 def temporal_self_attention(q, k, v, heads: int) -> jnp.ndarray:
-    """[B, F, S, H*D] frame attention; Pallas on TPU, XLA elsewhere."""
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    S = q.shape[2]
+    """[B, F, S, H*D] frame attention.
+
+    WIW_TEMPORAL_ATTN selects the formulation: 'batched' (default, fastest
+    measured), 'xla' (einsum oracle), 'pallas' (VPU kernel; kept for
+    ablation — measured slower)."""
     import os
 
-    if (on_tpu and S % 64 == 0
-            and os.environ.get("WIW_TEMPORAL_ATTN", "xla") == "pallas"):
-        return temporal_self_attention_pallas(q, k, v, heads)
-    return temporal_self_attention_xla(q, k, v, heads)
+    mode = os.environ.get("WIW_TEMPORAL_ATTN", "batched")
+    if mode == "pallas":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu and q.shape[2] % 64 == 0:
+            return temporal_self_attention_pallas(q, k, v, heads)
+    if mode == "xla":
+        return temporal_self_attention_xla(q, k, v, heads)
+    return temporal_self_attention_batched(q, k, v, heads)

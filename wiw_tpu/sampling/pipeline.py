@@ -117,6 +117,23 @@ class SVDPipeline:
         return self.params
 
     # ------------------------------------------------------------------
+    def quantize_unet(self, extra_deny=()) -> int:
+        """Switch the UNet to the W8A8 int8 serving path (ops/quant.py).
+
+        Replaces the trunk kernels with int8 + per-channel scales in place;
+        the model's Dense/Conv wrappers route int8 kernels through the
+        MXU's 2x-rate path. Inference-only (int8 ops are not
+        differentiated). Returns the number of quantized kernels.
+        """
+        from wiw_tpu.ops.quant import count_quantized, quantize_params
+
+        assert self.params is not None, "load or init params first"
+        params = dict(self.params)
+        params["unet"] = quantize_params(params["unet"], extra_deny)
+        self.params = params
+        return count_quantized(params["unet"])
+
+    # ------------------------------------------------------------------
     def _prepare_action_ids(self, actions, batch: int, gen: GenerationConfig):
         """Encode raw actions and build the CFG-duplicated tensor.
 

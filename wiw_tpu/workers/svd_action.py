@@ -19,6 +19,7 @@ Conditioning frames come from `b_image` or `<save_dir>/cond_rgb.png`
 from __future__ import annotations
 
 import argparse
+import os
 import os.path as osp
 from typing import Optional
 
@@ -41,6 +42,7 @@ class SVDActionWorker:
         out_height: int = 480,
         dtype: str = "bfloat16",
         seed: int = 0,
+        quantize: str = "",
     ):
         import jax
 
@@ -67,6 +69,10 @@ class SVDActionWorker:
         else:
             print("[svd_action] no unet_path: random-init weights (debug)")
             self.pipe.init_params(jax.random.PRNGKey(0), self.gen)
+        if (quantize or os.environ.get("WIW_QUANT", "")) == "int8":
+            n = self.pipe.quantize_unet()
+            print(f"[svd_action] W8A8 serving mode: {n} int8 kernels",
+                  flush=True)
 
     def _load_weights(self, unet_path: str, svd_path: str):
         """Converted diffusers checkpoints: unet from the fine-tuned dir,
@@ -181,6 +187,10 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--out_width", type=int, default=480)
     ap.add_argument("--out_height", type=int, default=480)
     ap.add_argument("--debug", action="store_true")
+    ap.add_argument(
+        "--quantize", default="", choices=["", "int8"],
+        help="W8A8 int8 serving mode (ops/quant.py); ~2x MXU rate",
+    )
     args, _unknown = ap.parse_known_args(argv)
 
     worker = SVDActionWorker(
@@ -190,6 +200,7 @@ def main(argv: Optional[list] = None):
         width=args.width, height=args.height, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
         out_width=args.out_width, out_height=args.out_height,
+        quantize=args.quantize,
     )
     if args.debug:
         # smoke test without the manager (reference --debug path,
