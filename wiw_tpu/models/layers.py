@@ -264,6 +264,10 @@ class CrossAttention(nn.Module):
             )
             out = out_mod(out)
             return out.reshape(B, S, F, C).transpose(0, 2, 1, 3)
+        # NB: a fused [C, 3*inner] qkv projection was measured SLOWER in the
+        # full model (+12 ms/fwd): jnp.split outputs are strided views and
+        # the pallas flash call's layout constraints force three copies —
+        # XLA already streams x once across the three separate dots.
         q = q_mod(x)
         k = k_mod(context)
         v = v_mod(context)
