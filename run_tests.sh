@@ -3,4 +3,4 @@
 # tunnel registration (saves ~15 s of relay round-trips per process).
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
-exec python -m pytest "${@:-tests/}" -q
+exec python -m pytest "${@:-tests/}"

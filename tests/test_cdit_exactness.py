@@ -68,15 +68,21 @@ def _install_timm_stub():
         def forward(self, x):
             return self.fc2(self.act(self.fc1(x)))
 
+    import importlib.machinery
+
     vt = types.ModuleType("timm.models.vision_transformer")
     vt.PatchEmbed, vt.Attention, vt.Mlp = PatchEmbed, Attention, Mlp
     models = types.ModuleType("timm.models")
     models.vision_transformer = vt
     timm = types.ModuleType("timm")
     timm.models = models
-    sys.modules.setdefault("timm", timm)
-    sys.modules.setdefault("timm.models", models)
-    sys.modules.setdefault("timm.models.vision_transformer", vt)
+    # a stub left in sys.modules with __spec__=None breaks any later
+    # importlib.util.find_spec("timm") (e.g. diffusers' import guards in
+    # test_unet_exactness when the whole suite runs in one process)
+    for name, mod in (("timm", timm), ("timm.models", models),
+                      ("timm.models.vision_transformer", vt)):
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules.setdefault(name, mod)
 
 
 def _ref_cdit():
