@@ -1,0 +1,62 @@
+"""Raw HBM bandwidth probes: copy / axpy / fp32-cast / spatial-reduce on
+the same L0-sized tensor GroupNorm sees. Separates 'the chip is slow at
+elementwise' from 'GroupNorm's formulation is slow'."""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(name, fn, x, bytes_moved, reps=5, inner=8):
+    xs = jnp.stack([x] * inner)
+
+    def body(c, xi):
+        return c, fn(xi).astype(jnp.float32).sum()
+
+    f = jax.jit(lambda xs: jax.lax.scan(body, 0.0, xs)[1].sum())
+    float(f(xs))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(f(xs))
+    dt = (time.perf_counter() - t0) / reps / inner
+    print(f"{name:34s} {dt*1e3:7.3f} ms  {bytes_moved/dt/1e9:6.0f} GB/s",
+          flush=True)
+
+
+def main():
+    shape = (28, 72, 128, 320)
+    n = 1
+    for d in shape:
+        n *= d
+    x = jax.random.normal(jax.random.PRNGKey(0), shape).astype(jnp.bfloat16)
+    mb2 = n * 2  # bf16 bytes
+
+    timeit("copy bf16 (r+w)", lambda x: x + jnp.bfloat16(1.0), x, 2 * mb2)
+    timeit("axpy bf16 (r+w)",
+           lambda x: x * jnp.bfloat16(1.0001) + jnp.bfloat16(0.5), x, 2 * mb2)
+    timeit("silu bf16 (r+w)", lambda x: x * jax.nn.sigmoid(x), x, 2 * mb2)
+    timeit("cast->f32 sum-all (r)",
+           lambda x: x.astype(jnp.float32).sum(), x, mb2)
+    timeit("bf16 sum-all (r)", lambda x: x.sum(), x, mb2)
+    timeit("f32 spatial-sum [N,C] (r)",
+           lambda x: x.astype(jnp.float32).sum(axis=(1, 2)), x, mb2)
+    timeit("f32 sum+sumsq spatial (r)",
+           lambda x: (x.astype(jnp.float32).sum(axis=(1, 2))
+                      + (x.astype(jnp.float32) ** 2).sum(axis=(1, 2))),
+           x, mb2)
+    xf = jax.random.normal(jax.random.PRNGKey(1), shape)
+    timeit("copy f32 (r+w)", lambda x: x + 1.0, xf, 2 * n * 4)
+    x2 = x.reshape(28 * 72, 128 * 320)
+    timeit("copy bf16 2D (r+w)", lambda x: x + jnp.bfloat16(1.0), x2, 2 * mb2)
+
+
+if __name__ == "__main__":
+    main()

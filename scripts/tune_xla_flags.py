@@ -1,0 +1,64 @@
+"""Sweep XLA/libtpu flag combinations against the full compiled UNet fwd.
+
+XLA flags are process-global, so each configuration runs `profile_unet.py
+--only full` in a subprocess with a modified LIBTPU_INIT_ARGS/XLA_FLAGS env
+and we parse the printed ms figure. Run serially — the tunneled chip must
+not be shared between processes (round-1 numbers were polluted that way).
+
+Usage: python scripts/tune_xla_flags.py [--quick]
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+CONFIGS = [
+    ("baseline", ""),
+    ("vmem64m", "--xla_tpu_scoped_vmem_limit_kib=65536"),
+    ("vmem32m", "--xla_tpu_scoped_vmem_limit_kib=32768"),
+    ("lhs", "--xla_tpu_enable_latency_hiding_scheduler=true"),
+    ("vmem64m+lhs",
+     "--xla_tpu_scoped_vmem_limit_kib=65536 "
+     "--xla_tpu_enable_latency_hiding_scheduler=true"),
+    ("flash-vmem128m", "--xla_tpu_scoped_vmem_limit_kib=131072"),
+]
+
+
+def run_one(name, flags):
+    env = dict(os.environ)
+    base = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = (base + " " + flags).strip()
+    # flag changes alter the executable: keep the persistent cache but let
+    # XLA key on flags itself (it does); worst case we pay a recompile.
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "profile_unet.py"), "--only",
+         "full"],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    out = p.stdout + p.stderr
+    m = re.search(r"full UNet fwd[^\n]*?([0-9.]+) ms", out)
+    ms = float(m.group(1)) if m else None
+    print(f"{name:20s} {flags:70s} -> {ms} ms", flush=True)
+    if ms is None:
+        tail = "\n".join(out.strip().splitlines()[-5:])
+        print(f"  [no parse] tail:\n{tail}", flush=True)
+    return ms
+
+
+def main():
+    results = {}
+    configs = CONFIGS[:3] if "--quick" in sys.argv else CONFIGS
+    for name, flags in configs:
+        try:
+            results[name] = run_one(name, flags)
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT", flush=True)
+    best = min((v, k) for k, v in results.items() if v is not None)
+    print(f"best: {best[1]} at {best[0]:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

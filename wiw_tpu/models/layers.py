@@ -19,6 +19,8 @@ Module/field names intentionally mirror diffusers parameter names so
 
 from __future__ import annotations
 
+import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -154,13 +156,34 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         groups = self.num_groups if C % self.num_groups == 0 and C >= self.num_groups else C
+        cg = C // groups
         xf = x.astype(jnp.float32)
-        g = xf.reshape(*x.shape[:-1], groups, C // groups)
-        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        mean = g.mean(axis=axes, keepdims=True)
-        var = g.var(axis=axes, keepdims=True)
-        g = (g - mean) * jax.lax.rsqrt(var + self.eps)
-        out = g.reshape(x.shape) * scale + bias
+        if os.environ.get("WIW_GN_LEGACY"):
+            g = xf.reshape(*x.shape[:-1], groups, cg)
+            axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+            mean = g.mean(axis=axes, keepdims=True)
+            var = g.var(axis=axes, keepdims=True)
+            g = (g - mean) * jax.lax.rsqrt(var + self.eps)
+            out = g.reshape(x.shape) * scale + bias
+            return out.astype(orig_dtype)
+        # Layout-preserving stats: reduce the (large, well-tiled) spatial axes
+        # first to [N, C], then do the per-group sums on that tiny tensor.
+        # The naive reshape-to-(..., G, C/G) formulation reduces over a minor
+        # dim of size C/G (=10 at L0) which forces lane relayouts of the full
+        # activation tensor on TPU.
+        spatial = tuple(range(1, x.ndim - 1))
+        count = cg * math.prod(x.shape[1:-1])
+        s1 = xf.sum(axis=spatial)
+        s2 = (xf * xf).sum(axis=spatial)
+        s1 = s1.reshape(x.shape[0], groups, cg).sum(-1)
+        s2 = s2.reshape(x.shape[0], groups, cg).sum(-1)
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + self.eps)
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
+        mean_c = jnp.repeat(mean, cg, axis=-1).reshape(bshape)
+        rstd_c = jnp.repeat(rstd, cg, axis=-1).reshape(bshape)
+        out = (xf - mean_c) * rstd_c * scale + bias
         return out.astype(orig_dtype)
 
 
