@@ -31,6 +31,7 @@ from flax.linen.dtypes import promote_dtype
 
 from wiw_tpu.core.schedule import timestep_embedding
 from wiw_tpu.ops.attention import attention_bsd
+from wiw_tpu.ops.fused_mlp import ln_geglu_ffn_residual
 from wiw_tpu.ops.quant import w8a8_conv, w8a8_dense
 
 Dtype = jnp.dtype
@@ -38,6 +39,20 @@ Dtype = jnp.dtype
 
 def silu(x):
     return nn.silu(x)
+
+
+def _fused_ff_on() -> bool:
+    """Fused LN+GEGLU+residual kernel (ops/fused_mlp.ln_geglu_ffn_residual).
+
+    Default OFF — measured in the full compiled fwd at 14f 576x1024:
+    unfused XLA 1032 ms vs fused 1044 ms (f32 gate) / 1076 ms (bf16 gate),
+    despite the kernel cutting 66 GB of HBM traffic. XLA wins because it
+    prologue-fuses the gelu gate into the out-projection dot and overlaps
+    that VPU work with the MXU tile-by-tile; a sequential pallas body
+    serializes dot -> gate -> dot. Kept env-gated (WIW_FUSED_FF=1) as a
+    measured experiment; per-shape fallbacks (off-TPU, C>=1280, int8)
+    live in the dispatcher."""
+    return os.environ.get("WIW_FUSED_FF", "0") == "1"
 
 
 class Dense(nn.Module):
@@ -54,7 +69,7 @@ class Dense(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (x.shape[-1], self.features), jnp.float32,
@@ -64,6 +79,8 @@ class Dense(nn.Module):
                        jnp.float32)
             if self.use_bias else None
         )
+        if return_params:
+            return kernel, bias
         if kernel.dtype == jnp.int8:
             scale = self.param(
                 "kernel_scale", nn.initializers.ones, (self.features,),
@@ -192,11 +209,13 @@ class LayerNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         orig_dtype = x.dtype
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if return_params:
+            return scale, bias
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = xf.var(axis=-1, keepdims=True)
@@ -232,13 +251,21 @@ class FeedForward(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         dim = x.shape[-1]
         inner = dim * self.mult
-        hidden = Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        proj = Dense(inner * 2, dtype=self.dtype, name="net_0_proj")
+        out = Dense(self.dim_out or dim, dtype=self.dtype, name="net_2")
+        if return_params:
+            w1, b1 = proj(x, return_params=True)
+            w2, b2 = out(jnp.zeros((1, inner), x.dtype), return_params=True)
+            if w1.dtype == jnp.int8 or w2.dtype == jnp.int8:
+                return None  # int8 serving mode: use the unfused W8A8 path
+            return w1, b1, w2, b2
+        hidden = proj(x)
         hidden, gate = jnp.split(hidden, 2, axis=-1)
         x = hidden * nn.gelu(gate, approximate=False)
-        return Dense(self.dim_out or dim, dtype=self.dtype, name="net_2")(x)
+        return out(x)
 
 
 class CrossAttention(nn.Module):
@@ -315,10 +342,24 @@ class BasicTransformerBlock(nn.Module):
             LayerNorm(dtype=self.dtype, name="norm2")(x), context=context
         )
         x = x + h
-        h = FeedForward(dtype=self.dtype, name="ff")(
-            LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return _ln_ff_residual(
+            x,
+            LayerNorm(dtype=self.dtype, name="norm3"),
+            FeedForward(dtype=self.dtype, name="ff"),
         )
-        return x + h
+
+
+def _ln_ff_residual(x, ln: "LayerNorm", ff: "FeedForward"):
+    """x + ff(ln(x)), through the fused pallas kernel when enabled.
+
+    Param trees are registered through the modules either way, so
+    checkpoints map identically."""
+    if _fused_ff_on():
+        p = ff(x, return_params=True)
+        if p is not None:
+            s, b = ln(x, return_params=True)
+            return ln_geglu_ffn_residual(x, s, b, *p, ln.eps)
+    return x + ff(ln(x))
 
 
 class TemporalSelfAttention(nn.Module):
@@ -358,11 +399,11 @@ class TemporalBasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        residual = x
-        h = FeedForward(dtype=self.dtype, name="ff_in")(
-            LayerNorm(dtype=self.dtype, name="norm_in")(x)
-        )
-        x = h + residual  # is_res: dim == time_mix_inner_dim in SVD
+        x = _ln_ff_residual(
+            x,
+            LayerNorm(dtype=self.dtype, name="norm_in"),
+            FeedForward(dtype=self.dtype, name="ff_in"),
+        )  # is_res: dim == time_mix_inner_dim in SVD
         h = TemporalSelfAttention(
             self.heads, self.dim_head, dtype=self.dtype, name="attn1"
         )(LayerNorm(dtype=self.dtype, name="norm1")(x))
@@ -372,10 +413,11 @@ class TemporalBasicTransformerBlock(nn.Module):
                 LayerNorm(dtype=self.dtype, name="norm2")(x), context=context
             )
             x = x + h
-        h = FeedForward(dtype=self.dtype, name="ff")(
-            LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return _ln_ff_residual(
+            x,
+            LayerNorm(dtype=self.dtype, name="norm3"),
+            FeedForward(dtype=self.dtype, name="ff"),
         )
-        return x + h
 
 
 class AlphaBlender(nn.Module):

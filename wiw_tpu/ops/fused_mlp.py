@@ -16,6 +16,7 @@ Dense layers would.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +29,12 @@ def _erf(x):
     below bf16 resolution); Mosaic has no native erf lowering."""
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
+    if x.dtype == jnp.bfloat16:
+        # Mosaic has no bf16 comparisons: take sign in f32, arith in bf16
+        s = jnp.sign(x.astype(jnp.float32)).astype(x.dtype)
+    else:
+        s = jnp.sign(x)
+    ax = x * s
     t = 1.0 / (1.0 + p * ax)
     poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
     return s * (1.0 - poly * jnp.exp(-ax * ax))
@@ -136,6 +141,201 @@ def geglu_ffn_xla(x, w1, b1, w2, b2):
     hidden, gate = h[..., :inner], h[..., inner:]
     g = hidden * jax.nn.gelu(gate, approximate=False)
     return (g.astype(x.dtype) @ w2 + b2).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused LayerNorm + GEGLU FF + residual.
+#
+# The round-1 geglu_ffn kernel above won standalone but LOST ~37 ms in the
+# full model: the pallas custom call broke XLA's LayerNorm-into-dot and
+# residual-into-dot-epilogue fusions, re-materializing its input and output.
+# This variant absorbs both neighbors into the kernel — it computes
+# x + W2·geglu(LN(x)·W1) reading x once and writing the result once; the
+# [tokens, 8C] and [tokens, 4C] intermediates never leave VMEM.
+# Covers the three identical patterns in the transformer blocks
+# (BasicTransformerBlock norm3+ff, TemporalBasicTransformerBlock
+# norm_in+ff_in and norm3+ff) — ~48 call sites in the SVD-dagger UNet.
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(x, scale, bias, eps):
+    """Row LayerNorm in fp32, two-pass var (matches layers.LayerNorm)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _lnff_kernel(eps, x_ref, s_ref, c_ref, w1a_ref, w1b_ref, b1a_ref,
+                 b1b_ref, w2_ref, b2_ref, o_ref, xn_ref, acc_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        ln = _ln_rows(x_ref[:], s_ref[:].astype(jnp.float32),
+                      c_ref[:].astype(jnp.float32), eps)
+        xn_ref[:] = ln.astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xn = xn_ref[:]
+    # round like the unfused pair of Dense layers: dot output to model
+    # dtype, then a model-dtype bias add
+    a = jax.lax.dot_general(
+        xn, w1a_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xn.dtype) + b1a_ref[:].astype(xn.dtype)
+    b = jax.lax.dot_general(
+        xn, w1b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xn.dtype) + b1b_ref[:].astype(xn.dtype)
+    if os.environ.get("WIW_FUSED_FF_GATE", "f32") == "bf16":
+        # halve VPU time between the dots: erf poly evaluated in the model
+        # dtype (phi error ~5e-3 — comparable to bf16 resolution)
+        g = a * (b * b.dtype.type(0.5)
+                 * (b.dtype.type(1.0) + _erf(b * b.dtype.type(
+                     0.7071067811865476))))
+    else:
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        g = (af * (bf * 0.5 * (1.0 + _erf(
+            bf * jnp.float32(0.7071067811865476))))).astype(xn.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        g.astype(xn.dtype), w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        h = acc_ref[:].astype(o_ref.dtype) + b2_ref[:].astype(o_ref.dtype)
+        o_ref[:] = x_ref[:] + h
+
+
+_LNFF_BN = 256  # gate-tile stack is 3 fp32 [bm, bn] values — keep bn small
+
+
+def _pick_bm(M: int, C: int) -> int:
+    """Largest 128-multiple divisor of M under the 16 MB scoped-VMEM limit.
+
+    Budget: double-buffered x/out blocks + xn/acc scratch (~14 B/row/C)
+    capped at 7 MB, plus the kernel-body fp32 gate tiles (3 x bm x bn x 4 B)
+    capped at 5 MB. Mosaic accounts both against scoped VMEM."""
+    cap = min(int(7e6 // (C * 14)), int(5e6 // (3 * 4 * _LNFF_BN)))
+    cap = max(256, cap)
+    best = 0
+    b = 128
+    while b <= min(cap, M):
+        if M % b == 0:
+            best = b
+        b += 128
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def ln_geglu_ffn_residual_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                                 eps: float = 1e-5,
+                                 interpret: bool = False):
+    """x [..., C] -> x + GEGLU_FF(LN(x)). Requires dim_out == C."""
+    orig_shape = x.shape
+    C = x.shape[-1]
+    inner = w2.shape[0]
+    xf = x.reshape(-1, C)
+    M = xf.shape[0]
+    w1a, w1b = w1[:, :inner], w1[:, inner:]
+    b1a, b1b = b1[None, :inner], b1[None, inner:]
+    bm = _pick_bm(M, C)
+    bn = _pick(inner, _LNFF_BN)
+    grid = (M // bm, inner // bn)
+    out = pl.pallas_call(
+        functools.partial(_lnff_kernel, eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, C), lambda r, j: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda r, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda r, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, bn), lambda r, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, bn), lambda r, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda r, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda r, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, C), lambda r, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda r, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, C), lambda r, j: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, C), x.dtype),
+            pltpu.VMEM((bm, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xf, ln_scale[None, :], ln_bias[None, :], w1a, w1b, b1a, b1b, w2, b2[None, :])
+    return out.reshape(orig_shape)
+
+
+def ln_geglu_ffn_residual_xla(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                              eps: float = 1e-5):
+    """Unfused oracle: matches LayerNorm + FeedForward + residual exactly."""
+    ln = _ln_rows(x, ln_scale, ln_bias, eps).astype(x.dtype)
+    return x + geglu_ffn_xla(ln, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ln_geglu_ffn_residual(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                          eps: float = 1e-5):
+    """Fused on TPU when shapes tile (C <= 640 — at C >= 1280 per-row-block
+    weight reloads eat the activation saving); XLA oracle elsewhere.
+    Differentiable: the VJP recomputes through the XLA formulation."""
+    return _lnff_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+
+
+def _lnff_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    C = x.shape[-1]
+    inner = w2.shape[0]
+    M = 1
+    for s in x.shape[:-1]:
+        M *= s
+    if w1.dtype != jnp.int8:
+        # model-dtype weights, like flax promote_dtype in Dense
+        w1, w2 = w1.astype(x.dtype), w2.astype(x.dtype)
+    if (on_tpu and C <= 640 and w1.dtype != jnp.int8
+            and _pick_bm(M, C) and inner % 128 == 0):
+        return ln_geglu_ffn_residual_pallas(
+            x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
+    return ln_geglu_ffn_residual_xla(
+        x, ln_scale, ln_bias, w1, b1, w2, b2, eps=eps)
+
+
+def _lnff_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps):
+    out = _lnff_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2, eps)
+    return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _lnff_bwd(eps, res, ct):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda *a: ln_geglu_ffn_residual_xla(*a, eps=eps),
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+    )
+    return vjp(ct)
+
+
+ln_geglu_ffn_residual.defvjp(_lnff_fwd, _lnff_bwd)
 
 
 def geglu_ffn(x, w1, b1, w2, b2):
