@@ -189,8 +189,10 @@ class SVDPipeline:
                 actions = jax.device_put(actions, bsh)
             if past_images is not None:
                 past_images = jax.device_put(past_images, bsh)
-            return fn(params, key, image, actions, past_images)
-        return fn(self.params, key, image, actions, past_images)
+            latents = fn(params, key, image, actions, past_images)
+            return self._decode_chunked(params, latents, gen)
+        latents = fn(self.params, key, image, actions, past_images)
+        return self._decode_chunked(self.params, latents, gen)
 
     @functools.lru_cache(maxsize=32)
     def _jitted_generate(self, gen, has_actions, has_past, mesh=None):
@@ -278,21 +280,37 @@ class SVDPipeline:
             return S.euler_step(latents, denoised, sigma, sigma_next), None
 
         latents, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
+        return latents / self.vae_config.scaling_factor
 
-        # 6. decode (chunked over frames)
-        z = (latents / self.vae_config.scaling_factor).reshape(B * F, h, w, 4)
+    def _decode_impl(self, size, params, part):
+        """One VAE-decode chunk: [B*size, h, w, 4] -> [B, size, H, W, 3]."""
+        dec = self.vae.apply(
+            {"params": params["vae"]}, part, size, method=self.vae.decode
+        )
+        return jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
+
+    @functools.lru_cache(maxsize=32)
+    def _jitted_decode(self, size):
+        return jax.jit(functools.partial(self._decode_impl, size))
+
+    def _decode_chunked(self, params, latents, gen: GenerationConfig):
+        """Chunked VAE decode as SEPARATE compiled calls per chunk.
+
+        Decoding inside the denoise program unrolls every chunk into one
+        executable, whose live ranges stack: at 14f 576x1024 that needs
+        ~28 GB of HBM and cannot fit a 16 GB v5e chip. Per-chunk programs
+        bound peak memory at one chunk's activations (the reference's
+        decode_chunk_size loop has the same effect for CUDA,
+        pipeline:296-309)."""
+        B, F, h, w, _ = latents.shape
         chunk = min(gen.decode_chunk_frames, F)
         videos = []
-        zb = z.reshape(B, F, h, w, 4)
         for start in range(0, F, chunk):
             size = min(chunk, F - start)
-            part = zb[:, start : start + size].reshape(B * size, h, w, 4)
-            dec = self.vae.apply(
-                {"params": p["vae"]}, part, size, method=self.vae.decode
-            )
-            videos.append(dec)
-        video = jnp.concatenate(videos, axis=1)  # [B, F, H, W, 3]
-        return jnp.clip(video / 2.0 + 0.5, 0.0, 1.0)
+            part = latents[:, start : start + size].reshape(
+                B * size, h, w, 4)
+            videos.append(self._jitted_decode(size)(params, part))
+        return jnp.concatenate(videos, axis=1)  # [B, F, H, W, 3]
 
 
 def to_uint8(video: jnp.ndarray) -> np.ndarray:
