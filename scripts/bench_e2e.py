@@ -32,7 +32,8 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--quant", default="", choices=["", "int8"])
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--decode_chunk", type=int, default=7)
+    ap.add_argument("--decode_chunk", type=int, default=0,
+                    help="frames per VAE-decode chunk; 0 = memory-aware auto")
     args = ap.parse_args()
 
     from wiw_tpu.models.unet import UNetConfig
@@ -41,7 +42,7 @@ def main():
     gen = GenerationConfig(
         height=args.height, width=args.width, num_frames=args.frames,
         num_inference_steps=args.steps, task_type="navigation",
-        decode_chunk_frames=args.decode_chunk,
+        decode_chunk_frames=args.decode_chunk or None,
     )
     cfg = UNetConfig(
         num_frames=args.frames, action_strategy="micro_cond",

@@ -51,8 +51,18 @@ class GenerationConfig:
     motion_bucket_id: int = 127
     noise_aug_strength: float = 0.02
     task_type: str = "navigation"  # 'navigation' | 'manipulation' | None
-    decode_chunk_frames: int = 14
+    # None = auto: clamp the per-chunk pixel volume so decoder activations
+    # fit a 16 GB v5e alongside the resident UNet (2 frames at 576x1024,
+    # proportionally more at smaller sizes)
+    decode_chunk_frames: Optional[int] = None
     edm: S.EDMConfig = S.EDMConfig()
+
+    def resolved_decode_chunk(self) -> int:
+        if self.decode_chunk_frames is not None:
+            return min(self.decode_chunk_frames, self.num_frames)
+        budget_px = 2 * 576 * 1024
+        return max(1, min(self.num_frames,
+                          budget_px // (self.height * self.width)))
 
 
 class SVDPipeline:
@@ -303,7 +313,7 @@ class SVDPipeline:
         decode_chunk_size loop has the same effect for CUDA,
         pipeline:296-309)."""
         B, F, h, w, _ = latents.shape
-        chunk = min(gen.decode_chunk_frames, F)
+        chunk = gen.resolved_decode_chunk()
         videos = []
         for start in range(0, F, chunk):
             size = min(chunk, F - start)
