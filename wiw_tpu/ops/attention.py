@@ -70,13 +70,14 @@ def _custom_flash_fn(q_seq: int, kv_seq: int):
     bwd pays one extra forward recompute, which remat pays anyway)."""
     from wiw_tpu.ops.pallas_attention import flash_attention_bhsd
 
-    # bq=512 keeps the [bq, bkv] fp32 logits + padded-V blocks inside the
-    # default 16 MB scoped-VMEM budget when embedded in the full UNet
-    # program (bq=1024 OOMs there unless --xla_tpu_scoped_vmem_limit_kib
-    # is raised); measured 74.2 vs 76.0 TF/s standalone — ~2%.
+    # bq=768 is the largest q block that keeps the [bq, bkv] fp32 logits +
+    # padded-V blocks inside the default 16 MB scoped-VMEM budget when
+    # embedded in the full UNet program (bq=1024 OOMs there unless
+    # --xla_tpu_scoped_vmem_limit_kib is raised, which the axon relay
+    # rejects); full-fwd 1032 ms @512 -> 1025 ms @768.
     import os
 
-    bq_cap = int(os.environ.get("WIW_FLASH_BQ", "512"))
+    bq_cap = int(os.environ.get("WIW_FLASH_BQ", "768"))
     bq = _best_block(q_seq, cap=bq_cap)
     bkv = _best_block(kv_seq, cap=1152)
     fwd_fn = functools.partial(flash_attention_bhsd, bq=bq, bkv=bkv)
