@@ -145,3 +145,120 @@ class TestServerCLIContinuous:
             c.close()
         finally:
             server.stop()
+
+
+class TestAsyncDecodeAndBuckets:
+    def test_decode_is_deferred_not_blocking(self):
+        """Finishing a slot dispatches the decode and frees the slot in the
+        same tick; the video materializes on a later tick (or immediately
+        if the device is already done) — never blocking active slots."""
+        pipe = tiny_pipeline("micro_cond")
+        eng = ContinuousEngine(pipe, TINY_GEN, num_slots=2)
+        img = np.zeros((32, 64, 3), np.float32)
+        rid = eng.admit(img, np.array([4, 1, 1]), jax.random.PRNGKey(0))
+        results = {}
+        freed_before_result = False
+        for _ in range(TINY_GEN.num_inference_steps + 3):
+            out = eng.step()
+            if not any(s.active for s in eng._slots) and not out and \
+                    eng._pending_decodes:
+                freed_before_result = True  # slot free, decode in flight
+            results.update(out)
+            if rid in results:
+                break
+        assert rid in results
+        assert not eng.busy
+        v = results[rid]
+        assert v.shape == (TINY_GEN.num_frames, 32, 64, 3)
+        assert np.isfinite(v).all()
+        # freed_before_result may be False when the decode raced to ready —
+        # both orders are valid; the invariant is completion + free slots
+
+    def test_admit_rejects_wrong_bucket_shape(self):
+        pipe = tiny_pipeline("micro_cond")
+        eng = ContinuousEngine(pipe, TINY_GEN, num_slots=1)
+        with pytest.raises(ValueError, match="bucket"):
+            eng.admit(np.zeros((64, 64, 3), np.float32),
+                      np.array([4, 1, 1]), jax.random.PRNGKey(0))
+
+    def test_executor_bucket_routing(self):
+        from wiw_tpu.serve.manager import ContinuousExecutor
+
+        default = ContinuousExecutor(None, None, None)
+        default.is_default = True
+        small = ContinuousExecutor(None, None, None, bucket=(256, 256))
+        unsized = {"b_action": [], "save_dirs": []}
+        sized = {"b_action": [], "save_dirs": [],
+                 "extra": {"gen_size": [256, 256]}}
+        assert default.accepts(unsized) and default.accepts(sized)
+        assert not small.accepts(unsized)
+        assert small.accepts(sized)
+
+    def test_manager_rejects_unmatched_bucket(self):
+        """A request whose gen_size matches no executor gets a clear error,
+        not silent misrouting."""
+        import queue as _q
+
+        from wiw_tpu.serve.manager import ContinuousExecutor, ManagerServer
+
+        small = ContinuousExecutor(None, None, None, bucket=(256, 256))
+        server = ManagerServer.__new__(ManagerServer)
+        server.executors = [small]
+        server._results = _q.Queue()
+        server.dispatch(0, 0, {"extra": {"gen_size": [512, 512]}})
+        cid, tid, result = server._results.get_nowait()
+        assert "bucket" in result["error"]
+
+    def test_wrong_shape_item_errors_alone_through_manager(self):
+        """Per-item isolation: one bucket-mismatched conditioning image in
+        a co-batched request errors alone (admit raises inside the loop's
+        try)."""
+        import numpy as _np
+
+        from wiw_tpu.serve.manager import (
+            ContinuousExecutor,
+            ManagerServer,
+            WMClient,
+        )
+
+        pipe = tiny_pipeline("micro_cond")
+        eng = ContinuousEngine(pipe, TINY_GEN, num_slots=2)
+
+        def encode_item(payload, i):
+            imgs = _np.asarray(payload["b_image"])
+            img = _np.transpose(imgs[i][:3], (1, 2, 0)).astype(_np.float32)
+            img = img / 127.5 - 1.0
+            if payload["save_dirs"][i] == "b":
+                img = _np.zeros((8, 8, 3), _np.float32)  # wrong bucket
+            return img, _np.asarray(payload["b_action"][i])
+
+        def postprocess(video01):
+            u8 = _np.clip(video01 * 255, 0, 255).astype(_np.uint8)
+            return _np.transpose(u8, (0, 3, 1, 2))
+
+        server = ManagerServer(
+            [ContinuousExecutor(eng, encode_item, postprocess)], port=18045,
+        )
+        port = server.start()
+        try:
+            c = WMClient(port=port)
+            bad = c.send_batch({
+                "b_action": _np.array([[4, 2, 1]], _np.int64),
+                "b_image": _np.zeros((1, 3, 32, 64), _np.uint8),
+                "save_dirs": ["b"],
+                "request_model_name": "igenex",
+                "return_objects": [True],
+            })
+            assert "error" in bad and "bucket" in bad["error"]
+            # a well-shaped request on the same engine still succeeds
+            ok = c.send_batch({
+                "b_action": _np.array([[4, 1, 1]], _np.int64),
+                "b_image": _np.zeros((1, 3, 32, 64), _np.uint8),
+                "save_dirs": ["a"],
+                "request_model_name": "igenex",
+                "return_objects": [True],
+            })
+            assert "error" not in ok and ok["pred_frames"].shape[0] == 1
+            c.close()
+        finally:
+            server.stop()

@@ -1,12 +1,20 @@
 """Manipulation evaluators: episode loops + result aggregation.
 
 Behavioral parity (no code copied) with
-wiw_manip/evaluator/base_evaluator.py:30-355 + aggregate_results.py:
-  * evaluator variants = solver_env configs: vlm-base (VLM keypose plans
-    executed directly), vlm-igenex (plans ranked by WM imagination),
-    diff-base / diff-igenex (policy proposals, optionally WM-ranked)
-  * per-task/variation episode loops writing result jsons
-  * `aggregate_results` summarizes success rates per task
+wiw_manip/evaluator/base_evaluator.py:30-355 + the per-arm evaluator
+subclasses + aggregate_results.py. The four solver_env arms are
+BEHAVIORALLY DISTINCT (main.py:16-66 config dispatch):
+  * vlm-base   — VLM keypose plans executed directly
+    (vlm_evaluator.py)
+  * vlm-igenex — VLM keypose plans imagined by the WM and revised/selected
+    by the VLM's MPC loop (igenex_evaluator.py + igenex_planner.py)
+  * diff-base  — 3D-diffusion-policy trajectory proposals executed
+    directly (diff_evaluator.py + diff_planner.py)
+  * diff-igenex— policy proposals ranked by WM imagination through the
+    descriptor/evaluator VLM phases (diff_igenex_evaluator.py +
+    diff_igenex_planner.py)
+Arms whose dependencies are missing raise at construction — a diff-* run
+must never silently degrade to the vlm path.
 """
 
 from __future__ import annotations
@@ -19,63 +27,123 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from wiw_tpu.manip.env import MANIP_TASKS
-from wiw_tpu.manip.planner import IgenexManipPlanner, VLMKeyposePlanner
+from wiw_tpu.manip.planner import (
+    DiffIgenexPlanner,
+    IgenexManipPlanner,
+    VLMKeyposePlanner,
+    construct_action_seqs,
+)
+
+SOLVER_ENVS = ("vlm-base", "vlm-igenex", "diff-base", "diff-igenex")
 
 
 class ManipEvaluator:
     def __init__(self, env, solver_env: str = "vlm-base",
-                 wm_client=None, vlm=None, out_dir: str = "manip_results",
-                 max_plan_rounds: int = 3):
-        assert solver_env in ("vlm-base", "vlm-igenex", "diff-base",
-                              "diff-igenex"), solver_env
+                 wm_client=None, vlm=None, policy_proposer=None,
+                 out_dir: str = "manip_results",
+                 max_plan_rounds: int = 3, mpc_mode: str = "ranking",
+                 executed_action_per_step: int = 50):
+        assert solver_env in SOLVER_ENVS, (solver_env, SOLVER_ENVS)
         self.env = env
         self.solver_env = solver_env
         self.out_dir = out_dir
         self.max_plan_rounds = max_plan_rounds
+        self.executed_action_per_step = executed_action_per_step
         self.keypose = VLMKeyposePlanner(vlm)
-        self.igenex = (
-            IgenexManipPlanner(wm_client, vlm, self.keypose)
-            if "igenex" in solver_env and wm_client is not None else None
+        self.proposer = policy_proposer
+        self.igenex: Optional[IgenexManipPlanner] = None
+        if solver_env == "vlm-igenex":
+            if wm_client is None:
+                raise ValueError(
+                    "solver_env='vlm-igenex' requires a WM client "
+                    "(wm_client=None would silently run the vlm-base arm)"
+                )
+            self.igenex = IgenexManipPlanner(
+                wm_client, vlm, self.keypose, mpc_mode=mpc_mode
+            )
+        elif solver_env.startswith("diff"):
+            if policy_proposer is None:
+                raise ValueError(
+                    f"solver_env='{solver_env}' requires a policy_proposer "
+                    "(the 3D-diffusion-policy arm; wiw_tpu/manip/policy.py)"
+                )
+            if solver_env == "diff-igenex":
+                if wm_client is None:
+                    raise ValueError(
+                        "solver_env='diff-igenex' requires a WM client"
+                    )
+                self.igenex = DiffIgenexPlanner(
+                    wm_client, policy_proposer, vlm=vlm,
+                    mpc_mode="iterative", max_iterations=max_plan_rounds,
+                )
+
+    # ------------------------------------------------------------------
+    def _save_dirs(self, task, variation, episode, n):
+        dirs = [
+            osp.join(self.out_dir, task, f"v{variation}", f"e{episode}",
+                     f"cand{i}")
+            for i in range(n)
+        ]
+        for d in dirs:
+            os.makedirs(d, exist_ok=True)
+        return dirs
+
+    def _plan_trajectory(self, obs, instruction, task, variation, episode,
+                         gripper_history):
+        """One planning round -> [T, 8] pose trajectory to execute."""
+        target_hint = getattr(self.env, "target", None)
+        if self.solver_env == "vlm-base":
+            plans = self.keypose.propose(
+                obs["rgb"], instruction, obs["pose"], target_hint=target_hint
+            )
+            return np.asarray(
+                construct_action_seqs(obs["pose"], [plans[0]])[0][0],
+                np.float32,
+            )
+        if self.solver_env == "vlm-igenex":
+            save_dirs = self._save_dirs(
+                task, variation, episode, self.keypose.num_candidates
+            )
+            _plan, traj = self.igenex.plan(
+                obs["rgb"], obs["pose"], instruction, save_dirs,
+                target_hint=target_hint,
+            )
+            return traj
+        if self.solver_env == "diff-base":
+            # policy proposal executed directly (diff_evaluator.py:9-10)
+            trajs = self.proposer.propose(obs, gripper_history, 1)
+            return np.asarray(trajs[0], np.float32)
+        # diff-igenex
+        save_dirs = self._save_dirs(
+            task, variation, episode, self.igenex.proposal_num
         )
+        dense, _sub = self.igenex.plan_with_policy(
+            obs, gripper_history, instruction, save_dirs
+        )
+        return dense
 
     def run_episode(self, task: str, variation: int, episode: int) -> dict:
         obs = self.env.reset(task, variation)
         instruction = self.env.instruction()
+        gripper_history = [obs["pose"][:7]]
         success = False
+        steps = 0
         for _round in range(self.max_plan_rounds):
-            target_hint = getattr(self.env, "target", None)
-            if self.igenex is not None:
-                save_dirs = [
-                    osp.join(self.out_dir, task, f"v{variation}",
-                             f"e{episode}", f"cand{i}")
-                    for i in range(self.keypose.num_candidates)
-                ]
-                for d in save_dirs:
-                    os.makedirs(d, exist_ok=True)
-                _plan, traj = self.igenex.plan(
-                    obs["rgb"], obs["pose"], instruction, save_dirs,
-                    target_hint=target_hint,
-                )
-            else:
-                plans = self.keypose.propose(
-                    obs["rgb"], instruction, obs["pose"],
-                    target_hint=target_hint,
-                )
-                from wiw_tpu.manip.planner import construct_action_seqs
-
-                traj = np.asarray(
-                    construct_action_seqs(obs["pose"], [plans[0]])[0][0],
-                    np.float32,
-                )
-            for pose in traj:
+            traj = self._plan_trajectory(
+                obs, instruction, task, variation, episode, gripper_history
+            )
+            for pose in traj[: self.executed_action_per_step]:
                 obs = self.env.step_to_pose(pose)
+                gripper_history.append(np.asarray(pose, np.float32)[:7])
+                steps += 1
                 if self.env.success():
                     success = True
                     break
             if success:
                 break
         result = {"task": task, "variation": variation, "episode": episode,
-                  "success": success}
+                  "success": success, "num_steps": steps,
+                  "solver_env": self.solver_env}
         self._write_result(result)
         return result
 
@@ -91,6 +159,8 @@ class ManipEvaluator:
     def evaluate(self, tasks: Optional[List[str]] = None,
                  variations: int = 1, episodes: int = 1) -> Dict:
         for task in tasks or MANIP_TASKS:
+            if self.igenex is not None:
+                self.igenex.task_name = task
             for v in range(variations):
                 for e in range(episodes):
                     self.run_episode(task, v, e)
@@ -108,7 +178,7 @@ def aggregate_results(out_dir: str) -> Dict:
                         r = json.load(fh)
                 except (json.JSONDecodeError, OSError):
                     continue
-                if "success" in r and "task" in r:
+                if isinstance(r, dict) and "success" in r and "task" in r:
                     per_task.setdefault(r["task"], []).append(bool(r["success"]))
     summary = {
         task: {"success_rate": float(np.mean(v)), "episodes": len(v)}

@@ -11,15 +11,35 @@ downstream/world-in-world-manip/wiw_manip/planner/:
         frame; anchors mark sub-goal frames
       - query the WM server with [B, 14, 8] pose tensors (the same framed
         protocol; worker = igenex_manip, 448x448)
-      - `get_best_action`: show imagined anchor frames to the VLM to rank
-        candidates; `get_revise_message` asks for plan revision
+      - MPC loop (act :499-595): per round, drop plans already imagined
+        (:597-626 generate_revised_action_plans), imagine the fresh ones,
+        then show imagined anchor frames + plan text back to the VLM with
+        the revise-auxiliary prompt (`get_revise_message` :346-368); in
+        'ranking' mode one round decides, in 'iterative' mode the VLM's
+        revised plans seed the next round and the final decision is a
+        majority vote over the whole search history (:628-694)
+  * DiffIgenexPlanner (diff_igenex_planner.py): candidate trajectories come
+    from a 3D-Diffuser-Actor policy instead of the VLM; accumulated
+    proposals are thinned by diverse 3D end points (:115-133); ranking is
+    two-phase — a descriptor VLM pass per candidate, then one evaluator
+    pass over the composed descriptions, with `current_best_plan == -1`
+    triggering a resample round (:280-349, :425-498)
 """
 
 from __future__ import annotations
 
+import json
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from wiw_tpu.manip import prompts as MP
+from wiw_tpu.manip.policy import (
+    PolicyProposer,
+    select_diverse_endpoints,
+    subsample_trajectory,
+)
+
 
 def slerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
     """Quaternion slerp (xyzw)."""
@@ -91,6 +111,14 @@ def construct_action_seqs(
     return batch, anchors_all
 
 
+def plan_key(plan) -> str:
+    """Order-preserving hashable signature for dedup
+    (igenex_planner.py:477 json signature role; rounded so float jitter
+    from a round-trip through JSON does not defeat dedup)."""
+    arr = np.round(np.asarray(plan, np.float64), 4)
+    return json.dumps(arr.tolist())
+
+
 class VLMKeyposePlanner:
     """Propose candidate keypose plans via the VLM (vlm_planner.py parity);
     falls back to jittered straight-line plans without a VLM."""
@@ -109,9 +137,12 @@ class VLMKeyposePlanner:
 
             js = self.vlm.plan_json(
                 build_messages(
-                    "You are a robot manipulation planner. Output JSON "
-                    '{"plans": [[[x,y,z,qx,qy,qz,qw,grip], ...], ...]}.',
-                    [f"Instruction: {instruction}", obs_image],
+                    MP.MANIP_SYSTEM_PROMPT,
+                    [f"Instruction: {instruction}",
+                     obs_image,
+                     'Return JSON {"plans": [<keypose plan>, ...]} with '
+                     f"{self.num_candidates} candidate keypose plans; each "
+                     "plan is a list of [x,y,z,qx,qy,qz,qw,grip] keyposes."],
                 ),
                 ["plans"],
             )
@@ -131,16 +162,39 @@ class VLMKeyposePlanner:
 
 
 class IgenexManipPlanner:
-    """Rank keypose plans by WM imagination (igenex_planner.py parity)."""
+    """MPC planner: keypose plans imagined by the WM, revised/selected by
+    the VLM (igenex_planner.py parity).
+
+    mpc_mode:
+      * 'ranking' (reference default): one imagination round; the VLM sees
+        every candidate's anchor frames and either adopts one
+        (`action_sequence_choice` >= 0) or revises
+        (`executable_plan`) — max_iterations forced to 1
+      * 'iterative': up to `max_iterations` rounds; each round the VLM's
+        revised plans are imagined next (deduped against everything already
+        imagined); the final plan is a majority vote over the search
+        history, tie-broken by shorter plan then first proposed
+    """
 
     def __init__(self, wm_client, vlm=None, keypose_planner=None,
-                 out_seq_len: int = 14, request_model_name: str = "igenex_manip"):
+                 out_seq_len: int = 14,
+                 request_model_name: str = "igenex_manip",
+                 mpc_mode: str = "ranking", max_iterations: int = 4,
+                 task_name: str = "", n_shot: int = 1):
+        assert mpc_mode in ("ranking", "iterative"), mpc_mode
         self.wm = wm_client
         self.vlm = vlm
         self.keypose_planner = keypose_planner or VLMKeyposePlanner(vlm)
         self.out_seq_len = out_seq_len
         self.request_model_name = request_model_name
+        self.mpc_mode = mpc_mode
+        self.max_iterations = 1 if mpc_mode == "ranking" else max_iterations
+        self.task_name = task_name
+        self.n_shot = n_shot
+        self.last_messages: list = []  # revision context (tests/debugging)
+        self.chat_log: list = []
 
+    # -- imagination ----------------------------------------------------
     def imagine(self, obs_image: np.ndarray, init_pose, plans, save_dirs):
         action_seqs, anchors = construct_action_seqs(
             init_pose, plans, self.out_seq_len
@@ -157,33 +211,279 @@ class IgenexManipPlanner:
         })
         return out, anchors
 
-    def get_best_action(self, imagined: np.ndarray, anchors, plans,
-                        instruction: str) -> int:
-        """Rank candidates; VLM over anchor frames when available, else the
-        first plan (deterministic fallback)."""
+    def _anchor_frames(self, pred_frames: np.ndarray, anchors: List[int],
+                       plan_idx: int, annotate: bool = True) -> List[np.ndarray]:
+        """Anchor frames [H, W, 3] of candidate `plan_idx`, labeled
+        'Simulation after Action <j+1>' (igenex_planner.py:398-410)."""
+        from wiw_tpu.manip.visualize import annotate_frame
+
+        frames = []
+        for j, a in enumerate(anchors):
+            img = np.transpose(np.asarray(pred_frames[plan_idx, a]), (1, 2, 0))
+            if annotate:
+                img = annotate_frame(img, f"Simulation after Action <{j+1}>")
+            frames.append(img)
+        return frames
+
+    # -- revision query --------------------------------------------------
+    def _build_revise_messages(self, obs_image, instruction, candidates):
+        """candidates: list of (plan, anchor_frames). Revise message =
+        system+examples prompt with the real obs, the revise-auxiliary
+        prompt, then per candidate its plan text + imagined anchor frames
+        (get_revise_message :346-368 structure)."""
+        from wiw_tpu.agents.vlm import build_messages
+
+        parts: list = [
+            f"Task instruction: {instruction}",
+            "Current real observation:",
+            obs_image,
+            MP.REVISE_AUX_PROMPT,
+        ]
+        few = MP.few_shot_block(self.task_name, "evaluator", self.n_shot)
+        if few:
+            parts.append(few)
+        for i, (plan, frames) in enumerate(candidates):
+            parts.append(
+                f"Hypothetical Action Plan <{i}>: "
+                f"{np.round(np.asarray(plan, float), 3).tolist()}.\n"
+                f"Simulated observation of Action Plan <{i}>:"
+            )
+            parts.extend(frames)
+        parts.append(
+            'Return JSON {"reasoning_and_reflection": str, '
+            '"action_sequence_choice": int (candidate index, or -1 to '
+            'revise), "executable_plan": [[x,y,z,qx,qy,qz,qw,grip], ...] '
+            "(required when revising)}."
+        )
+        return build_messages(MP.MANIP_SYSTEM_PROMPT, parts)
+
+    def _query_revision(self, messages) -> Tuple[int, Optional[list]]:
+        """-> (choice index or -1, revised plan or None)."""
+        self.last_messages = messages
+        if self.vlm is None:
+            return 0, None
+        js = self.vlm.plan_json(messages, ["action_sequence_choice"])
+        if not js:
+            return 0, None
+        self.chat_log.append(js)
+        choice = js.get("action_sequence_choice", -1)
+        try:
+            choice = int(choice)
+        except (TypeError, ValueError):
+            choice = -1
+        revised = js.get("executable_plan") or None
+        return choice, revised
+
+    # -- the MPC loop ----------------------------------------------------
+    def plan(self, obs_image: np.ndarray, init_pose, instruction: str,
+             save_dirs: List[str], target_hint=None):
+        """-> (chosen keypose plan, [out_seq_len, 8] trajectory)."""
+        proposals = self.keypose_planner.propose(
+            obs_image, instruction, init_pose, target_hint
+        )
+        imagined_keys: set = set()
+        candidates: list = []  # (plan, anchor_frames) across all rounds
+        potential: list = []   # (plan, round) — search history for voting
+        chosen_plan = None
+
+        for it in range(self.max_iterations):
+            fresh = [p for p in proposals
+                     if p and plan_key(p) not in imagined_keys]
+            potential.extend((p, it) for p in fresh)
+            if not fresh:
+                break  # everything proposed was already imagined
+            out, anchors = self.imagine(
+                obs_image, init_pose, fresh,
+                (save_dirs * ((len(fresh) + len(save_dirs) - 1)
+                              // len(save_dirs)))[: len(fresh)],
+            )
+            pred = out.get("pred_frames")
+            for i, p in enumerate(fresh):
+                imagined_keys.add(plan_key(p))
+                frames = (self._anchor_frames(np.asarray(pred), anchors[i], i)
+                          if pred is not None else [])
+                candidates.append((p, frames))
+            msgs = self._build_revise_messages(obs_image, instruction,
+                                               candidates)
+            choice, revised = self._query_revision(msgs)
+            if 0 <= choice < len(candidates):
+                chosen_plan = candidates[choice][0]
+                break
+            if revised:
+                proposals = [revised]
+            elif self.mpc_mode == "ranking":
+                chosen_plan = candidates[0][0]
+                break
+
+        if chosen_plan is None:
+            chosen_plan = (self._majority_vote(potential)
+                           if potential else proposals[0])
+        traj, _ = construct_action_seqs(init_pose, [chosen_plan],
+                                        self.out_seq_len)
+        return chosen_plan, np.asarray(traj[0], np.float32)
+
+    @staticmethod
+    def _majority_vote(potential: list):
+        """Most-frequent plan among the last round's proposals, counted
+        over the whole history; ties -> shorter plan -> first
+        (igenex_planner.py:628-694)."""
+        last_round = max(r for _, r in potential)
+        latest = [p for p, r in potential if r == last_round]
+        if len(latest) == 1:
+            return latest[0]
+        from collections import Counter
+
+        counts = Counter(plan_key(p) for p, _ in potential)
+        best = max(counts[plan_key(p)] for p in latest)
+        tied = [p for p in latest if counts[plan_key(p)] == best]
+        min_len = min(len(p) for p in tied)
+        return next(p for p in tied if len(p) == min_len)
+
+
+# --------------------------------------------------------------------------
+class DiffIgenexPlanner(IgenexManipPlanner):
+    """Policy proposals ranked by WM imagination + two-phase VLM judging
+    (diff_igenex_planner.py parity). Candidates are DENSE trajectories from
+    a PolicyProposer; imagination subsamples each to `out_seq_len` frames;
+    anchor = every `anchor_interval`-th frame. The VLM first DESCRIBES each
+    candidate's frames, then one EVALUATOR call over the composed
+    descriptions returns `current_best_plan` (-1 = resample a fresh,
+    endpoint-diverse batch; the final round must commit)."""
+
+    def __init__(self, wm_client, proposer: PolicyProposer, vlm=None,
+                 proposal_num: int = 3, anchor_interval: int = 3,
+                 **kwargs):
+        super().__init__(wm_client, vlm=vlm, **kwargs)
+        self.proposer = proposer
+        self.proposal_num = proposal_num
+        self.anchor_interval = anchor_interval
+
+    def _propose_diverse(self, obs, gripper_history, accumulated):
+        """One resample round: new policy proposals + everything proposed
+        so far, thinned to the `proposal_num` most endpoint-diverse
+        (diff_igenex_planner.py:115-133)."""
+        new = self.proposer.propose(obs, gripper_history, self.proposal_num)
+        pool = list(new) + list(accumulated)
+        idxs = select_diverse_endpoints(
+            [np.asarray(t, np.float32)[-1, :3] for t in pool],
+            self.proposal_num,
+        )
+        return [pool[i] for i in idxs], pool
+
+    def _imagine_trajs(self, obs_image, trajs, save_dirs):
+        """Imagine subsampled dense trajectories directly (no keypose
+        interpolation — the policy already outputs per-step poses)."""
+        sub = np.stack([subsample_trajectory(t, self.out_seq_len)
+                        for t in trajs])
+        b_image = np.transpose(
+            np.repeat(obs_image[None], len(trajs), axis=0), (0, 3, 1, 2)
+        )
+        out = self.wm.send_batch({
+            "b_action": sub.astype(np.float32),
+            "b_image": b_image,
+            "save_dirs": save_dirs,
+            "request_model_name": self.request_model_name,
+            "return_objects": [True] * len(trajs),
+        })
+        anchors = list(range(0, self.out_seq_len, self.anchor_interval))
+        if anchors[-1] != self.out_seq_len - 1:
+            anchors.append(self.out_seq_len - 1)
+        return out, [anchors] * len(trajs)
+
+    # -- two-phase judging ----------------------------------------------
+    def _describe_candidates(self, candidates, instruction):
+        from wiw_tpu.agents.vlm import build_messages
+
+        descriptions, scene = [], ""
+        for i, (_traj, frames) in enumerate(candidates):
+            js = None
+            if self.vlm is not None:
+                parts: list = [MP.DESCRIPTOR_PROMPT]
+                few = MP.few_shot_block(self.task_name, "descriptor",
+                                        self.n_shot)
+                if few:
+                    parts.append(few)
+                parts.append(f"Candidate trajectory <{i}> anchor frames:")
+                parts.extend(frames)
+                js = self.vlm.plan_json(
+                    build_messages(MP.MANIP_SYSTEM_PROMPT, parts),
+                    ["scene_description", "action_trajectory_description"],
+                )
+                if js:
+                    self.chat_log.append(js)
+            if js:
+                if not scene:
+                    scene = js["scene_description"]
+                descriptions.append(MP.candidate_description_line(
+                    i, js["action_trajectory_description"]))
+            else:
+                descriptions.append(MP.candidate_description_line(
+                    i, f"(no description available; {len(frames)} frames)"))
+        return scene, descriptions
+
+    def _evaluate(self, scene, descriptions, instruction,
+                  is_final: bool) -> int:
         if self.vlm is None:
             return 0
         from wiw_tpu.agents.vlm import build_messages
 
-        parts = [f"Instruction: {instruction}",
-                 "Candidate rollouts (anchor frames):"]
-        for b in range(imagined.shape[0]):
-            for a in anchors[b]:
-                parts.append(np.transpose(imagined[b, a], (1, 2, 0)))
-        idx, _ = self.vlm.classify(
-            build_messages("Pick the rollout most likely to succeed.", parts),
-            imagined.shape[0],
-        )
-        return idx
+        prompt = (MP.EVALUATOR_PROMPT_FINAL if is_final
+                  else MP.EVALUATOR_PROMPT)
+        parts = [prompt]
+        few = MP.few_shot_block(self.task_name, "evaluator", self.n_shot)
+        if few:
+            parts.append(few)
+        parts.append(f"Task instruction: {instruction}")
+        parts.append("Visual descriptions of the candidate plans:\n"
+                     + MP.compose_visual_state(scene, descriptions))
+        msgs = build_messages(MP.MANIP_SYSTEM_PROMPT, parts)
+        self.last_messages = msgs
+        js = self.vlm.plan_json(msgs, ["current_best_plan"])
+        if not js:
+            return 0
+        self.chat_log.append(js)
+        try:
+            choice = int(js.get("current_best_plan", 0))
+        except (TypeError, ValueError):
+            choice = 0
+        if choice >= len(descriptions):
+            choice = 0
+        return choice
 
-    def plan(self, obs_image: np.ndarray, init_pose, instruction: str,
-             save_dirs: List[str], target_hint=None):
-        plans = self.keypose_planner.propose(
-            obs_image, instruction, init_pose, target_hint
-        )
-        out, anchors = self.imagine(obs_image, init_pose, plans, save_dirs)
-        best = self.get_best_action(
-            out.get("pred_frames"), anchors, plans, instruction
-        ) if out.get("pred_frames") is not None else 0
-        action_seqs, _ = construct_action_seqs(init_pose, plans, self.out_seq_len)
-        return plans[best], np.asarray(action_seqs[best], np.float32)
+    # -- the resample loop ----------------------------------------------
+    def plan_with_policy(self, obs: dict, gripper_history, instruction: str,
+                         save_dirs: List[str]):
+        """-> (chosen dense trajectory [T, 8], subsampled [out_seq_len, 8])."""
+        obs_image = np.asarray(obs["rgb"], np.uint8)
+        accumulated: list = []
+        chosen = None
+        for it in range(self.max_iterations):
+            trajs, accumulated = self._propose_diverse(
+                obs, gripper_history, accumulated
+            )
+            out, anchors = self._imagine_trajs(
+                obs_image, trajs,
+                (save_dirs * ((len(trajs) + len(save_dirs) - 1)
+                              // len(save_dirs)))[: len(trajs)],
+            )
+            pred = out.get("pred_frames")
+            candidates = [
+                (t, self._anchor_frames(np.asarray(pred), anchors[i], i)
+                 if pred is not None else [])
+                for i, t in enumerate(trajs)
+            ]
+            scene, descriptions = self._describe_candidates(
+                candidates, instruction
+            )
+            is_final = it == self.max_iterations - 1
+            choice = self._evaluate(scene, descriptions, instruction,
+                                    is_final)
+            if choice == -1 and not is_final:
+                continue  # resample a fresh diverse batch
+            if choice < 0:
+                choice = len(trajs) - 1  # final round fallback: last proposed
+            chosen = trajs[choice]
+            break
+        assert chosen is not None
+        return (np.asarray(chosen, np.float32),
+                subsample_trajectory(chosen, self.out_seq_len))

@@ -1,0 +1,151 @@
+"""Policy proposal arm for the manipulation benchmark (diff-* solver_envs).
+
+Behavioral parity (no code copied) with the reference's 3D-Diffuser-Actor
+integration:
+  * diff_planner.py:29-108 — a trajectory diffusion policy proposes dense
+    end-effector trajectories from multi-camera RGB + point clouds +
+    gripper history (executed_action_per_step=50 steps per proposal)
+  * diff_igenex_planner.py:49-133 — proposals are accumulated across
+    resample rounds and thinned to the `num_trajs` most diverse by a greedy
+    max-min selection over their 3D end points
+
+TPU-native shape: the torch policy stays an EXTERNAL worker behind the same
+framed-pickle protocol as the WM zoo (the reference runs it in-process on
+CUDA; our serving plane already hosts heterogeneous external workers —
+SURVEY.md 2.4). `RemotePolicyProposer` speaks that protocol;
+`InProcessProposer` wraps any callable (tests, custom policies).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Protocol, Sequence
+
+import numpy as np
+
+
+def select_diverse_endpoints(points: Sequence[Sequence[float]],
+                             k: int) -> List[int]:
+    """Indices of k points maximizing min pairwise distance (greedy
+    farthest-point, seeded at the point farthest from the centroid —
+    diff_igenex_planner.py:49-87 semantics)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    if n == 0:
+        return []
+    if k >= n:
+        return list(range(n))
+    first = int(np.argmax(((pts - pts.mean(0)) ** 2).sum(1)))
+    chosen = [first]
+    dists = np.linalg.norm(pts - pts[first], axis=1)
+    dists[first] = -1.0
+    while len(chosen) < k:
+        nxt = int(np.argmax(dists))
+        chosen.append(nxt)
+        dists = np.minimum(dists, np.linalg.norm(pts - pts[nxt], axis=1))
+        for i in chosen:
+            dists[i] = -1.0
+    return chosen
+
+
+class PolicyProposer(Protocol):
+    """Proposes dense [T, 8] end-effector trajectories
+    ([x, y, z, qx, qy, qz, qw, grip] per step)."""
+
+    def propose(self, obs: dict, gripper_history: List[np.ndarray],
+                num: int) -> List[np.ndarray]: ...
+
+
+class InProcessProposer:
+    """Wrap a callable `(obs, gripper_history, num) -> [num, T, 8]`."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def propose(self, obs, gripper_history, num):
+        out = self.fn(obs, gripper_history, num)
+        return [np.asarray(t, np.float32) for t in out]
+
+
+class RemotePolicyProposer:
+    """Policy proposals over the serving protocol (request_model_name =
+    'diff_policy' by default; worker = wiw_tpu/workers/diff_policy.py).
+
+    Wire contract (original to this framework — the reference has no
+    served policy): input_dict carries the observation arrays the
+    DiffuserActor forward needs (diff_planner.py:79-108); the worker
+    returns {'save_dirs', 'proposals' [num, T, 8]}.
+    """
+
+    def __init__(self, wm_client, request_model_name: str = "diff_policy",
+                 save_dir: str = "/tmp/diff_policy"):
+        self.client = wm_client
+        self.request_model_name = request_model_name
+        self.save_dir = save_dir
+
+    def propose(self, obs, gripper_history, num):
+        rgb = np.asarray(obs["rgb"], np.uint8)
+        payload = {
+            "b_action": np.zeros((num, 1, 8), np.float32),  # schema filler
+            "b_image": np.transpose(rgb, (2, 0, 1))[None],
+            "save_dirs": [self.save_dir] * num,
+            "request_model_name": self.request_model_name,
+            "return_objects": [True] * num,
+            "extra": {
+                "kind": "policy_proposal",
+                "num": num,
+                "gripper_history": np.stack(
+                    [np.asarray(g, np.float32) for g in gripper_history]
+                ),
+                "pcd": np.asarray(obs["pcd"], np.float32)
+                if "pcd" in obs else None,
+                "views": {k: np.asarray(v, np.uint8)
+                          for k, v in obs.items()
+                          if k.endswith("_rgb")},
+            },
+        }
+        out = self.client.send_batch(payload)
+        if "error" in out and "proposals" not in out:
+            raise RuntimeError(f"policy worker error: {out['error']}")
+        return [np.asarray(t, np.float32) for t in out["proposals"]]
+
+
+class FakePolicyProposer:
+    """Deterministic test policy: straight-line dense trajectories toward
+    `obs['target']` (or forward) with per-proposal lateral spread, closing
+    the gripper on the final quarter of the trajectory."""
+
+    def __init__(self, steps: int = 50, spread: float = 0.06, seed: int = 0):
+        self.steps = steps
+        self.spread = spread
+        self.rng = np.random.default_rng(seed)
+        self.calls = 0
+
+    def propose(self, obs, gripper_history, num):
+        self.calls += 1
+        start = np.asarray(obs["pose"], np.float32)
+        target = np.asarray(
+            obs.get("target", start[:3] + [0.2, 0.0, -0.1]), np.float32
+        )
+        out = []
+        for i in range(num):
+            offset = np.zeros(3, np.float32)
+            if num > 1:
+                offset[1] = self.spread * (i - (num - 1) / 2)
+            offset += self.rng.normal(0, 1e-3, 3).astype(np.float32)
+            ts = np.linspace(0.0, 1.0, self.steps, dtype=np.float32)
+            xyz = (1 - ts[:, None]) * start[:3] + ts[:, None] * (target + offset)
+            quat = np.tile(start[3:7], (self.steps, 1))
+            grip = np.where(ts > 0.75, 1.0 - start[7], start[7]).astype(
+                np.float32)[:, None]
+            out.append(np.concatenate([xyz, quat, grip], axis=-1))
+        return out
+
+
+def subsample_trajectory(traj: np.ndarray, num: int = 14) -> np.ndarray:
+    """Uniformly subsample a dense [T, D] trajectory to [num, D]
+    (diff_igenex_planner.py:247-249: linspace over step indices)."""
+    traj = np.asarray(traj, np.float32)
+    idxs = np.linspace(0, len(traj) - 1, num).astype(int)
+    return traj[idxs]

@@ -1,0 +1,333 @@
+"""Manipulation planning prompt / ICL library.
+
+Behavioral parity (no text copied) with the reference's manip planning
+guides: planner_config/generation_guide_manip.py (JSON guides, evaluator /
+descriptor / revise prompts, per-task few-shot examples, 514 LoC) and
+evaluator/config/system_prompts.py (eb_manipulation system prompt,
+genex_revise_manipulation_auxiliary_prompt). The JSON key contracts
+(`task_goal`/`reasoning`/`current_best_plan`, `scene_description`/
+`action_trajectory_description`, `language_plan`/`executable_plan`) must
+match — they are parsed by the planner — but all prose is original.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+# --------------------------------------------------------------------------
+# JSON response guides (schema-shaped dicts usable as response_format)
+# --------------------------------------------------------------------------
+
+PLAN_GUIDE = {
+    "type": "object",
+    "properties": {
+        "visual_state_description": {
+            "type": "string",
+            "description": "Colors, shapes, and 3D positions of the "
+            "numbered objects visible in the observation.",
+        },
+        "reasoning_and_reflection": {
+            "type": "string",
+            "description": "Step-by-step reasoning toward the goal, "
+            "including reflection on any previously executed actions.",
+        },
+        "language_plan": {
+            "type": "string",
+            "description": "Numbered natural-language action steps.",
+        },
+        "executable_plan": {
+            "type": "array",
+            "description": "Sequence of 8-D end-effector keyposes "
+            "[x, y, z, qx, qy, qz, qw, grip].",
+            "items": {"type": "array", "items": {"type": "number"}},
+        },
+    },
+    "required": [
+        "visual_state_description", "reasoning_and_reflection",
+        "language_plan", "executable_plan",
+    ],
+}
+
+EVALUATOR_GUIDE = {
+    "type": "object",
+    "properties": {
+        "task_goal": {"type": "string"},
+        "reasoning": {"type": "string"},
+        "current_best_plan": {"type": "integer"},
+    },
+    "required": ["task_goal", "reasoning", "current_best_plan"],
+}
+
+DESCRIPTOR_GUIDE = {
+    "type": "object",
+    "properties": {
+        "scene_description": {"type": "string"},
+        "action_trajectory_description": {"type": "string"},
+    },
+    "required": ["scene_description", "action_trajectory_description"],
+}
+
+REVISE_GUIDE = {
+    "type": "object",
+    "properties": {
+        "reasoning_and_reflection": {"type": "string"},
+        "language_plan": {"type": "string"},
+        "executable_plan": {
+            "type": "array",
+            "items": {"type": "array", "items": {"type": "number"}},
+        },
+        "action_sequence_choice": {
+            "type": "integer",
+            "description": "Index of the simulated candidate to adopt, "
+            "or -1 to propose the new executable_plan instead.",
+        },
+    },
+    "required": ["reasoning_and_reflection", "action_sequence_choice"],
+}
+
+
+# --------------------------------------------------------------------------
+# Role prompts
+# --------------------------------------------------------------------------
+
+MANIP_SYSTEM_PROMPT = """\
+You control a 7-DoF robot arm with a parallel-jaw gripper above a tabletop.
+Given camera observations of the workspace and a task instruction, you plan
+end-effector keyposes. Every keypose is written as 8 numbers
+[x, y, z, qx, qy, qz, qw, grip]: meters and a unit quaternion in the world
+frame, and grip = 1 for an open gripper, 0 for closed. The gripper state
+changes exactly when a keypose with a different grip value is reached.
+Typical skills decompose into keyposes: hover above an object, descend to a
+grasp pose, close, lift, move, release. Keep every keypose inside the
+workspace bounds shown in the observation overlay, and prefer the fewest
+keyposes that accomplish the instruction reliably.
+Answer with JSON only, following exactly the schema requested in each turn.
+"""
+
+REVISE_AUX_PROMPT = """\
+Alongside the real observation you now receive SIMULATED PREVIEWS: frames a
+learned world model predicted for each hypothetical keypose plan listed
+below. Each preview item shows anchor frames (one per sub-goal) of the
+rollout for one candidate plan.
+
+Use them like this:
+1. Compare each candidate's predicted outcome against the instruction.
+2. If one candidate's preview already shows the goal being met, adopt that
+   candidate by returning its index in `action_sequence_choice`.
+3. If every preview looks wrong, return `action_sequence_choice: -1` and
+   put an improved keypose plan in `executable_plan` — change what the
+   previews revealed to be wrong (approach height, lateral offset, grip
+   timing).
+
+The previews are approximate forecasts from a generative model, not ground
+truth: trust gross outcomes (object moved / toppled / untouched), not fine
+pixel detail, and weigh them together with the real observation.
+"""
+
+EVALUATOR_PROMPT = """\
+You judge candidate manipulation trajectories. You receive the task
+instruction and, for every candidate, a natural-language description of the
+predicted rollout (objects, contacts, gripper pose and state over time).
+
+Pick the candidate whose described outcome achieves — or makes clear
+progress toward — the instruction. If several qualify, prefer the most
+direct and reliable one. If none of them helps at all, answer -1 so fresh
+candidates can be sampled.
+
+Reply with JSON only:
+{"task_goal": "<the instruction restated in one sentence>",
+ "reasoning": "<split the goal into sub-steps; check each candidate
+   against them citing the described evidence; justify the winner>",
+ "current_best_plan": <0-based index, or -1>}
+
+Ground every claim in the provided descriptions; do not invent details.
+"""
+
+EVALUATOR_PROMPT_FINAL = """\
+You judge candidate manipulation trajectories. You receive the task
+instruction and, for every candidate, a natural-language description of the
+predicted rollout (objects, contacts, gripper pose and state over time).
+
+This is the final round: you MUST commit to one candidate. Pick the one
+whose described outcome comes closest to satisfying the instruction, even
+if imperfect.
+
+Reply with JSON only:
+{"task_goal": "<the instruction restated in one sentence>",
+ "reasoning": "<split the goal into sub-steps; check each candidate
+   against them citing the described evidence; justify the winner>",
+ "current_best_plan": <0-based index — never -1>}
+
+Ground every claim in the provided descriptions; do not invent details.
+"""
+
+DESCRIPTOR_PROMPT = """\
+You describe simulated manipulation rollouts. You receive anchor frames of
+one candidate trajectory: each frame is the predicted scene after one
+action step.
+
+Report neutrally what the frames show — do not judge success. Cover the
+objects (color, shape, position), how they move across frames, any contact
+between gripper and objects, and the gripper's pose and open/closed state
+at each anchor.
+
+Reply with JSON only:
+{"scene_description": "<objects with colors, shapes, and layout>",
+ "action_trajectory_description": "<frame-by-frame account of motion,
+   contacts, and gripper state>"}
+"""
+
+
+def compose_visual_state(scene_description: str,
+                         traj_descriptions: Sequence[str]) -> str:
+    """Merge one scene description + per-candidate trajectory descriptions
+    into the evaluator's text block (generation_guide_manip.py
+    compose_visual_state role)."""
+    lines = [f"Scene: {scene_description}", ""]
+    lines.extend(traj_descriptions)
+    return "\n".join(lines)
+
+
+def candidate_description_line(idx: int, description: str) -> str:
+    return f"Candidate Action Plan <{idx}>: {description}"
+
+
+# --------------------------------------------------------------------------
+# Few-shot examples (original content; structure mirrors
+# genex_vlm_few_shot_examples: per task, 'descriptor' and 'evaluator' lists)
+# --------------------------------------------------------------------------
+
+def _descriptor_example(scene: str, traj: str) -> str:
+    return ('{"scene_description": "%s", '
+            '"action_trajectory_description": "%s"}' % (scene, traj))
+
+
+def _evaluator_example(goal: str, visual: str, reasoning: str,
+                       best: int) -> str:
+    return ('{"task_goal": "%s", "reasoning": "Observed: %s  Analysis: %s", '
+            '"current_best_plan": %d}' % (goal, visual, reasoning, best))
+
+
+_PB_SCENE = ("Three round buttons sit on the table: one on a blue base at "
+             "the left, one on a red base in the middle, one on a yellow "
+             "base at the right. The gripper hovers open above the table "
+             "center.")
+_PB_TRAJS = [
+    "The gripper descends toward the middle red-based button, presses its "
+    "cap flush with the base, then lifts back up; the blue-based button is "
+    "never touched.",
+    "The gripper translates left while descending, presses the cap of the "
+    "blue-based button until it sinks, then retracts upward with the "
+    "gripper still open.",
+]
+
+_SLIDE_SCENE = ("A small white block rests near the table center; four "
+                "colored square targets (green, red, magenta, yellow) are "
+                "printed on the tabletop around it. The gripper starts "
+                "high above the block, closed.")
+_SLIDE_TRAJS = [
+    "The gripper drops behind the block and pushes it forward; the block "
+    "slides past the green target and stops on the red square.",
+    "The gripper lowers to table height on the far side of the block and "
+    "pushes it left in two short strokes until it rests centered on the "
+    "green target, then retracts.",
+]
+
+_PEG_SCENE = ("A square base with three vertical spokes (red, green, blue) "
+              "stands on the right; a blue ring lies flat on the left. The "
+              "open gripper hovers between them.")
+_PEG_TRAJS = [
+    "The gripper descends over the blue ring, closes on its rim, lifts it, "
+    "carries it right, and lowers it around the red spoke until the ring "
+    "sits at the spoke's base.",
+    "The gripper closes on the ring, lifts, and lowers it beside the base; "
+    "the ring lands flat on the table touching no spoke.",
+]
+
+_STACK_SCENE = ("Three cups — green, red, and orange — stand upright in a "
+                "triangle. The gripper hovers open above them.")
+_STACK_TRAJS = [
+    "The gripper grasps the red cup by its rim, lifts it, and sets it down "
+    "inside the green cup; the orange cup is untouched.",
+    "The gripper grasps the green cup, lifts it, and places it on top of "
+    "the red cup, leaving the designated base cup covered.",
+]
+
+FEW_SHOT_EXAMPLES: Dict[str, Dict[str, List[str]]] = {
+    "push_buttons": {
+        "descriptor": [
+            _descriptor_example(_PB_SCENE, t) for t in _PB_TRAJS
+        ] + [_descriptor_example(
+            _PB_SCENE,
+            "The gripper sweeps over the buttons without descending; no "
+            "cap is pressed and the scene ends unchanged.")],
+        "evaluator": [_evaluator_example(
+            "Press the button with the blue base.",
+            " ".join(candidate_description_line(i, t)
+                     for i, t in enumerate(_PB_TRAJS)),
+            "The goal names the blue base. Candidate 0 presses the red "
+            "one — wrong target. Candidate 1 presses the blue-based "
+            "button's cap fully, which is exactly the goal.",
+            1)],
+    },
+    "slide_block_to_color_target": {
+        "descriptor": [
+            _descriptor_example(_SLIDE_SCENE, t) for t in _SLIDE_TRAJS
+        ] + [_descriptor_example(
+            _SLIDE_SCENE,
+            "The gripper descends onto the block from directly above and "
+            "pins it in place; the block never leaves its start position.")],
+        "evaluator": [_evaluator_example(
+            "Slide the block onto the green target.",
+            " ".join(candidate_description_line(i, t)
+                     for i, t in enumerate(_SLIDE_TRAJS)),
+            "Candidate 0 overshoots: the block ends on the red square. "
+            "Candidate 1 ends with the block centered on the green "
+            "target, meeting the goal.",
+            1)],
+    },
+    "insert_onto_square_peg": {
+        "descriptor": [
+            _descriptor_example(_PEG_SCENE, t) for t in _PEG_TRAJS
+        ] + [_descriptor_example(
+            _PEG_SCENE,
+            "The gripper closes before reaching the ring and rises empty; "
+            "the ring stays on the table.")],
+        "evaluator": [_evaluator_example(
+            "Put the blue ring on the red spoke.",
+            " ".join(candidate_description_line(i, t)
+                     for i, t in enumerate(_PEG_TRAJS)),
+            "Candidate 1 drops the ring on the table — no spoke is "
+            "threaded. Candidate 0 threads the ring down the red spoke, "
+            "which satisfies the goal.",
+            0)],
+    },
+    "stack_cups": {
+        "descriptor": [
+            _descriptor_example(_STACK_SCENE, t) for t in _STACK_TRAJS
+        ] + [_descriptor_example(
+            _STACK_SCENE,
+            "The gripper nudges the orange cup sideways; it tips over and "
+            "rolls; nothing is stacked.")],
+        "evaluator": [_evaluator_example(
+            "Stack the other cups on top of the green cup.",
+            " ".join(candidate_description_line(i, t)
+                     for i, t in enumerate(_STACK_TRAJS)),
+            "The green cup must stay the base. Candidate 1 inverts the "
+            "order by putting green on red. Candidate 0 places the red "
+            "cup into the green one — correct progress toward the stack.",
+            0)],
+    },
+}
+
+
+def few_shot_block(task: str, role: str, n: int = 1) -> str:
+    """Formatted few-shot example block for `role` in
+    {'descriptor', 'evaluator'}; descriptor examples come 3-per-shot like
+    the reference (3*n slices of the descriptor list)."""
+    ex = FEW_SHOT_EXAMPLES.get(task, {}).get(role, [])
+    count = 3 * n if role == "descriptor" else n
+    picked = ex[:count]
+    if not picked:
+        return ""
+    return "\n\n**Few-Shot Examples:**\n" + ",".join(picked)

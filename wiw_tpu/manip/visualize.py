@@ -1,0 +1,156 @@
+"""Manipulation debugging utilities: frame annotation, episode montages,
+chat logs, and result summarization.
+
+Behavioral parity (no code copied) with the reference's
+wiw_manip/planner/utils/visualize.py (annotate_frame :155-183,
+frames_to_video :301), saver.py (format_chat_dialog / chat_log.json),
+and evaluator/summarize_result.py (average_json_values)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import os.path as osp
+from glob import glob
+from typing import List, Optional
+
+import numpy as np
+
+
+def annotate_frame(img: np.ndarray, text: str, banner_frac: float = 0.08,
+                   ) -> np.ndarray:
+    """Add a dark banner with `text` above an [H, W, 3] uint8 frame
+    (annotate_frame :155-183 role). Uses PIL's default font; pure-numpy
+    fallback (banner only) when PIL is unavailable."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    h, w = img.shape[:2]
+    bh = max(12, int(h * banner_frac))
+    try:
+        from PIL import Image, ImageDraw
+
+        canvas = Image.new("RGB", (w, h + bh), (20, 20, 20))
+        canvas.paste(Image.fromarray(img), (0, bh))
+        draw = ImageDraw.Draw(canvas)
+        tw = draw.textlength(text)
+        draw.text((max(0, (w - tw) // 2), max(0, bh // 2 - 6)), text,
+                  fill=(240, 240, 240))
+        return np.asarray(canvas)
+    except Exception:
+        out = np.zeros((h + bh, w, 3), np.uint8)
+        out[:bh] = 20
+        out[bh:] = img
+        return out
+
+
+def anchor_montage(frames: List[np.ndarray]) -> np.ndarray:
+    """Horizontally tile anchor frames into one strip (the reference saves
+    an nrow=len grid, igenex_planner.py:420-423)."""
+    hs = [f.shape[0] for f in frames]
+    H = max(hs)
+    padded = [
+        np.pad(f, ((0, H - f.shape[0]), (0, 0), (0, 0))) for f in frames
+    ]
+    return np.concatenate(padded, axis=1)
+
+
+def save_anchor_frames(save_dir: str, frames: List[np.ndarray],
+                       stem: str = "front_rgb_pred") -> List[str]:
+    """Write per-anchor PNGs + the montage strip; returns the PNG paths."""
+    from PIL import Image
+
+    os.makedirs(save_dir, exist_ok=True)
+    paths = []
+    for i, f in enumerate(frames):
+        p = osp.join(save_dir, f"{stem}_{i}.png")
+        Image.fromarray(np.asarray(f, np.uint8)).save(p)
+        paths.append(p)
+    if frames:
+        Image.fromarray(anchor_montage(frames)).save(
+            osp.join(save_dir, f"{stem}.png"))
+    return paths
+
+
+def save_chat_log(save_dir: str, messages, responses,
+                  stem: str = "chat_log") -> str:
+    """Persist a planner VLM exchange as timestamped JSON
+    (saver.format_chat_dialog + save_chat_log role). Image payloads are
+    elided to keep logs readable."""
+
+    def _strip(content):
+        if isinstance(content, list):
+            return [
+                c if c.get("type") == "text"
+                else {"type": c.get("type", "image"), "elided": True}
+                for c in content
+            ]
+        return content
+
+    dialog = [
+        {"role": m.get("role", "user"), "content": _strip(m.get("content"))}
+        for m in (messages or [])
+    ]
+    log = {"dialog": dialog, "responses": responses}
+    os.makedirs(save_dir, exist_ok=True)
+    ts = datetime.datetime.now().strftime("%m%d_%H%M%S")
+    path = osp.join(save_dir, f"{stem}_{ts}.json")
+    with open(path, "w") as f:
+        json.dump(log, f, indent=2, default=str)
+    return path
+
+
+def save_trajectory_json(save_dir: str, plan, trajectory,
+                         name: str = "action_seq.json") -> str:
+    """Persist (keypose plan, dense trajectory) next to the imagined frames
+    (saver.save_action_sequence role)."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = osp.join(save_dir, name)
+    with open(path, "w") as f:
+        json.dump({
+            "plan": np.asarray(plan, float).tolist(),
+            "trajectory": np.asarray(trajectory, float).tolist(),
+        }, f)
+    return path
+
+
+def average_json_values(json_dir: str, target_file: str = "*.json",
+                        output_file: Optional[str] = "summary_all.json",
+                        selected_key: Optional[List[str]] = None) -> dict:
+    """Average numeric fields across matching result JSONs, recursively
+    (summarize_result.py:6-46 role): scalar and numeric-list fields are
+    averaged; everything else is dropped. Writes `output_file` in
+    `json_dir` unless None."""
+    acc: dict = {}
+    counts: dict = {}
+    files = sorted(glob(osp.join(json_dir, "**", target_file),
+                        recursive=True))
+    files = [f for f in files
+             if output_file is None or osp.basename(f) != output_file]
+    for path in files:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if selected_key is not None and k not in selected_key:
+                continue
+            if isinstance(v, bool):
+                v = float(v)
+            if isinstance(v, (int, float)):
+                acc[k] = acc.get(k, 0.0) + float(v)
+                counts[k] = counts.get(k, 0) + 1
+            elif (isinstance(v, list) and v
+                  and all(isinstance(x, (int, float)) for x in v)):
+                acc[k] = acc.get(k, 0.0) + float(np.mean(v))
+                counts[k] = counts.get(k, 0) + 1
+    summary = {k: acc[k] / counts[k] for k in acc}
+    summary["num_files"] = len(files)
+    if output_file is not None and files:
+        with open(osp.join(json_dir, output_file), "w") as f:
+            json.dump(summary, f, indent=2)
+    return summary

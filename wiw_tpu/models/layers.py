@@ -190,12 +190,25 @@ class GroupNorm(nn.Module):
         # activation tensor on TPU.
         spatial = tuple(range(1, x.ndim - 1))
         count = cg * math.prod(x.shape[1:-1])
-        s1 = xf.sum(axis=spatial)
-        s2 = (xf * xf).sum(axis=spatial)
+        bshape0 = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
+        # Pilot shift: E[x^2]-E[x]^2 alone cancels catastrophically when
+        # |mean|/std is large (wrong output at mean/std ~ 1e3). Subtracting a
+        # per-group sample of x itself (spatial index 0) before squaring keeps
+        # |E[x-p]| ~ O(std), so the subtraction is always well-conditioned,
+        # while the shifted reduce fuses into the same single pass over xf.
+        pilot = jax.lax.stop_gradient(
+            xf[(slice(None),) + (0,) * (x.ndim - 2) + (slice(None),)]
+        )
+        pilot = pilot.reshape(x.shape[0], groups, cg).mean(-1)
+        pilot_c = jnp.repeat(pilot, cg, axis=-1).reshape(bshape0)
+        d = xf - pilot_c
+        s1 = d.sum(axis=spatial)
+        s2 = (d * d).sum(axis=spatial)
         s1 = s1.reshape(x.shape[0], groups, cg).sum(-1)
         s2 = s2.reshape(x.shape[0], groups, cg).sum(-1)
-        mean = s1 / count
-        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        dmean = s1 / count
+        var = jnp.maximum(s2 / count - dmean * dmean, 0.0)
+        mean = pilot + dmean
         rstd = jax.lax.rsqrt(var + self.eps)
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
         mean_c = jnp.repeat(mean, cg, axis=-1).reshape(bshape)

@@ -13,12 +13,19 @@ Replaces the reference's torch/xformers/flash-attn CUDA attention
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 # Minimum q-length before the Pallas kernel wins over fused XLA attention.
 _PALLAS_MIN_SEQ = 1024
+
+# Tuning env vars (WIW_FLASH_BQ here; WIW_FUSED_FF* / WIW_TEMPORAL_ATTN in
+# the model modules) are read ONCE at import: the dispatch fns are
+# lru_cached and the traced programs live in jit caches, so a mid-process
+# change could never take effect anyway. Set them before importing wiw_tpu.
+_FLASH_BQ_CAP = int(os.environ.get("WIW_FLASH_BQ", "768"))
 
 
 def _is_tpu() -> bool:
@@ -75,9 +82,7 @@ def _custom_flash_fn(q_seq: int, kv_seq: int):
     # embedded in the full UNet program (bq=1024 OOMs there unless
     # --xla_tpu_scoped_vmem_limit_kib is raised, which the axon relay
     # rejects); full-fwd 1032 ms @512 -> 1025 ms @768.
-    import os
-
-    bq_cap = int(os.environ.get("WIW_FLASH_BQ", "768"))
+    bq_cap = _FLASH_BQ_CAP
     bq = _best_block(q_seq, cap=bq_cap)
     bkv = _best_block(kv_seq, cap=1152)
     fwd_fn = functools.partial(flash_attention_bhsd, bq=bq, bkv=bkv)

@@ -245,6 +245,12 @@ def ln_geglu_ffn_residual_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
     b1a, b1b = b1[None, :inner], b1[None, inner:]
     bm = _pick_bm(M, C)
     bn = _pick(inner, _LNFF_BN)
+    if bm == 0 or inner % bn != 0:
+        raise ValueError(
+            f"ln_geglu_ffn_residual_pallas requires the flattened row count "
+            f"({M}) to be a multiple of 128 and inner dim ({inner}) to be "
+            f"divisible by the block size; got bm={bm}, bn={bn}"
+        )
     grid = (M // bm, inner // bn)
     out = pl.pallas_call(
         functools.partial(_lnff_kernel, eps),

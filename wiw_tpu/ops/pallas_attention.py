@@ -178,6 +178,11 @@ def flash_attention_bhsd(
     grid = (B * H, Sq // bq)
 
     if kernel == "v2":
+        if unroll2:
+            raise ValueError(
+                "unroll2 only applies to kernel='v1' (the v2 kernel has no "
+                "unrolled variant); pass kernel='v1' for unroll ablations"
+            )
         ones = jnp.ones((B * H, Skv, 1), v.dtype)
         vf = jnp.concatenate([vf, ones], axis=2)
         out = pl.pallas_call(

@@ -82,6 +82,11 @@ class SVDPipeline:
         self.vae = AutoencoderKLTemporal(vae_config)
         self.clip = CLIPVisionModel(clip_config)
         self.params = params
+        # Per-instance jit caches. A class-level functools.lru_cache would
+        # key on `self` and strongly retain dropped pipelines (full param
+        # trees) — a slow HBM/host-memory leak when pipelines are recreated.
+        self._generate_cache: dict = {}
+        self._decode_cache: dict = {}
 
     # ------------------------------------------------------------------
     def init_params(self, key: jax.Array, gen: GenerationConfig) -> dict:
@@ -169,6 +174,7 @@ class SVDPipeline:
         actions: Optional[jnp.ndarray] = None,
         past_images: Optional[jnp.ndarray] = None,
         mesh=None,
+        init_latents: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """image: [B, H, W, 3] in [-1, 1]; actions: [B, F] ids or [B, F, 8]
         poses or None. Returns video [B, F, H, W, 3] in [0, 1] (fp32).
@@ -180,7 +186,8 @@ class SVDPipeline:
         """
         assert self.params is not None, "load or init params first"
         fn = self._jitted_generate(gen, actions is not None,
-                                   past_images is not None, mesh)
+                                   past_images is not None, mesh,
+                                   init_latents is not None)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -199,18 +206,26 @@ class SVDPipeline:
                 actions = jax.device_put(actions, bsh)
             if past_images is not None:
                 past_images = jax.device_put(past_images, bsh)
-            latents = fn(params, key, image, actions, past_images)
+            latents = fn(params, key, image, actions, past_images,
+                         init_latents)
             return self._decode_chunked(params, latents, gen)
-        latents = fn(self.params, key, image, actions, past_images)
+        latents = fn(self.params, key, image, actions, past_images,
+                     init_latents)
         return self._decode_chunked(self.params, latents, gen)
 
-    @functools.lru_cache(maxsize=32)
-    def _jitted_generate(self, gen, has_actions, has_past, mesh=None):
+    def _jitted_generate(self, gen, has_actions, has_past, mesh=None,
+                         has_init_latents=False):
         """One compiled executable per (gen-config, arg-presence) bucket."""
-        return jax.jit(functools.partial(self._generate_impl, gen))
+        key = (gen, has_actions, has_past, mesh, has_init_latents)
+        fn = self._generate_cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._generate_impl, gen))
+            self._generate_cache[key] = fn
+        return fn
 
     # the jitted body: pure in `params` ---------------------------------
-    def _generate_impl(self, gen, params, key, image, actions, past_images):
+    def _generate_impl(self, gen, params, key, image, actions, past_images,
+                       init_latents=None):
         cfg = self.unet_config
         B, H, W, _ = image.shape
         F = gen.num_frames
@@ -254,7 +269,11 @@ class SVDPipeline:
 
         # 4. schedule + correlated init noise
         sigmas = S.karras_sigmas(gen.num_inference_steps, gen.edm)
-        if (
+        if init_latents is not None:
+            # injected noise (the reference pipeline's `latents` argument):
+            # bypasses the rotation path, like prepare_latents :345-362
+            noise = init_latents
+        elif (
             gen.task_type == "navigation"
             and actions is not None
             and actions.ndim == 2
@@ -263,7 +282,10 @@ class SVDPipeline:
             noise = jnp.moveaxis(noise, 2, -1)  # -> [B, F, h, w, 4]
         else:
             noise = jax.random.normal(k_lat, (B, F, h, w, 4))
-        latents = noise * sigmas[0]
+        # init scale = EulerDiscrete.init_noise_sigma: sqrt(sigma_max^2 + 1)
+        # for the SVD scheduler's 'leading' spacing (scheduling_euler_
+        # discrete.py:262-268), not bare sigma_max
+        latents = noise * jnp.sqrt(sigmas[0] ** 2 + 1.0)
 
         guidance = S.guidance_scales(
             F, gen.min_guidance_scale, gen.max_guidance_scale
@@ -299,9 +321,12 @@ class SVDPipeline:
         )
         return jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
 
-    @functools.lru_cache(maxsize=32)
     def _jitted_decode(self, size):
-        return jax.jit(functools.partial(self._decode_impl, size))
+        fn = self._decode_cache.get(size)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._decode_impl, size))
+            self._decode_cache[size] = fn
+        return fn
 
     def _decode_chunked(self, params, latents, gen: GenerationConfig):
         """Chunked VAE decode as SEPARATE compiled calls per chunk.

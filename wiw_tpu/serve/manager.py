@@ -52,6 +52,12 @@ class Executor:
     def stop(self) -> None:
         pass
 
+    def accepts(self, payload: dict) -> bool:
+        """Shape/bucket routing hook: dispatch only offers this executor
+        payloads it accepts (default: everything). Lets per-bucket
+        continuous engines coexist behind one manager."""
+        return True
+
 
 class InProcessExecutor(Executor):
     """Continuous micro-batching over an in-process task function.
@@ -69,6 +75,10 @@ class InProcessExecutor(Executor):
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.pending = 0
+        # submit() runs on client-handler threads while _loop decrements on
+        # the executor thread; unlocked += would let the counter drift and
+        # skew least-pending dispatch and __stats__.
+        self._pending_lock = threading.Lock()
 
     def start(self, result_queue):
         self._results = result_queue
@@ -76,7 +86,8 @@ class InProcessExecutor(Executor):
         self._thread.start()
 
     def submit(self, client_id, task_id, payload):
-        self.pending += 1
+        with self._pending_lock:
+            self.pending += 1
         self._inbox.put((client_id, task_id, payload))
 
     def stop(self):
@@ -112,7 +123,8 @@ class InProcessExecutor(Executor):
                 for (cid, tid, _), n in zip(items, sizes):
                     part = merge_output_dicts(outs[idx : idx + n])
                     idx += n
-                    self.pending -= 1
+                    with self._pending_lock:
+                        self.pending -= 1
                     self._results.put((cid, tid, part))
             except Exception:
                 # error isolation: one bad item must not fail co-batched
@@ -120,7 +132,8 @@ class InProcessExecutor(Executor):
                 # micro-batch is our optimization, so unmerge on failure
                 # and run each sub-task alone, reporting its own error)
                 for cid, tid, payload in items:
-                    self.pending -= 1
+                    with self._pending_lock:
+                        self.pending -= 1
                     try:
                         self._results.put((cid, tid, self.task_fn(payload)))
                     except Exception as e:
@@ -138,13 +151,17 @@ class ContinuousExecutor(Executor):
     `postprocess(video_01)` -> uint8 [T, C, H, W] per item.
     """
 
-    def __init__(self, engine, encode_item: Callable, postprocess: Callable):
+    def __init__(self, engine, encode_item: Callable, postprocess: Callable,
+                 bucket: Optional[tuple] = None):
         self.engine = engine
         self.encode_item = encode_item
         self.postprocess = postprocess
+        # (height, width) this engine generates at; None = accept anything
+        self.bucket = bucket
         self._inbox: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self.pending = 0
+        self._pending_lock = threading.Lock()
         self._seed = 0
 
     def start(self, result_queue):
@@ -152,11 +169,23 @@ class ContinuousExecutor(Executor):
         threading.Thread(target=self._loop, daemon=True).start()
 
     def submit(self, client_id, task_id, payload):
-        self.pending += 1
+        with self._pending_lock:
+            self.pending += 1
         self._inbox.put((client_id, task_id, payload))
 
     def stop(self):
         self._stop.set()
+
+    def accepts(self, payload: dict) -> bool:
+        """Bucket routing: requests carrying extra['gen_size'] = [H, W] go
+        to the matching engine; unsized requests go to the default-bucket
+        executor (bucket=None accepts everything)."""
+        if self.bucket is None:
+            return True
+        size = (payload.get("extra") or {}).get("gen_size")
+        if size is None:
+            return getattr(self, "is_default", False)
+        return tuple(size) == tuple(self.bucket)
 
     def _loop(self):
         import jax
@@ -185,15 +214,17 @@ class ContinuousExecutor(Executor):
                 payload = task_state[(cid, tid)]["payload"]
                 try:
                     image, actions = self.encode_item(payload, i)
+                    self._seed += 1
+                    rid = self.engine.admit(
+                        image, actions, jax.random.PRNGKey(self._seed)
+                    )
                 except Exception as e:
+                    # per-item error isolation: a malformed item (e.g. a
+                    # bucket-mismatched image) fails alone
                     task_state[(cid, tid)]["videos"][i] = e
                     task_state[(cid, tid)]["remaining"] -= 1
                     admitted.append((cid, tid, i))
                     continue
-                self._seed += 1
-                rid = self.engine.admit(
-                    image, actions, jax.random.PRNGKey(self._seed)
-                )
                 if rid is None:
                     break  # pool full; retry next tick
                 rid_map[rid] = (cid, tid, i)
@@ -212,7 +243,8 @@ class ContinuousExecutor(Executor):
                 cid, tid = key
                 ts = task_state.pop(key)
                 errs = [v for v in ts["videos"] if isinstance(v, Exception)]
-                self.pending -= 1
+                with self._pending_lock:
+                    self.pending -= 1
                 if errs:
                     self._results.put((cid, tid, {
                         "error": repr(errs[0]), "save_dirs": [],
@@ -408,14 +440,23 @@ class ManagerServer:
                 handler.deliver(tid, result)
 
     def dispatch(self, client_id: int, task_id: int, payload: dict):
-        """Least-pending dispatch across live executors
-        (worker_manager.py:555-570)."""
+        """Least-pending dispatch across live executors that accept the
+        payload's bucket (worker_manager.py:555-570 + shape routing)."""
         live = [e for e in self.executors if e.alive]
         if not live:
             self._results.put((client_id, task_id,
                                {"error": "no live workers", "save_dirs": []}))
             return
-        ex = min(live, key=lambda e: e.pending)
+        eligible = [e for e in live if e.accepts(payload)]
+        if not eligible:
+            self._results.put((client_id, task_id, {
+                "error": "no worker accepts this request's generation "
+                         "bucket; start the manager with a matching "
+                         "--buckets entry",
+                "save_dirs": [],
+            }))
+            return
+        ex = min(eligible, key=lambda e: e.pending)
         ex.submit(client_id, task_id, payload)
 
 

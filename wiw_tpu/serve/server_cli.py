@@ -51,24 +51,49 @@ def build_executors(args, extra):
     if args.warmup_batches:
         worker.warmup(tuple(int(b) for b in args.warmup_batches.split(",")))
     if args.executor == "continuous":
-        return [make_continuous_executor(worker, args.num_slots)]
+        execs = [make_continuous_executor(worker, args.num_slots)]
+        execs[0].is_default = True
+        # extra generation buckets share the resident params: one engine
+        # (own compiled executables + slot pool) per (H, W); requests route
+        # by extra['gen_size'] (manager.dispatch accepts-filter)
+        for spec_str in filter(None, (args.buckets or "").split(",")):
+            h, w = (int(x) for x in spec_str.lower().split("x"))
+            execs.append(make_continuous_executor(
+                worker, args.num_slots, bucket=(h, w)))
+        return execs
     return [InProcessExecutor(worker, max_batch=args.max_batch)]
 
 
-def make_continuous_executor(worker, num_slots: int):
+def make_continuous_executor(worker, num_slots: int, bucket=None):
     """Step-level continuous batching over the worker's pipeline
-    (serve/continuous.py): items join between Euler steps."""
+    (serve/continuous.py): items join between Euler steps. `bucket`
+    = (height, width) for a non-default generation size sharing the same
+    resident params."""
+    import dataclasses
+
     import numpy as np
 
     from wiw_tpu.serve.continuous import ContinuousEngine
     from wiw_tpu.serve.manager import ContinuousExecutor
 
-    engine = ContinuousEngine(worker.pipe, worker.gen, num_slots=num_slots)
+    gen = worker.gen
+    if bucket is not None:
+        gen = dataclasses.replace(gen, height=bucket[0], width=bucket[1])
+    engine = ContinuousEngine(worker.pipe, gen, num_slots=num_slots)
 
     def encode_item(payload, i):
         images = worker._load_cond_images(payload)  # [B, H, W, 3] in [-1,1]
+        if images.shape[1:3] != (gen.height, gen.width):
+            from PIL import Image
+
+            u8 = ((images[i] + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+            r = np.asarray(Image.fromarray(u8).resize(
+                (gen.width, gen.height)))
+            img = r.astype(np.float32) / 127.5 - 1.0
+        else:
+            img = images[i]
         actions = np.asarray(payload["b_action"])[i]
-        return images[i], actions
+        return img, actions
 
     def postprocess(video01):
         from PIL import Image
@@ -80,7 +105,8 @@ def make_continuous_executor(worker, num_slots: int):
         ])
         return np.transpose(out, (0, 3, 1, 2))  # TCHW
 
-    return ContinuousExecutor(engine, encode_item, postprocess)
+    return ContinuousExecutor(engine, encode_item, postprocess,
+                              bucket=bucket)
 
 
 def main(argv=None):
@@ -105,6 +131,11 @@ def main(argv=None):
                          "claims a denoise slot and joins BETWEEN Euler "
                          "steps; 'batch' = whole-request micro-batching")
     ap.add_argument("--num_slots", type=int, default=4)
+    ap.add_argument("--buckets", default="",
+                    help="extra continuous-engine generation buckets, "
+                         "e.g. '256x256,320x576'; requests select one via "
+                         "extra={'gen_size': [H, W]} (default bucket = the "
+                         "worker's configured size)")
     ap.add_argument("--warmup_batches", default="1",
                     help="comma-separated batch buckets to precompile "
                          "('' to skip)")

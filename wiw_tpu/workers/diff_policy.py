@@ -1,0 +1,205 @@
+"""3D-Diffuser-Actor policy worker (the diff-* manipulation proposal arm).
+
+Behavioral parity (no code copied) with the reference's in-process policy
+(wiw_manip/planner/diff_planner.py:29-108):
+  * DiffuserActor constructed with the benchmark settings (clip backbone,
+    256x256 views, embedding 192, 6D rotation, wxyz quats, 100 diffusion
+    steps, nhist=1) and a per-task checkpoint whose state-dict keys carry a
+    'module.' DDP prefix (:58-63)
+  * per-task gripper workspace bounds from a JSON of min/max corners, with
+    a buffer; unknown task -> union of all tasks' bounds (:13-27)
+  * forward: 5 camera views (front, wrist, left/right shoulder, overhead)
+    RGB + point clouds nearest-resized to 256^2, gripper history replicated
+    to nhist, a False trajectory mask of length `traj_len`; sampling
+    `query_num` trajectories = `query_num` stochastic forwards (:79-108)
+
+TPU-native shape: the torch policy runs as an EXTERNAL worker behind the
+framed-pipe protocol (the reference runs it in-process on CUDA); the
+solver side talks to it through manip/policy.RemotePolicyProposer. The
+module imports torch/diffuser_actor lazily so it is importable — and
+contract-testable with --fake_pipe — in any env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import List, Optional
+
+import numpy as np
+
+VIEW_ORDER = ("front", "wrist", "left_shoulder", "right_shoulder", "overhead")
+
+
+def load_gripper_bounds(path: str, task: Optional[str] = None,
+                        buffer: float = 0.04) -> np.ndarray:
+    """[2, 3] min/max workspace corners for `task`, or the union over all
+    tasks when the task is absent (diff_planner.get_gripper_loc_bounds
+    semantics)."""
+    with open(path) as f:
+        table = json.load(f)
+    if task is not None and task in table:
+        lo, hi = np.asarray(table[task][0]), np.asarray(table[task][1])
+    else:
+        los = np.stack([np.asarray(b[0]) for b in table.values()])
+        his = np.stack([np.asarray(b[1]) for b in table.values()])
+        lo, hi = los.min(0), his.max(0)
+    return np.stack([lo - buffer, hi + buffer])
+
+
+class DiffPolicyWorker:
+    """input_dict (extra.kind == 'policy_proposal') -> {'proposals'}."""
+
+    name = "diff_policy"
+
+    def __init__(self, args, model=None):
+        self.args = args
+        self.model = model
+        if self.model is None and not getattr(args, "fake_pipe", False):
+            self.model = self._load_model(args)
+
+    # -- model loading ---------------------------------------------------
+    def _load_model(self, args):
+        import torch
+        from diffuser_actor.trajectory_optimization.diffuser_actor import (
+            DiffuserActor,
+        )
+
+        bounds = None
+        if args.gripper_bounds_json:
+            bounds = load_gripper_bounds(
+                args.gripper_bounds_json, task=args.task or None
+            )
+        model = DiffuserActor(
+            backbone="clip",
+            image_size=(256, 256),
+            embedding_dim=192,
+            num_vis_ins_attn_layers=2,
+            use_instruction=False,
+            fps_subsampling_factor=5,
+            gripper_loc_bounds=bounds,
+            rotation_parametrization="6D",
+            quaternion_format="wxyz",
+            diffusion_timesteps=100,
+            nhist=1,
+            relative=False,
+            lang_enhanced=False,
+        )
+        payload = torch.load(args.ckpt_path, map_location="cpu")
+        weights = {k[len("module."):] if k.startswith("module.") else k: v
+                   for k, v in payload["weight"].items()}
+        model.load_state_dict(weights)
+        model.to(args.device)
+        model.eval()
+        return model
+
+    # -- proposal --------------------------------------------------------
+    def _propose_fake(self, gripper_history: np.ndarray,
+                      num: int) -> np.ndarray:
+        """Deterministic straight-line trajectories (contract tests)."""
+        T = self.args.traj_len
+        last = np.asarray(gripper_history[-1], np.float32)
+        pose = np.concatenate([last, [1.0]])[:8] if last.shape[0] == 7 \
+            else last[:8]
+        out = np.empty((num, T, 8), np.float32)
+        for i in range(num):
+            ts = np.linspace(0.0, 1.0, T, dtype=np.float32)
+            target = pose[:3] + np.array(
+                [0.2, 0.05 * (i - (num - 1) / 2), -0.1], np.float32
+            )
+            out[i, :, :3] = (1 - ts[:, None]) * pose[:3] + ts[:, None] * target
+            out[i, :, 3:7] = pose[3:7]
+            out[i, :, 7] = np.where(ts > 0.75, 1.0 - pose[7], pose[7])
+        return out
+
+    def _propose_real(self, views: dict, pcd: Optional[np.ndarray],
+                      gripper_history: np.ndarray, num: int) -> np.ndarray:
+        import torch
+        import torch.nn.functional as F
+
+        device = next(self.model.parameters()).device
+        rgb_stack, pcd_stack = [], []
+        for i, v in enumerate(VIEW_ORDER):
+            img = views.get(f"{v}_rgb")
+            if img is None:  # missing views fall back to the front camera
+                img = views[f"{VIEW_ORDER[0]}_rgb"]
+            rgb_stack.append(np.asarray(img, np.float32))
+            if pcd is not None:
+                p = pcd[i] if pcd.ndim == 4 else pcd
+                pcd_stack.append(np.asarray(p, np.float32))
+        rgb = torch.from_numpy(np.stack(rgb_stack)).permute(0, 3, 1, 2)
+        rgb = F.interpolate(rgb, size=(256, 256), mode="nearest")
+        rgb = rgb.unsqueeze(0).to(device)
+        if pcd_stack:
+            pc = torch.from_numpy(np.stack(pcd_stack)).permute(0, 3, 1, 2)
+            pc = F.interpolate(pc, size=(256, 256), mode="nearest")
+            pc = pc.unsqueeze(0).to(device)
+        else:
+            pc = torch.zeros_like(rgb)
+        grip = torch.from_numpy(
+            np.asarray(gripper_history, np.float32)
+        ).reshape(1, -1, 7)[:, -1:].to(device)
+        mask = torch.full((1, self.args.traj_len), False, device=device)
+        trajs = []
+        for _ in range(num):
+            with torch.no_grad():
+                t = self.model.forward(
+                    None, mask, rgb / 255.0, pc, None, grip,
+                    run_inference=True,
+                )
+            trajs.append(t.squeeze(0).detach().cpu().numpy())
+        return np.stack(trajs).astype(np.float32)
+
+    # -- serving surface -------------------------------------------------
+    def __call__(self, input_dict: dict) -> dict:
+        assert input_dict["request_model_name"] == self.name, (
+            input_dict.get("request_model_name"), self.name
+        )
+        extra = input_dict.get("extra") or {}
+        assert extra.get("kind") == "policy_proposal", extra.get("kind")
+        num = int(extra.get("num", 1))
+        hist = np.asarray(extra["gripper_history"], np.float32)
+        if self.model is None:
+            proposals = self._propose_fake(hist, num)
+        else:
+            proposals = self._propose_real(
+                extra.get("views") or {}, extra.get("pcd"), hist, num
+            )
+        return {"save_dirs": list(input_dict["save_dirs"]),
+                "proposals": proposals}
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("diff_policy")
+    p.add_argument("--ckpt_path", default="")
+    p.add_argument("--gripper_bounds_json", default="")
+    p.add_argument("--task", default="")
+    p.add_argument("--device", default="cuda")
+    p.add_argument("--traj_len", type=int, default=50,
+                   help="dense proposal length (executed_action_per_step)")
+    p.add_argument("--fake_pipe", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args, _ = build_arg_parser().parse_known_args(argv)
+    worker = DiffPolicyWorker(args)
+    if args.debug:
+        out = worker({
+            "b_action": np.zeros((2, 1, 8), np.float32),
+            "save_dirs": ["/tmp/dp", "/tmp/dp"],
+            "request_model_name": "diff_policy",
+            "return_objects": [True, True],
+            "extra": {"kind": "policy_proposal", "num": 2,
+                      "gripper_history": np.zeros((1, 7), np.float32)},
+        })
+        print("debug sample ok:", out["proposals"].shape)
+        return
+    from wiw_tpu.serve.worker import main_from_argv
+
+    main_from_argv(worker)
+
+
+if __name__ == "__main__":
+    main()
