@@ -55,6 +55,11 @@ WM_REGISTRY: Dict[str, dict] = {
     # commercial API world model (the reference references a runway worker
     # it never shipped, SURVEY.md 2.10)
     "gen4tur": {"mode": "text", "worker": "wiw_tpu.workers.zoo.runway_worker"},
+    # 3D-Diffuser-Actor proposal policy for the manip diff-* arms
+    # (diff_planner.py:29-108 runs it in-process; here it is an external
+    # torch worker behind the pipe protocol, manip/policy.py)
+    "diff_policy": {"mode": "policy",
+                    "worker": "wiw_tpu.workers.diff_policy"},
 }
 
 OUT_WIDTH_DEFAULT = 480  # workers_cfg.py:14-16
