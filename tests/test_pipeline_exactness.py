@@ -1,0 +1,327 @@
+"""Pipeline-level golden exactness vs the vendored reference fork.
+
+Extends the proven UNet-forward exactness (tests/test_unet_exactness.py) to
+the FULL generation path at random weights: the reference
+`StableVideoDiffusionPipeline.__call__` (torch fork, tiny config) runs
+against `sampling/pipeline.SVDPipeline.generate` end-to-end — CLIP image
+conditioning, VAE cond-image encode (mode), CFG batch fold, karras/Euler
+schedule with continuous timesteps, per-frame guidance linspace, EDM
+v-combine, Euler steps, chunked temporal VAE decode — and the final frames
+must match to fp32 tolerance over >= 2 denoise steps.
+
+Determinism notes (what makes bit-level comparison possible):
+  * identical init noise injected into both (`latents=` / `init_latents=`)
+  * noise_aug_strength=0 (the aug noise draw multiplies to zero... but the
+    torch path still perturbs the image; 0 makes both sides exact)
+  * image at 224x224 = CLIP input size, so neither side resizes
+  * micro_cond action ids: ours from core.actions.get_action_ids (already
+    golden-tested); the reference receives B rows under no_grad and
+    CFG-repeats internally (unet_spatio_temporal_condition.py:485-492)
+
+Reference parity anchors: pipeline_stable_video_diffusion.py:383-638,
+scheduling_euler_discrete.py (karras + continuous timesteps +
+init_noise_sigma :262-268), autoencoder_kl_temporal_decoder.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/FTsvd/diffusers-private"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference diffusers fork not present"
+)
+
+H = W = 224          # = CLIP image size -> no resize on either side
+F = 4                # frames
+STEPS = 2            # denoise steps
+CROSS = 64           # cross-attention / CLIP projection dim
+
+
+def _ref_modules():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from diffusers.models.autoencoders.autoencoder_kl_temporal_decoder import (
+        AutoencoderKLTemporalDecoder,
+    )
+    from diffusers.models.unets.unet_spatio_temporal_condition import (
+        UNetSpatioTemporalConditionModel,
+    )
+    from diffusers.pipelines.stable_video_diffusion.pipeline_stable_video_diffusion import (
+        StableVideoDiffusionPipeline,
+    )
+    from diffusers.schedulers.scheduling_euler_discrete import (
+        EulerDiscreteScheduler,
+    )
+
+    return (AutoencoderKLTemporalDecoder, UNetSpatioTemporalConditionModel,
+            StableVideoDiffusionPipeline, EulerDiscreteScheduler)
+
+
+def _build_ref_pipeline():
+    (AutoencoderKLTemporalDecoder, UNetSpatioTemporalConditionModel,
+     StableVideoDiffusionPipeline, EulerDiscreteScheduler) = _ref_modules()
+    from transformers import CLIPImageProcessor, CLIPVisionConfig
+    from transformers import CLIPVisionModelWithProjection
+
+    torch.manual_seed(0)
+    unet = UNetSpatioTemporalConditionModel(
+        sample_size=W // 8,
+        in_channels=8,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        num_attention_heads=(2, 4),
+        layers_per_block=1,
+        cross_attention_dim=CROSS,
+        num_frames=F,
+        down_block_types=(
+            "CrossAttnDownBlockSpatioTemporal",
+            "DownBlockSpatioTemporal",
+        ),
+        up_block_types=(
+            "UpBlockSpatioTemporal",
+            "CrossAttnUpBlockSpatioTemporal",
+        ),
+        transformer_layers_per_block=1,
+        addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=768,
+        action_strategy="micro_cond",
+        task_type="navigation",
+        action_input_channel=F,
+    ).eval()
+    vae = AutoencoderKLTemporalDecoder(
+        in_channels=3,
+        out_channels=3,
+        down_block_types=("DownEncoderBlock2D",) * 4,
+        block_out_channels=(32, 32, 32, 32),
+        layers_per_block=2,  # the real SVD VAE depth: the temporal
+        # decoder's mid block is resnet->attn->resnet only at 2 layers
+        latent_channels=4,
+        sample_size=W,
+    ).eval()
+    clip = CLIPVisionModelWithProjection(CLIPVisionConfig(
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        image_size=H,
+        patch_size=56,
+        projection_dim=CROSS,
+        hidden_act="gelu",  # SVD's image encoder is laion ViT-H (gelu);
+        # the HF config default is OpenAI's quick_gelu
+    )).eval()
+    # the SVD scheduler operating point (scheduler_config.json of
+    # stable-video-diffusion-img2vid; karras sigmas in [0.002, 700],
+    # v-prediction, continuous timesteps t = 0.25 log sigma)
+    sched = EulerDiscreteScheduler(
+        num_train_timesteps=1000,
+        beta_start=0.00085,
+        beta_end=0.012,
+        beta_schedule="scaled_linear",
+        interpolation_type="linear",
+        prediction_type="v_prediction",
+        sigma_max=700.0,
+        sigma_min=0.002,
+        steps_offset=1,
+        timestep_spacing="leading",
+        timestep_type="continuous",
+        use_karras_sigmas=True,
+    )
+    pipe = StableVideoDiffusionPipeline(
+        vae=vae,
+        image_encoder=clip,
+        unet=unet,
+        scheduler=sched,
+        feature_extractor=CLIPImageProcessor(),
+    )
+    return pipe, unet, vae, clip
+
+
+def _build_wiw_pipeline(unet, vae, clip):
+    import jax.numpy as jnp
+
+    from wiw_tpu.models.clip import CLIPVisionConfig as WCLIPConfig
+    from wiw_tpu.models.convert import convert_state_dict
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.models.vae import VAEConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+
+    unet_cfg = UNetConfig(
+        in_channels=8,
+        out_channels=4,
+        block_out_channels=(32, 64),
+        num_attention_heads=(2, 4),
+        layers_per_block=1,
+        cross_attention_dim=CROSS,
+        addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=768,
+        num_frames=F,
+        action_strategy="micro_cond",
+        action_input_channel=F,
+        dtype="float32",
+    )
+    vae_cfg = VAEConfig(block_out_channels=(32, 32, 32, 32),
+                        layers_per_block=2)
+    clip_cfg = WCLIPConfig(
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=1,
+        num_heads=2,
+        patch_size=56,
+        projection_dim=CROSS,
+    )
+
+    def sd(mod):
+        return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+    params = {
+        "unet": convert_state_dict(sd(unet)),
+        "vae": convert_state_dict(sd(vae)),
+        "clip": convert_state_dict(sd(clip)),
+    }
+    pipe = SVDPipeline(unet_cfg, vae_cfg, clip_cfg, params=params)
+    gen = GenerationConfig(
+        height=H, width=W, num_frames=F, num_inference_steps=STEPS,
+        noise_aug_strength=0.0, task_type="navigation",
+        decode_chunk_frames=2,
+    )
+    return pipe, gen
+
+
+def _validate_tower(pipe, tower, converted):
+    """Shape-validate a converted tower against a freshly initialized
+    param tree (catches any missed/misnamed keys up front)."""
+    import jax
+
+    from wiw_tpu.models.convert import validate_converted
+    from wiw_tpu.sampling.pipeline import GenerationConfig
+
+    ref_params = pipe.init_params(
+        jax.random.PRNGKey(0),
+        GenerationConfig(height=H, width=W, num_frames=F),
+    )[tower]
+    validate_converted(converted, ref_params)
+
+
+class TestPipelineExactness:
+    @pytest.fixture(scope="class")
+    def towers(self):
+        return _build_ref_pipeline()
+
+    def _image(self):
+        rng = np.random.RandomState(7)
+        return rng.rand(1, H, W, 3).astype(np.float32)  # [0, 1]
+
+    def test_component_clip_exact(self, towers):
+        """CLIP image_embeds parity through the converter (previously only
+        key-translation-tested)."""
+        import jax.numpy as jnp
+
+        _pipe, _unet, _vae, clip = towers
+        wpipe, _gen = _build_wiw_pipeline(_unet, _vae, clip)
+        img01 = self._image()
+        with torch.no_grad():
+            from transformers import CLIPImageProcessor
+
+            px = CLIPImageProcessor()(
+                images=torch.from_numpy(img01).permute(0, 3, 1, 2),
+                do_normalize=True, do_center_crop=False, do_resize=False,
+                do_rescale=False, return_tensors="pt",
+            ).pixel_values
+            ref_embed = clip(px).image_embeds.numpy()
+        from wiw_tpu.models.clip import preprocess_for_clip
+
+        ours = wpipe.clip.apply(
+            {"params": wpipe.params["clip"]},
+            preprocess_for_clip(jnp.asarray(img01 * 2.0 - 1.0)),
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref_embed,
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_component_vae_roundtrip_exact(self, towers):
+        """VAE encode (mode) + temporal decode parity through the
+        converter."""
+        import jax.numpy as jnp
+
+        _pipe, _unet, vae, _clip = towers
+        wpipe, _gen = _build_wiw_pipeline(_unet, vae, _clip)
+        img01 = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+        timg = torch.from_numpy(img01 * 2.0 - 1.0).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            ref_lat = vae.encode(timg).latent_dist.mode().numpy()
+            ref_dec = vae.decode(torch.from_numpy(ref_lat),
+                                 num_frames=2).sample.numpy()
+        ours_lat = wpipe.vae.apply(
+            {"params": wpipe.params["vae"]},
+            jnp.asarray(img01 * 2.0 - 1.0), method=wpipe.vae.encode,
+        )
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(ours_lat), -1, 1), ref_lat,
+            rtol=2e-4, atol=2e-4,
+        )
+        ours_dec = wpipe.vae.apply(
+            {"params": wpipe.params["vae"]}, ours_lat, 2,
+            method=wpipe.vae.decode,
+        )  # [B, F, H, W, 3] with B=1 group of 2 frames
+        ref_dec_bfchw = ref_dec.reshape(1, 2, *ref_dec.shape[1:])
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(ours_dec), -1, 2), ref_dec_bfchw,
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_full_generation_matches(self, towers):
+        """The flagship test: both pipelines, same weights, same injected
+        init noise, >= 2 Euler steps, chunked decode -> same frames."""
+        import jax
+        import jax.numpy as jnp
+
+        ref_pipe, unet, vae, clip = towers
+        wpipe, gen = _build_wiw_pipeline(unet, vae, clip)
+
+        img01 = self._image()
+        rng = np.random.RandomState(11)
+        noise = rng.standard_normal((1, F, 4, H // 8, W // 8)).astype(
+            np.float32)
+        actions = np.array([[4, 1, 2, 3]], np.int64)
+
+        from wiw_tpu.core.actions import get_action_ids
+
+        action_ids = np.asarray(get_action_ids(jnp.asarray(actions),
+                                               "micro_cond"))
+
+        with torch.no_grad():
+            out = ref_pipe(
+                image=torch.from_numpy(img01).permute(0, 3, 1, 2),
+                height=H, width=W, num_frames=F,
+                num_inference_steps=STEPS,
+                noise_aug_strength=0.0,
+                decode_chunk_size=2,
+                latents=torch.from_numpy(noise),
+                added_action_ids=torch.from_numpy(action_ids),
+                output_type="np",
+            ).frames
+        ref_frames = np.asarray(out)
+        # postprocess_video('np') layout: normalize to [B, F, H, W, C]
+        if ref_frames.shape[-1] != 3 or ref_frames.shape[1] != F:
+            # observed [B, H, W, C, F] from the fork's video processor
+            ref_frames = np.moveaxis(ref_frames, -1, 1)
+        assert ref_frames.shape == (1, F, H, W, 3), ref_frames.shape
+
+        video = wpipe.generate(
+            jax.random.PRNGKey(0),
+            jnp.asarray(img01 * 2.0 - 1.0),
+            gen,
+            actions=jnp.asarray(actions),
+            init_latents=jnp.moveaxis(jnp.asarray(noise), 2, -1),
+        )
+        ours = np.asarray(video)  # [B, F, H, W, 3] in [0, 1]
+        assert ours.shape == ref_frames.shape, (ours.shape, ref_frames.shape)
+        diff = np.abs(ours - ref_frames)
+        assert diff.max() < 5e-3, (
+            f"max frame diff {diff.max():.2e} (mean {diff.mean():.2e}) — "
+            "pipeline drifted from the reference semantics"
+        )

@@ -1,0 +1,347 @@
+"""Mocked-vendor-module construction tests for every zoo worker's REAL
+engine arm (`_load_pipe`).
+
+The fake-pipe contract tests (test_zoo_workers.py) cannot catch a wrong
+vendor import path or constructor signature — round 2 shipped two broken
+arms that way (se3ds imported `from se3ds import model_config` instead of
+`from se3ds.models import ...`; pathdreamer called a class the upstream
+package does not define). These tests install stub vendor modules at the
+REFERENCE's import paths (api_models/*.py) and assert each `_load_pipe`
+constructs through them, so a wrong upstream API can never ship again.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from wiw_tpu.workers.zoo import base_arg_parser
+
+
+def make_args(name, **overrides):
+    args, _ = base_arg_parser(name).parse_known_args([])
+    args.device = "cpu"
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+class Recorder:
+    """Class factory: produces classes whose constructor/from_pretrained
+    calls are recorded into a shared log."""
+
+    def __init__(self):
+        self.calls = []
+
+    def cls(self, name, instance=None):
+        log = self.calls
+
+        class C:
+            _name = name
+
+            def __init__(self, *a, **k):
+                log.append((name, "__init__", a, k))
+                self.__dict__.update((instance or {}))
+
+            @classmethod
+            def from_pretrained(cls, *a, **k):
+                log.append((name, "from_pretrained", a, k))
+                return _Pipe(log, name)
+
+        C.__name__ = name
+        return C
+
+    def names(self):
+        return [c[0] for c in self.calls]
+
+
+class _Pipe:
+    """Stub pipeline: tolerates the post-construction calls workers make
+    (.to, .vae.enable_tiling, .load_lora, .dit access)."""
+
+    def __init__(self, log, name):
+        self._log = log
+        self._name = name
+        self.vae = types.SimpleNamespace(enable_tiling=lambda: None)
+        self.dit = object()
+        self.transformer = object()
+
+    def to(self, device):
+        self._log.append((self._name, "to", (device,), {}))
+        return self
+
+    def load_lora(self, target, path, alpha=1.0):
+        self._log.append((self._name, "load_lora", (path,), {"alpha": alpha}))
+
+
+def install(monkeypatch, path: str, **attrs):
+    """Install a stub module (and its parent packages) in sys.modules."""
+    parts = path.split(".")
+    for i in range(1, len(parts)):
+        pname = ".".join(parts[:i])
+        parent = sys.modules.get(pname)
+        if parent is None or not getattr(parent, "__stub__", False):
+            mod = types.ModuleType(pname)
+            mod.__stub__ = True
+            monkeypatch.setitem(sys.modules, pname, mod)
+    leaf = types.ModuleType(path)
+    leaf.__stub__ = True
+    for k, v in attrs.items():
+        setattr(leaf, k, v)
+    monkeypatch.setitem(sys.modules, path, leaf)
+    # link to parent for `from parent import child`
+    if "." in path:
+        parent = sys.modules[".".join(parts[:-1])]
+        setattr(parent, parts[-1], leaf)
+    return leaf
+
+
+@pytest.fixture
+def fake_torch(monkeypatch):
+    """A minimal torch stand-in with the dtype attributes workers pass."""
+    t = types.ModuleType("torch")
+    t.bfloat16 = "bf16"
+    t.float16 = "fp16"
+    t.float32 = "fp32"
+    t.no_grad = lambda: types.SimpleNamespace(
+        __enter__=lambda s: None, __exit__=lambda s, *a: False)
+    monkeypatch.setitem(sys.modules, "torch", t)
+    return t
+
+
+class TestDiffusersArms:
+    def _diffusers(self, monkeypatch, rec, names):
+        attrs = {n: rec.cls(n) for n in names}
+        install(monkeypatch, "diffusers", **attrs)
+        install(monkeypatch, "diffusers.models", **attrs)
+        return attrs
+
+    def test_cosmos20(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.cosmos_worker import CosmosWorker
+
+        rec = Recorder()
+        self._diffusers(monkeypatch, rec,
+                        ["Cosmos2VideoToWorldPipeline",
+                         "CosmosTransformer3DModel"])
+        CosmosWorker(make_args("cosmos20"))
+        assert ("Cosmos2VideoToWorldPipeline", "from_pretrained") in [
+            c[:2] for c in rec.calls]
+
+    def test_cosmos20_ft_transformer(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.cosmos_worker import CosmosWorker
+
+        rec = Recorder()
+        self._diffusers(monkeypatch, rec,
+                        ["Cosmos2VideoToWorldPipeline",
+                         "CosmosTransformer3DModel"])
+        CosmosWorker(make_args("cosmos20", ft_dir="/ft"))
+        assert ("CosmosTransformer3DModel", "from_pretrained") in [
+            c[:2] for c in rec.calls]
+
+    def test_ltx(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.ltx_worker import LTXWorker
+
+        rec = Recorder()
+        self._diffusers(monkeypatch, rec,
+                        ["LTXImageToVideoPipeline",
+                         "LTXVideoTransformer3DModel"])
+        LTXWorker(make_args("ltx"))
+        assert ("LTXImageToVideoPipeline", "from_pretrained") in [
+            c[:2] for c in rec.calls]
+
+    def test_hunyuan(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.hunyuan_worker import HunyuanWorker
+
+        rec = Recorder()
+        self._diffusers(monkeypatch, rec,
+                        ["HunyuanVideoImageToVideoPipeline",
+                         "HunyuanVideoTransformer3DModel"])
+        args = make_args("hunyuan", num_frames=33)
+        HunyuanWorker(args)
+        kinds = [c[:2] for c in rec.calls]
+        assert ("HunyuanVideoTransformer3DModel", "from_pretrained") in kinds
+        assert ("HunyuanVideoImageToVideoPipeline", "from_pretrained") in kinds
+
+    def test_wan21(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.wan_worker import Wan21Worker
+
+        rec = Recorder()
+        self._diffusers(monkeypatch, rec,
+                        ["AutoencoderKLWan", "WanImageToVideoPipeline",
+                         "WanTransformer3DModel"])
+        install(monkeypatch, "transformers",
+                CLIPVisionModel=rec.cls("CLIPVisionModel"),
+                UMT5EncoderModel=rec.cls("UMT5EncoderModel"))
+        args = make_args("wan21", num_frames=25)
+        Wan21Worker(args)
+        kinds = [c[:2] for c in rec.calls]
+        for n in ("CLIPVisionModel", "UMT5EncoderModel", "AutoencoderKLWan",
+                  "WanImageToVideoPipeline"):
+            assert (n, "from_pretrained") in kinds, n
+
+    def test_wan22_ti2v(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.wan_worker import Wan22TI2VWorker
+
+        rec = Recorder()
+        self._diffusers(monkeypatch, rec,
+                        ["AutoencoderKLWan", "WanImageToVideoPipeline"])
+        args = make_args("wan22", num_frames=25)
+        Wan22TI2VWorker(args)
+        kinds = [c[:2] for c in rec.calls]
+        assert ("AutoencoderKLWan", "from_pretrained") in kinds
+        assert ("WanImageToVideoPipeline", "from_pretrained") in kinds
+
+
+class TestDiffSynthArm:
+    def test_wan_diffsynth_lora(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.wan_diffsynth_worker import (
+            WanDiffSynthWorker,
+        )
+
+        rec = Recorder()
+        mc_calls = []
+
+        class ModelConfig:
+            def __init__(self, model_id=None, **kw):
+                mc_calls.append(model_id)
+
+        install(monkeypatch, "diffsynth.pipelines.wan_video_new",
+                WanVideoPipeline=rec.cls("WanVideoPipeline"),
+                ModelConfig=ModelConfig)
+        args = make_args("FTwan22", ft_method="lora", lora_path="/l.safetensors",
+                        num_frames=25)
+        WanDiffSynthWorker(args)
+        kinds = [c[:2] for c in rec.calls]
+        assert ("WanVideoPipeline", "from_pretrained") in kinds
+        assert ("WanVideoPipeline", "load_lora") in kinds
+        assert mc_calls == ["Wan-AI/Wan2.2-TI2V-5B"]
+
+
+class TestCosmos25Arm:
+    def test_vendor_inference(self, monkeypatch, fake_torch):
+        from wiw_tpu.workers.zoo.cosmos25_worker import Cosmos25Worker
+
+        rec = Recorder()
+        install(monkeypatch, "cosmos_predict2.inference",
+                Inference=rec.cls("Inference"))
+        args = make_args("cosmos25", inference_type="image2world",
+                         resolution="none", enable_autoregressive=False,
+                         chunk_size=24, chunk_overlap=8)
+        Cosmos25Worker(args)
+        assert ("Inference", "__init__") in [c[:2] for c in rec.calls]
+
+
+class TestPoseEngineArms:
+    def _tf(self, monkeypatch):
+        tf = types.ModuleType("tensorflow")
+        tf.convert_to_tensor = lambda x, *a: np.asarray(x)
+        tf.zeros = lambda s, *a: np.zeros([int(d) for d in s])
+        tf.constant = lambda x, *a: np.asarray(x)
+        tf.cast = lambda x, *a: np.asarray(x)
+        tf.transpose = lambda x, p: np.transpose(x, p)
+        tf.uint8 = np.uint8
+        tf.int32 = np.int32
+        tf.float32 = np.float32
+        monkeypatch.setitem(sys.modules, "tensorflow", tf)
+        return tf
+
+    def test_se3ds_upstream_layout(self, monkeypatch):
+        """Constructs via se3ds.models.{model_config, models} — the real
+        upstream layout (reference se3ds_model.py:11-12); the round-2 bug
+        imported them from the package root."""
+        from wiw_tpu.workers.zoo.se3ds_worker import SE3DSWorker
+
+        self._tf(monkeypatch)
+        built = {}
+
+        class SE3DSModel:
+            def __init__(self, cfg):
+                built["cfg"] = cfg
+
+            def reset_memory(self):
+                built["reset"] = True
+
+            def add_to_memory(self, rgb, seg, depth, pos):
+                built["memory"] = (np.asarray(rgb).shape,
+                                   np.asarray(seg).shape,
+                                   np.asarray(depth).shape)
+
+        cfg_obj = types.SimpleNamespace()
+        install(monkeypatch, "se3ds.models",
+                model_config=types.SimpleNamespace(
+                    get_config=lambda: cfg_obj),
+                models=types.SimpleNamespace(SE3DSModel=SE3DSModel))
+        w = SE3DSWorker(make_args("se3ds", ckpt_path="/ck"))
+        assert built["cfg"] is cfg_obj
+        assert cfg_obj.ckpt_path == "/ck"
+        assert cfg_obj.depth_scale == 20.0
+        # the engine surface the worker loop drives
+        w.pipe.init_bef_inference(
+            np.zeros((1, 8, 16, 3), np.uint8), np.ones((1, 8, 16)))
+        assert built["reset"] and built["memory"][1] == (1, 8, 16, 1)
+
+    def test_pathdreamer_two_ckpts_and_seg_memory(self, monkeypatch):
+        """Pathdreamer builds from pathdreamer_config/pathdreamer_models
+        with structure + SPADE image checkpoints and an (rgb, seg, depth)
+        memory (reference pathdreamer_model.py:86-141) — round 2 invented
+        a non-existent upstream class instead."""
+        from wiw_tpu.workers.zoo.se3ds_worker import PathdreamerWorker
+
+        self._tf(monkeypatch)
+        built = {}
+
+        class PathdreamerModel:
+            def __init__(self, cfg):
+                built["cfg"] = cfg
+
+            def reset_memory(self):
+                built["reset"] = True
+
+            def add_to_memory(self, rgb, seg, depth, pos):
+                built["memory"] = (np.asarray(rgb).shape,
+                                   np.asarray(seg).shape)
+
+        cfg_obj = types.SimpleNamespace()
+        install(monkeypatch, "pathdreamer.models",
+                pathdreamer_config=types.SimpleNamespace(
+                    get_config=lambda: cfg_obj),
+                pathdreamer_models=types.SimpleNamespace(
+                    PathdreamerModel=PathdreamerModel))
+        w = PathdreamerWorker(make_args("pathdreamer", ckpt_path="/ck"))
+        assert built["cfg"] is cfg_obj
+        assert cfg_obj.ckpt_path.endswith("structure_gen_ckpt")
+        assert cfg_obj.spade_ckpt_path.endswith("image_gen_ckpt")
+        assert cfg_obj.depth_scale == 7.0
+        w.pipe.init_bef_inference(
+            np.zeros((1, 8, 16, 3), np.uint8), np.ones((1, 8, 16)))
+        assert built["memory"][1] == (1, 8, 16, 1)  # zero seg when absent
+
+
+class TestRunwayArm:
+    def test_requires_api_key(self, monkeypatch):
+        from wiw_tpu.workers.zoo.runway_worker import RunwayWorker
+
+        monkeypatch.delenv("RUNWAY_API_KEY", raising=False)
+        with pytest.raises(RuntimeError, match="RUNWAY_API_KEY"):
+            RunwayWorker(make_args("gen4tur"))
+
+    def test_builds_client(self, monkeypatch):
+        from wiw_tpu.workers.zoo.runway_worker import (
+            RunwayClient,
+            RunwayWorker,
+        )
+
+        monkeypatch.setenv("RUNWAY_API_KEY", "k123")
+        w = RunwayWorker(make_args("gen4tur"))
+        assert isinstance(w.pipe, RunwayClient)
+
+
+class TestDiffPolicyArm:
+    # the DiffuserActor mocked-construction test lives in
+    # tests/test_manip_diff.py::TestDiffPolicyWorker
+    def test_registry_entry(self):
+        from wiw_tpu.utils.config import WM_REGISTRY
+
+        assert WM_REGISTRY["diff_policy"]["worker"] == \
+            "wiw_tpu.workers.diff_policy"

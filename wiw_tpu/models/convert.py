@@ -27,6 +27,22 @@ import numpy as np
 
 # applied in order; first pattern rewrites indices into flat module names
 _LIST_MERGES = [
+    # VAE encoder/decoder block lists FIRST: the flax VAE (models/vae.py)
+    # names its blocks flat (down_blocks_0_resnets_0), unlike the UNet's
+    # nested down_blocks_0/resnets_0 — scope these rules to the
+    # encoder./decoder. prefix so they never touch UNet keys
+    (r"(encoder|decoder)\.down_blocks\.(\d+)\.resnets\.(\d+)",
+     r"\1/down_blocks_\2_resnets_\3"),
+    (r"(encoder|decoder)\.down_blocks\.(\d+)\.downsamplers\.0",
+     r"\1/down_blocks_\2_downsamplers_0"),
+    (r"(encoder|decoder)\.up_blocks\.(\d+)\.resnets\.(\d+)",
+     r"\1/up_blocks_\2_resnets_\3"),
+    (r"(encoder|decoder)\.up_blocks\.(\d+)\.upsamplers\.0",
+     r"\1/up_blocks_\2_upsamplers_0"),
+    (r"(encoder|decoder)\.mid_block\.resnets\.(\d+)",
+     r"\1/mid_block_resnets_\2"),
+    (r"(encoder|decoder)\.mid_block\.attentions\.(\d+)",
+     r"\1/mid_block_attentions_\2"),
     # unet top-level block lists
     (r"down_blocks\.(\d+)\.downsamplers\.0", r"down_blocks_\1_downsamplers_0"),
     (r"down_blocks\.(\d+)\.resnets\.(\d+)", r"down_blocks_\1/resnets_\2"),

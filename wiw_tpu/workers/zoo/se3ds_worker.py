@@ -84,8 +84,9 @@ class SE3DSWorker(ZooWorker):
         return FakePoseEngine()
 
     def _load_pipe(self, args):
-        # TF engine (se3ds_model.py:237-250); heavyweight import gated here
-        from se3ds import model_config, models  # type: ignore
+        # TF engine (se3ds_model.py:11-12, :237-250); heavyweight import
+        # gated here — upstream layout is se3ds.models.{model_config,models}
+        from se3ds.models import model_config, models  # type: ignore
 
         class Engine:
             def __init__(self, ckpt):
@@ -185,14 +186,68 @@ class SE3DSWorker(ZooWorker):
 
 class PathdreamerWorker(SE3DSWorker):
     """Pathdreamer shares the pose-target engine contract and the se3ds env
-    (pathdreamer_model.py; workers_cfg.py pathdreamer entry)."""
+    (pathdreamer_model.py; workers_cfg.py pathdreamer entry).
+
+    The upstream model (pathdreamer.models.pathdreamer_config /
+    pathdreamer_models.PathdreamerModel) takes TWO checkpoints — a
+    structure generator and a SPADE image generator — and its memory
+    contract is (rgb, SEG, depth, pos) (pathdreamer_model.py:86-141). The
+    engine below adapts that contract to the base worker's
+    (rgb, depth)-only loop by carrying the predicted semantic map
+    internally (zeros when no conditioning seg exists, like the
+    reference's load_example_pano fallback :66-70)."""
 
     name = "pathdreamer"
 
     def _load_pipe(self, args):
-        from pathdreamer import models  # type: ignore
+        from pathdreamer.models import (  # type: ignore
+            pathdreamer_config,
+            pathdreamer_models,
+        )
 
-        return models.PathdreamerEngine(args.ckpt_path)
+        class Engine:
+            def __init__(self, ckpt_root):
+                cfg = pathdreamer_config.get_config()
+                cfg.depth_scale = 7.0
+                cfg.ckpt_path = osp.join(ckpt_root, "structure_gen_ckpt")
+                cfg.spade_ckpt_path = osp.join(ckpt_root, "image_gen_ckpt")
+                self.model = pathdreamer_models.PathdreamerModel(cfg)
+                self._seg = None
+
+            def init_bef_inference(self, rgb, depth):
+                import tensorflow as tf
+
+                rgb = tf.convert_to_tensor(rgb)
+                if rgb.shape[-1] != 3:
+                    rgb = tf.transpose(rgb, (0, 2, 3, 1))
+                B, H, W, _ = rgb.shape
+                seg = (tf.convert_to_tensor(self._seg)
+                       if self._seg is not None
+                       else tf.zeros((B, H, W, 1), tf.int32))
+                self.model.reset_memory()
+                self.model.add_to_memory(
+                    tf.cast(rgb, tf.uint8), seg,
+                    tf.convert_to_tensor(depth, tf.float32),
+                    tf.constant([[0.0, 0.0, 0.0]], tf.float32),
+                )
+
+            def batch_inference(self, positions):
+                import tensorflow as tf
+
+                rgbs, depths = [], []
+                for i, p in enumerate(np.asarray(positions, np.float32)):
+                    out = self.model(
+                        tf.constant([p], tf.float32),
+                        add_preds_to_memory=(i > 0), sample_noise=False,
+                    )
+                    rgbs.append(out.pred_rgb.numpy().squeeze(0))
+                    depths.append(out.pred_depth.numpy().squeeze(0))
+                    self._seg = out.pred_semantic.numpy().reshape(
+                        1, *out.pred_semantic.numpy().squeeze(0).shape[:2], 1
+                    )
+                return {"rgb": rgbs, "depth": depths}
+
+        return Engine(args.ckpt_path or "data/pathdreamer_ckpt")
 
 
 def main():
