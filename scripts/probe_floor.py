@@ -1,0 +1,189 @@
+"""Round-3 structural-floor probes: where does the 1025 ms full fwd exceed
+the per-segment roofline sum (~640 ms)?
+
+Measures, at the exact in-model shapes:
+  * MXU rate vs contraction/output width (K=64 vs 128; N=64 vs 128) — is
+    the head_dim-64 half-rate assumption right?
+  * attention pure-matmul floor at D=64 vs a D=128 formulation (same
+    useful FLOPs accounting) — the VERDICT's head-packing question
+  * GEGLU decomposition: full vs matmuls-only vs gelu-only vs two-dot
+    split (epilogue-fusion shape)
+  * temporal batched-dot attention: fold transposes vs dots
+  * L0 elementwise/residual bandwidth
+  * erf vs tanh gelu VPU cost
+
+Run: python scripts/probe_floor.py [--only NAME]
+"""
+
+import functools
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_unet import loop, timeit  # noqa: E402
+
+key = jax.random.PRNGKey(0)
+
+
+def rnd(*shape, dtype=jnp.bfloat16):
+    return jax.random.normal(key, shape).astype(dtype)
+
+
+B, F, S, C0 = 2, 14, 9216, 320
+BF = B * F
+TOK = BF * S  # 258048
+
+
+def main():
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
+
+    def want(name):
+        return only is None or only in name
+
+    # ---- MXU rate vs K/N width -----------------------------------------
+    if want("mxu"):
+        M = 8192
+        for Kd, Nd in [(64, 8192), (128, 8192), (256, 8192), (8192, 64),
+                       (8192, 128), (8192, 256), (320, 5120), (1280, 320),
+                       (320, 320), (2880, 320)]:
+            a = rnd(M, Kd)
+            b = rnd(Kd, Nd)
+            fl = 2 * M * Kd * Nd
+            dt = timeit(f"matmul {M}x{Kd}x{Nd} x8",
+                        loop(lambda a, b: a @ b, 8), a, b, reps=3, inner=8)
+            print(f"  -> {fl/dt/1e12:.0f} TFLOP/s")
+
+    # ---- attention floor at D=64 vs D=128 -------------------------------
+    if want("attnfloor"):
+        from scripts.tune_attention2 import _call, _kern_floor
+
+        for D, Hn in [(64, 5), (128, 5), (128, 2)]:
+            q = rnd(28 * Hn, S, D)
+            k = rnd(28 * Hn, S, D)
+            v = rnd(28 * Hn, S, D)
+            fl = 4 * 28 * Hn * S * S * D
+            dt = timeit(
+                f"attn floor_mm D={D} H={Hn} x4",
+                loop(lambda q, k, v: _call(_kern_floor, q, k, v, 768, 1024),
+                     4), q, k, v, reps=3, inner=4)
+            print(f"  -> {fl/dt/1e12:.0f} TF/s (useful at this D)")
+
+    # ---- GEGLU decomposition -------------------------------------------
+    if want("geglu"):
+        x = rnd(TOK, C0)
+        w1 = rnd(C0, C0 * 8)
+        w2 = rnd(C0 * 4, C0)
+        wh = rnd(C0, C0 * 4)
+        wg = rnd(C0, C0 * 4)
+        fl = 2 * TOK * C0 * (8 * C0) + 2 * TOK * (4 * C0) * C0
+
+        def full(x):
+            h = x @ w1
+            a, g = jnp.split(h, 2, -1)
+            return (a * jax.nn.gelu(g, approximate=False)) @ w2
+
+        def mm_only(x):
+            h = x @ w1
+            a, g = jnp.split(h, 2, -1)
+            return (a + g) @ w2
+
+        def twodot(x):
+            a = x @ wh
+            g = x @ wg
+            return (a * jax.nn.gelu(g, approximate=False)) @ w2
+
+        def tanh_gelu(x):
+            h = x @ w1
+            a, g = jnp.split(h, 2, -1)
+            return (a * jax.nn.gelu(g, approximate=True)) @ w2
+
+        for name, fn in [("full erf", full), ("matmuls only", mm_only),
+                         ("two-dot split", twodot), ("tanh gelu", tanh_gelu)]:
+            dt = timeit(f"GEGLU L0 {name} x4", loop(fn, 4), x, reps=3,
+                        inner=4)
+            print(f"  -> {fl/dt/1e12:.0f} TF/s")
+
+        g = rnd(TOK, C0 * 4)
+        dt = timeit("gelu(erf) alone [258048,1280] x8",
+                    loop(lambda g: jax.nn.gelu(g, approximate=False), 8), g,
+                    reps=3, inner=8)
+        n = TOK * C0 * 4
+        print(f"  -> {n/dt/1e9:.1f} G elem/s, {2*2*n/dt/1e9:.0f} GB/s r+w")
+
+    # ---- temporal attention decomposition -------------------------------
+    if want("temporal"):
+        from wiw_tpu.ops.temporal_attention import (
+            temporal_self_attention_batched,
+        )
+        x = rnd(B, F, S, C0)
+        H0, D0 = 5, 64
+
+        def fold_only(x):
+            y = (x.reshape(B, F, S, H0, D0)
+                 .transpose(0, 2, 3, 1, 4)
+                 .reshape(B * S * H0, F, D0))
+            return (y.reshape(B, S, H0, F, D0)
+                    .transpose(0, 3, 1, 2, 4)
+                    .reshape(B, F, S, C0))
+
+        def dots_only(x):
+            qf = x.reshape(B * S * 5 * F // F, F, D0)[: B * S * H0]
+            logits = jax.lax.dot_general(
+                qf, qf, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            w = jax.nn.softmax(logits * D0 ** -0.5, -1).astype(x.dtype)
+            return jax.lax.dot_general(w, qf, (((2,), (1,)), ((0,), (0,))))
+
+        timeit("temporal batched full x4",
+               loop(lambda x: temporal_self_attention_batched(x, x, x, H0), 4),
+               x, reps=3, inner=4)
+        timeit("temporal fold+unfold only x4", loop(fold_only, 4), x, reps=3,
+               inner=4)
+        xf = rnd(B * S * H0, F, D0)
+        timeit("temporal dots+softmax only x4", loop(dots_only, 4), xf,
+               reps=3, inner=4)
+
+    # ---- elementwise bandwidth at L0 ------------------------------------
+    if want("elemwise"):
+        a = rnd(BF, S, C0)
+        b = rnd(BF, S, C0)
+        nb = BF * S * C0 * 2
+
+        dt = timeit("residual add L0 x8", loop(lambda a, b: a + b, 8), a, b,
+                    reps=3, inner=8)
+        print(f"  -> {3*nb/dt/1e9:.0f} GB/s (2r+1w)")
+        dt = timeit("alpha blend L0 x8",
+                    loop(lambda a, b: 0.7 * a + 0.3 * b, 8), a, b, reps=3,
+                    inner=8)
+        print(f"  -> {3*nb/dt/1e9:.0f} GB/s (2r+1w)")
+        dt = timeit("silu L0 x8", loop(lambda a: jax.nn.silu(a), 8), a,
+                    reps=3, inner=8)
+        print(f"  -> {2*nb/dt/1e9:.0f} GB/s (1r+1w)")
+
+    # ---- LayerNorm at L0 -------------------------------------------------
+    if want("ln"):
+        from wiw_tpu.models.layers import LayerNorm
+        x = rnd(BF, S, C0)
+        ln = LayerNorm()
+        lp = jax.jit(ln.init)(key, x)
+        nb = BF * S * C0 * 2
+        dt = timeit("LayerNorm L0 x8",
+                    loop(lambda p, x: ln.apply(p, x), 8, fresh=(1,)), lp, x,
+                    reps=3, inner=8)
+        print(f"  -> {2*nb/dt/1e9:.0f} GB/s effective (r+w bf16)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Round-3: can the q/k/v head transposes around the flash kernel fold
+into the projection matmuls?
+
+The production path (attention_bsd) does reshape+transpose [B,S,HD] ->
+[B,H,S,D] on q/k/v and back on out — 4 full HBM round-trips per spatial
+attention. Variant B expresses the projections as einsums straight into
+the [B,H,S,D] kernel layout ('bsc,chd->bhsd'), letting XLA fuse the
+transpose into the dot epilogue if it can; V's ones column (softmax
+denominator) is folded into the projection weight so the kernel-side
+concat pass disappears too.
+
+Run: python scripts/tune_attention3.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_unet import loop, timeit  # noqa: E402
+from wiw_tpu.ops.pallas_attention import flash_attention_bhsd  # noqa: E402
+
+B, S, C, H, D = 28, 9216, 320, 5, 64
+key = jax.random.PRNGKey(0)
+
+
+def rnd(*shape):
+    return jax.random.normal(key, shape).astype(jnp.bfloat16)
+
+
+x = rnd(B, S, C)
+wq, wk, wv, wo = rnd(C, C), rnd(C, C), rnd(C, C), rnd(C, C)
+
+_empty = jax.jit(lambda v: v + 1.0)
+float(_empty(jnp.float32(0)))
+t0 = time.perf_counter()
+for _ in range(10):
+    float(_empty(jnp.float32(0)))
+SYNC = (time.perf_counter() - t0) / 10
+print(f"sync {SYNC*1e3:.1f} ms")
+
+
+def variant_a(x):
+    """Production: dots in [B,S,HD], transpose to BHSD, flash, back."""
+    q = x @ wq
+    k = x @ wk
+    v = x @ wv
+    qh = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    o = flash_attention_bhsd(qh, kh, vh, bq=768, bkv=1024)
+    o = o.transpose(0, 2, 1, 3).reshape(B, S, C)
+    return o @ wo
+
+
+def variant_b(x):
+    """Einsum projections straight into BHSD; V pre-padded via weight."""
+    wq4 = wq.reshape(C, H, D)
+    wk4 = wk.reshape(C, H, D)
+    wv4p = jnp.pad(wv.reshape(C, H, D), ((0, 0), (0, 0), (0, 1)))
+    ones = jnp.zeros((H, D + 1), x.dtype).at[:, D].set(1.0)
+    qh = jnp.einsum("bsc,chd->bhsd", x, wq4)
+    kh = jnp.einsum("bsc,chd->bhsd", x, wk4)
+    vh = jnp.einsum("bsc,chd->bhsd", x, wv4p) + ones[None, :, None, :]
+    o = flash_attention_bhsd(qh, kh, vh, bq=768, bkv=1024,
+                             v_prepadded=True)
+    # wo rows are indexed by h*D+d -> split the INPUT dim: [H, D, C_out]
+    return jnp.einsum("bhsd,hdc->bsc", o, wo.reshape(H, D, C))
+
+
+def kernel_only(qh, kh, vh):
+    return flash_attention_bhsd(qh, kh, vh, bq=768, bkv=1024)
+
+
+if __name__ == "__main__":
+    import numpy as np
+
+    ra = np.asarray(variant_a(x), np.float32)
+    rb = np.asarray(variant_b(x), np.float32)
+    print(f"max|A-B| = {np.abs(ra - rb).max():.4f} "
+          f"(rel {np.abs(ra - rb).max() / np.abs(ra).std():.4f})")
+
+    for name, fn, args in [
+        ("A production transpose", variant_a, (x,)),
+        ("B einsum-projections ", variant_b, (x,)),
+    ]:
+        dt = timeit(f"attn {name} x4", loop(fn, 4), *args, reps=3, inner=4)
+        print(f"  -> {(dt - SYNC/4)*1e3:7.2f} ms corrected")
+
+    qh = rnd(B, H, S, D)
+    dt = timeit("kernel only x4", loop(kernel_only, 4), qh, qh, qh,
+                reps=3, inner=4)
+    print(f"  -> {(dt - SYNC/4)*1e3:7.2f} ms corrected")

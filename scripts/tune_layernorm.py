@@ -1,0 +1,107 @@
+"""LayerNorm formulations at the L0 shape [28, 9216, 320].
+
+The standalone probe (scripts/probe_floor.py) measured the current LN at
+~10.8 ms sync-corrected (~31 GB/s effective) — pathological for what
+should be a 2-pass bandwidth op (~0.7 ms at 500 GB/s). The model runs
+~112 LNs of this byte-size per fwd, so LN formulation is a first-order
+term. Variants:
+
+  v0 current        : fp32 mean + .var() (E[(x-mean)^2], second pass)
+  v1 one-pass       : s1/s2 moments in one reduce, var = E[x^2]-E[x]^2
+                      with a per-row pilot shift (x[...,0]) so the
+                      subtraction stays well-conditioned (same trick as
+                      the GroupNorm fix, models/layers.py)
+  v2 one-pass raw   : same without the pilot (numerics hazard; speed ref)
+  v3 welford-xla    : jnp.mean + jnp.var on the bf16 input directly
+                      (XLA upcasts the accumulator itself)
+
+Run: python scripts/tune_layernorm.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_unet import loop, timeit  # noqa: E402
+
+key = jax.random.PRNGKey(0)
+BF, S, C = 28, 9216, 320
+EPS = 1e-5
+
+x = jax.random.normal(key, (BF, S, C)).astype(jnp.bfloat16)
+scale = jnp.ones((C,), jnp.float32)
+bias = jnp.zeros((C,), jnp.float32)
+
+_empty = jax.jit(lambda v: v + 1.0)
+float(_empty(jnp.float32(0)))
+t0 = time.perf_counter()
+for _ in range(10):
+    float(_empty(jnp.float32(0)))
+SYNC = (time.perf_counter() - t0) / 10
+print(f"sync {SYNC*1e3:.1f} ms")
+
+
+def v0(x):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + EPS) * scale + bias).astype(
+        x.dtype)
+
+
+def v1(x):
+    xf = x.astype(jnp.float32)
+    pilot = jax.lax.stop_gradient(xf[..., 0:1])
+    d = xf - pilot
+    s1 = d.sum(axis=-1, keepdims=True)
+    s2 = (d * d).sum(axis=-1, keepdims=True)
+    dmean = s1 / C
+    var = jnp.maximum(s2 / C - dmean * dmean, 0.0)
+    mean = pilot + dmean
+    return ((xf - mean) * jax.lax.rsqrt(var + EPS) * scale + bias).astype(
+        x.dtype)
+
+
+def v2(x):
+    xf = x.astype(jnp.float32)
+    s1 = xf.sum(axis=-1, keepdims=True)
+    s2 = (xf * xf).sum(axis=-1, keepdims=True)
+    mean = s1 / C
+    var = jnp.maximum(s2 / C - mean * mean, 0.0)
+    return ((xf - mean) * jax.lax.rsqrt(var + EPS) * scale + bias).astype(
+        x.dtype)
+
+
+def v3(x):
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    var = jnp.var(x.astype(jnp.float32), axis=-1, keepdims=True)
+    xf = x.astype(jnp.float32)
+    return ((xf - mean) * jax.lax.rsqrt(var + EPS) * scale + bias).astype(
+        x.dtype)
+
+
+if __name__ == "__main__":
+    import numpy as np
+
+    r0 = np.asarray(v0(x), np.float32)
+    for name, fn in [("v1 pilot one-pass", v1), ("v2 raw one-pass", v2),
+                     ("v3 welford-xla", v3)]:
+        d = np.abs(np.asarray(fn(x), np.float32) - r0).max()
+        print(f"{name}: max|diff| vs v0 = {d:.2e}")
+
+    nb = BF * S * C * 2
+    for name, fn in [("v0 current", v0), ("v1 pilot one-pass", v1),
+                     ("v2 raw one-pass", v2), ("v3 welford-xla", v3)]:
+        dt = timeit(f"LN {name} x8", loop(fn, 8), x, reps=3, inner=8)
+        dt -= SYNC / 8
+        print(f"  -> {dt*1e3:6.2f} ms corrected, {2*nb/dt/1e9:.0f} GB/s")

@@ -1,0 +1,92 @@
+"""Round-3: temporal-resnet conv formulation probe.
+
+The in-model temporal resnets cost ~97 ms (ablation) while the conv
+matmul floor is ~45 ms. The (3,1,1) kernel mixes only the frame axis, so
+the identical math can run as a 2D (3,1) conv over [B, F, H*W, C] — a
+different XLA lowering path. Probe both plus the full block (GN + silu +
+2 convs + blend) to see where the gap lives.
+
+Run: python scripts/tune_temporal2.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_unet import loop, timeit  # noqa: E402
+
+B, F, H, W, C = 2, 14, 72, 128, 320
+key = jax.random.PRNGKey(0)
+
+
+def rnd(*shape):
+    return jax.random.normal(key, shape).astype(jnp.bfloat16)
+
+
+x5 = rnd(B, F, H, W, C)
+w3 = rnd(3, 1, 1, C, C)  # [kf, kh, kw, Cin, Cout]
+
+_empty = jax.jit(lambda v: v + 1.0)
+float(_empty(jnp.float32(0)))
+t0 = time.perf_counter()
+for _ in range(10):
+    float(_empty(jnp.float32(0)))
+SYNC = (time.perf_counter() - t0) / 10
+print(f"sync {SYNC*1e3:.1f} ms", flush=True)
+
+
+def conv3d(x):
+    return lax.conv_general_dilated(
+        x, w3, (1, 1, 1), ((1, 1), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def conv2d_fold(x):
+    xf = x.reshape(B, F, H * W, C)
+    out = lax.conv_general_dilated(
+        xf, w3[:, 0], (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out.reshape(B, F, H, W, C)
+
+
+def shifted_matmul(x):
+    xf = x.reshape(B, F, H * W, C)
+    mid = jnp.einsum("bfsc,cd->bfsd", xf, w3[1, 0, 0])
+    lo = jnp.einsum("bfsc,cd->bfsd", xf[:, :-1], w3[2, 0, 0])
+    hi = jnp.einsum("bfsc,cd->bfsd", xf[:, 1:], w3[0, 0, 0])
+    out = mid.at[:, :-1].add(hi).at[:, 1:].add(lo)
+    return out.reshape(B, F, H, W, C)
+
+
+if __name__ == "__main__":
+    import numpy as np
+
+    r3 = np.asarray(conv3d(x5), np.float32)
+    r2 = np.asarray(conv2d_fold(x5), np.float32)
+    rs = np.asarray(shifted_matmul(x5), np.float32)
+    print(f"max|3d-2d| = {np.abs(r3 - r2).max():.5f}")
+    print(f"max|3d-sh| = {np.abs(r3 - rs).max():.5f}", flush=True)
+
+    flop = 2 * 3 * C * C * B * F * H * W
+    for name, fn in [
+        ("conv3d (3,1,1) NDHWC", conv3d),
+        ("conv2d (3,1) folded ", conv2d_fold),
+        ("shifted matmuls     ", shifted_matmul),
+    ]:
+        dt = timeit(f"temporal {name} x4", loop(fn, 4), x5, reps=3, inner=4)
+        dtc = dt - SYNC / 4
+        print(f"  -> {dtc*1e3:7.2f} ms corrected, "
+              f"{flop/dtc/1e12:.0f} TF/s", flush=True)

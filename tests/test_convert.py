@@ -65,8 +65,11 @@ class TestTranslateKey:
     def test_vae_keys(self):
         cases = {
             "encoder.conv_in.weight": ("encoder", "conv_in", "kernel"),
+            # flax VAE blocks are FLAT (down_blocks_0_resnets_0), unlike the
+            # UNet's nested naming — the converter scopes these rules to the
+            # encoder./decoder. prefixes (found by the pipeline exactness test)
             "encoder.down_blocks.0.resnets.0.norm1.weight": (
-                "encoder", "down_blocks_0", "resnets_0", "norm1", "scale"),
+                "encoder", "down_blocks_0_resnets_0", "norm1", "scale"),
             "encoder.down_blocks.0.downsamplers.0.conv.weight": (
                 "encoder", "down_blocks_0_downsamplers_0", "conv", "kernel"),
             "encoder.mid_block.attentions.0.group_norm.weight": (

@@ -44,6 +44,21 @@ class TestPallasAttention:
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    atol=2e-5, rtol=2e-5)
 
+    def test_v_prepadded(self):
+        # ones column pre-folded into V by the caller (the 'fold' layout
+        # in models/layers.CrossAttention)
+        B, H, S, D = 2, 3, 384, 64
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(k1, (B, H, S, D), jnp.float32)
+        k = jax.random.normal(k2, (B, H, S, D), jnp.float32)
+        v = jax.random.normal(k3, (B, H, S, D), jnp.float32)
+        vp = jnp.concatenate([v, jnp.ones((B, H, S, 1), v.dtype)], axis=-1)
+        ours = flash_attention_bhsd(q, k, vp, bq=128, bkv=128,
+                                    v_prepadded=True, interpret=True)
+        ref = _xla_attention(q, k, v, D ** -0.5)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_bf16_inputs(self):
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
         q = jax.random.normal(k1, (1, 2, 256, 64), jnp.bfloat16)
@@ -56,3 +71,56 @@ class TestPallasAttention:
         np.testing.assert_allclose(
             np.asarray(ours, np.float32), np.asarray(ref), atol=3e-2, rtol=3e-2
         )
+
+
+class TestFoldLayout:
+    """CrossAttention 'fold' layout: einsum projections into [B,H,S,D] with
+    the softmax ones column folded into the value projection weight must be
+    EXACTLY equivalent to the standard dots+transpose path."""
+
+    def test_crossattention_fold_equivalence(self, monkeypatch):
+        from wiw_tpu.models import layers as L
+
+        B, S, H, D, C = 2, 64, 3, 16, 48
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, S, C), jnp.float32)
+        mod = L.CrossAttention(heads=H, dim_head=D, dtype=jnp.float32)
+        params = mod.init(jax.random.PRNGKey(1), x)
+        ref_out = mod.apply(params, x)
+
+        seen = {}
+
+        def fake_prepad(q4, k4, vp4):
+            # record the kernel-layout inputs; ones column must be exact
+            seen["ones"] = np.asarray(vp4[..., -1])
+            return _xla_attention(q4, k4, vp4[..., :-1], D ** -0.5)
+
+        monkeypatch.setattr(L.attention_ops, "flash_layout", lambda: "fold")
+        monkeypatch.setattr(
+            L.attention_ops, "flash_eligible", lambda sq, skv: True)
+        monkeypatch.setattr(
+            L.attention_ops, "attention_bhsd_prepad", fake_prepad)
+        fold_out = mod.apply(params, x)
+
+        np.testing.assert_allclose(seen["ones"], 1.0, atol=0, rtol=0)
+        np.testing.assert_allclose(np.asarray(fold_out), np.asarray(ref_out),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_fold_skips_cross_attention(self, monkeypatch):
+        from wiw_tpu.models import layers as L
+
+        monkeypatch.setattr(L.attention_ops, "flash_layout", lambda: "fold")
+        # eligible only when self-attn-shaped, so the cross-attn fallback
+        # (q_seq=8, kv_seq=5) stays on the XLA path under this CPU test
+        monkeypatch.setattr(
+            L.attention_ops, "flash_eligible", lambda sq, skv: sq == skv)
+        called = []
+        monkeypatch.setattr(
+            L.attention_ops, "attention_bhsd_prepad",
+            lambda *a: called.append(1))
+        B, S, H, D, C = 2, 8, 2, 4, 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, S, C), jnp.float32)
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 5, C), jnp.float32)
+        mod = L.CrossAttention(heads=H, dim_head=D, dtype=jnp.float32)
+        params = mod.init(jax.random.PRNGKey(2), x, ctx)
+        mod.apply(params, x, ctx)  # multi-token cross-attn: standard path
+        assert not called

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax.linen.dtypes import promote_dtype
 
 from wiw_tpu.core.schedule import timestep_embedding
+from wiw_tpu.ops import attention as attention_ops
 from wiw_tpu.ops.attention import attention_bsd
 from wiw_tpu.ops.fused_mlp import ln_geglu_ffn_residual
 from wiw_tpu.ops.quant import w8a8_conv, w8a8_dense
@@ -190,28 +191,39 @@ class GroupNorm(nn.Module):
         # activation tensor on TPU.
         spatial = tuple(range(1, x.ndim - 1))
         count = cg * math.prod(x.shape[1:-1])
-        bshape0 = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
-        # Pilot shift: E[x^2]-E[x]^2 alone cancels catastrophically when
-        # |mean|/std is large (wrong output at mean/std ~ 1e3). Subtracting a
-        # per-group sample of x itself (spatial index 0) before squaring keeps
-        # |E[x-p]| ~ O(std), so the subtraction is always well-conditioned,
-        # while the shifted reduce fuses into the same single pass over xf.
-        pilot = jax.lax.stop_gradient(
-            xf[(slice(None),) + (0,) * (x.ndim - 2) + (slice(None),)]
-        )
-        pilot = pilot.reshape(x.shape[0], groups, cg).mean(-1)
-        pilot_c = jnp.repeat(pilot, cg, axis=-1).reshape(bshape0)
-        d = xf - pilot_c
-        s1 = d.sum(axis=spatial)
-        s2 = (d * d).sum(axis=spatial)
+        # Raw one-pass stats (E[x^2]-E[x]^2) with a GUARDED exact fallback:
+        # the raw formulation cancels catastrophically when mean^2 >> var
+        # (wrong output at |mean|/std ~ 1e3 — ADVICE r2), but a
+        # round-3 measurement showed the always-on pilot-shift fix costs
+        # 52 ms/fwd in the full UNet (1061 -> 1008 ms: the shifted reduce
+        # breaks XLA's shared single-pass fusion over xf). Instead: keep
+        # the raw pass, and only when ANY group is ill-conditioned
+        # (mean^2 > 256*var, raw rel-error ~ eps_f32*256 < 3e-4 at the
+        # boundary) take a lax.cond branch that recomputes variance with
+        # the exact shifted two-pass. The predicate is a per-program
+        # scalar, so the common case pays zero extra HBM traffic and the
+        # degenerate case is EXACT (better than the pilot shift was).
+        s1 = xf.sum(axis=spatial)
+        s2 = (xf * xf).sum(axis=spatial)
         s1 = s1.reshape(x.shape[0], groups, cg).sum(-1)
         s2 = s2.reshape(x.shape[0], groups, cg).sum(-1)
-        dmean = s1 / count
-        var = jnp.maximum(s2 / count - dmean * dmean, 0.0)
-        mean = pilot + dmean
-        rstd = jax.lax.rsqrt(var + self.eps)
+        mean = s1 / count
+        var_raw = jnp.maximum(s2 / count - mean * mean, 0.0)
         bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (C,)
         mean_c = jnp.repeat(mean, cg, axis=-1).reshape(bshape)
+
+        def exact_var(_):
+            # close over the ORIGINAL x (already materialized as the layer
+            # input), not the f32 upcast xf: capturing xf as a cond operand
+            # forces a full f32 materialization in the common case too
+            # (measured +42 ms/fwd)
+            d = x.astype(jnp.float32) - mean_c
+            sv = (d * d).sum(axis=spatial)
+            return sv.reshape(x.shape[0], groups, cg).sum(-1) / count
+
+        ill = jnp.any(mean * mean > 256.0 * var_raw + self.eps)
+        var = jax.lax.cond(ill, exact_var, lambda _: var_raw, operand=None)
+        rstd = jax.lax.rsqrt(var + self.eps)
         rstd_c = jnp.repeat(rstd, cg, axis=-1).reshape(bshape)
         out = (xf - mean_c) * rstd_c * scale + bias
         return out.astype(orig_dtype)
@@ -229,6 +241,11 @@ class LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         if return_params:
             return scale, bias
+        # NB: jnp.mean(x, dtype=f32) directly on the bf16 input measured
+        # FASTER standalone (0.61 -> 0.51 ms, scripts/tune_layernorm.py)
+        # but SLOWER in the full model (1032 -> 1073 ms, +40 GB traffic):
+        # the second bf16 reader of x breaks XLA's shared-upcast fusion.
+        # Keep the single fp32 view.
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=-1, keepdims=True)
         var = xf.var(axis=-1, keepdims=True)
@@ -331,6 +348,43 @@ class CrossAttention(nn.Module):
         # full model (+12 ms/fwd): jnp.split outputs are strided views and
         # the pallas flash call's layout constraints force three copies —
         # XLA already streams x once across the three separate dots.
+        if (
+            not is_cross
+            and x.ndim == 3
+            and attention_ops.flash_layout() == "fold"
+            and attention_ops.flash_eligible(x.shape[1], x.shape[1])
+            and not self.is_initializing()
+        ):
+            # Fold path: express the q/k/v projections as einsums straight
+            # into the kernel's [B,H,S,D] layout (XLA absorbs the head
+            # transpose into the dot epilogue), and fold the flash kernel's
+            # ones column (softmax denominator riding the PV matmul) into
+            # the value PROJECTION — per head, a zero weight column plus a
+            # synthetic bias of 1 — so neither the head transposes nor a
+            # tensor-level V pad are ever materialized. Measured == the
+            # kernel-only time at the L0 shape (scripts/tune_attention3.py).
+            w_q = q_mod(x, return_params=True)[0]
+            w_k = k_mod(context, return_params=True)[0]
+            w_v = v_mod(context, return_params=True)[0]
+            w_o, b_o = out_mod(
+                jnp.zeros((1, inner), x.dtype), return_params=True)
+            if jnp.int8 not in (w_q.dtype, w_k.dtype, w_v.dtype, w_o.dtype):
+                H, D = self.heads, self.dim_head
+                xp, wq, wk, wv, wo = promote_dtype(
+                    x, w_q, w_k, w_v, w_o, dtype=self.dtype)
+                C = xp.shape[-1]
+                wvp = jnp.pad(
+                    wv.reshape(C, H, D), ((0, 0), (0, 0), (0, 1)))
+                ones = jnp.zeros((H, D + 1), xp.dtype).at[:, D].set(1.0)
+                q4 = jnp.einsum("bsc,chd->bhsd", xp, wq.reshape(C, H, D))
+                k4 = jnp.einsum("bsc,chd->bhsd", xp, wk.reshape(C, H, D))
+                vp4 = (jnp.einsum("bsc,chd->bhsd", xp, wvp)
+                       + ones[None, :, None, :])
+                o4 = attention_ops.attention_bhsd_prepad(q4, k4, vp4)
+                # wo rows are indexed h*D+d -> split the INPUT dim
+                return (jnp.einsum("bhsd,hdc->bsc", o4,
+                                   wo.reshape(H, D, xp.shape[-1]))
+                        + b_o.astype(o4.dtype))
         q = q_mod(x)
         k = k_mod(context)
         v = v_mod(context)

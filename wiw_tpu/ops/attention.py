@@ -21,11 +21,17 @@ import jax.numpy as jnp
 # Minimum q-length before the Pallas kernel wins over fused XLA attention.
 _PALLAS_MIN_SEQ = 1024
 
-# Tuning env vars (WIW_FLASH_BQ here; WIW_FUSED_FF* / WIW_TEMPORAL_ATTN in
-# the model modules) are read ONCE at import: the dispatch fns are
-# lru_cached and the traced programs live in jit caches, so a mid-process
-# change could never take effect anyway. Set them before importing wiw_tpu.
+# Tuning env vars (WIW_FLASH_BQ / WIW_FLASH_LAYOUT here; WIW_FUSED_FF* /
+# WIW_TEMPORAL_ATTN in the model modules) are read ONCE at import: the
+# dispatch fns are lru_cached and the traced programs live in jit caches,
+# so a mid-process change could never take effect anyway. Set them before
+# importing wiw_tpu.
 _FLASH_BQ_CAP = int(os.environ.get("WIW_FLASH_BQ", "768"))
+# 'fold' (einsum projections straight into [B,H,S,D] + V ones-column
+# folded into the projection weight — scripts/tune_attention3.py) vs
+# 'bhsd' (dots in [B,S,HD] + explicit head transposes). fold is default:
+# full fwd 1079 -> 1061 ms measured twice interleaved on v5e.
+_FLASH_LAYOUT = os.environ.get("WIW_FLASH_LAYOUT", "fold")
 
 
 def _is_tpu() -> bool:
@@ -108,6 +114,76 @@ def _custom_flash_fn(q_seq: int, kv_seq: int):
     return attn
 
 
+@functools.lru_cache(maxsize=None)
+def _custom_flash_prepad_fn(q_seq: int, kv_seq: int):
+    """v2 kernel with V pre-padded by the caller ([B,H,S,D+1], ones at
+    index D — the softmax denominator riding the PV matmul), with a
+    reference-attention VJP for training. The ones column is structurally
+    constant in the caller (a zero weight column + synthetic bias of 1 in
+    the value projection), so its cotangent is discarded by the pad
+    adjoint — returning zeros for it is exact."""
+    from wiw_tpu.ops.pallas_attention import flash_attention_bhsd
+
+    bq = _best_block(q_seq, cap=_FLASH_BQ_CAP)
+    bkv = _best_block(kv_seq, cap=1152)
+    fwd_fn = functools.partial(
+        flash_attention_bhsd, bq=bq, bkv=bkv, v_prepadded=True)
+    stock = _flash_attention_fn(q_seq, kv_seq)
+
+    def ref(q4, k4, vp4):
+        D = q4.shape[-1]
+        out = stock(q4, k4, vp4[..., :D], causal=False, sm_scale=D ** -0.5)
+        return out
+
+    @jax.custom_vjp
+    def attn(q4, k4, vp4):
+        return fwd_fn(q4, k4, vp4)
+
+    def attn_fwd(q4, k4, vp4):
+        return fwd_fn(q4, k4, vp4), (q4, k4, vp4)
+
+    def attn_bwd(res, g):
+        q4, k4, vp4 = res
+        _, vjp = jax.vjp(ref, q4, k4, vp4)
+        dq, dk, dvp = vjp(g)
+        dvp = jnp.concatenate(
+            [dvp[..., :-1], jnp.zeros_like(dvp[..., -1:])], axis=-1)
+        return dq, dk, dvp
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn
+
+
+def flash_layout() -> str:
+    """'fold' or 'bhsd' — which spatial flash layout is active (frozen at
+    import via WIW_FLASH_LAYOUT)."""
+    return _FLASH_LAYOUT
+
+
+def attention_bhsd_prepad(q4, k4, vp4) -> jnp.ndarray:
+    """Flash attention on kernel-layout inputs with pre-padded V.
+
+    q4, k4: [B, H, S, D]; vp4: [B, H, S, D+1] where column D is the
+    constant 1 (fold the pad into the value projection weight + a
+    synthetic bias so it costs nothing — models/layers.CrossAttention
+    produces these layouts directly via einsum projections, so no head
+    transpose is ever materialized). Returns [B, H, Sq, D]. Caller must
+    have checked `flash_eligible`.
+    """
+    return _custom_flash_prepad_fn(q4.shape[2], k4.shape[2])(q4, k4, vp4)
+
+
+def flash_eligible(q_seq: int, kv_seq: int) -> bool:
+    """True when the Pallas flash path would be used for these seq lens."""
+    return (
+        _is_tpu()
+        and q_seq >= _PALLAS_MIN_SEQ
+        and kv_seq >= _PALLAS_MIN_SEQ
+        and q_seq % 128 == 0
+        and kv_seq % 128 == 0
+    )
+
+
 def _xla_attention(q, k, v, scale):
     """Reference attention: einsum QK^T -> fp32 softmax -> PV."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -129,13 +205,7 @@ def dot_product_attention(
     """
     scale = q.shape[-1] ** -0.5
     if use_pallas is None:
-        use_pallas = (
-            _is_tpu()
-            and q.shape[2] >= _PALLAS_MIN_SEQ
-            and k.shape[2] >= _PALLAS_MIN_SEQ
-            and q.shape[2] % 128 == 0
-            and k.shape[2] % 128 == 0
-        )
+        use_pallas = flash_eligible(q.shape[2], k.shape[2])
     if use_pallas:
         return _custom_flash_fn(q.shape[2], k.shape[2])(q, k, v)
     return _xla_attention(q, k, v, scale)

@@ -153,19 +153,40 @@ def _attn_kernel_v2(q_ref, k_ref, v_ref, o_ref, *, bkv: int,
     o_ref[0] = (acc / acc[:, d_out:d_out + 1]).astype(o_ref.dtype)
 
 
+# NB round-3: a v3 kernel taking [B, S, H, D] blocks directly (head axis
+# on the grid, no caller-side transpose) was implemented and measured —
+# Mosaic cannot lower it: the second-minor block dim (the head axis, size
+# 1 of 5) violates the sublane-divisibility constraint, and any
+# [.., H, 64] block pads 64 -> 128 lanes in VMEM regardless. The adopted
+# alternative: callers einsum their projections straight into [B,H,S,D]
+# (`bsc,chd->bhsd`, XLA folds the transpose into the dot epilogue) and
+# pre-fold the ones column into the value projection weight
+# (`v_prepadded=True` below) — see models/layers.CrossAttention and
+# scripts/tune_attention3.py.
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("bq", "bkv", "sm_scale", "interpret", "unroll2",
-                     "kernel"),
+                     "kernel", "v_prepadded"),
 )
 def flash_attention_bhsd(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bq: int = 1024, bkv: int = 1024, sm_scale: float | None = None,
     interpret: bool = False, unroll2: bool = False, kernel: str = "v2",
+    v_prepadded: bool = False,
 ) -> jnp.ndarray:
-    """Non-causal attention over [B, H, S, D]; KV resident per (b, h)."""
+    """Non-causal attention over [B, H, S, D]; KV resident per (b, h).
+
+    `v_prepadded=True` (v2 kernel only): v arrives as [B, H, S, D+1] with
+    the ones column already at index D — e.g. folded into the value
+    projection weight by the caller — skipping the kernel-side concat
+    pass over V.
+    """
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    if v_prepadded:
+        assert kernel == "v2" and v.shape[3] == D + 1, (kernel, v.shape)
     if sm_scale is None:
         sm_scale = D ** -0.5
     bq = min(bq, Sq)
@@ -174,7 +195,7 @@ def flash_attention_bhsd(
 
     qf = q.reshape(B * H, Sq, D)
     kf = k.reshape(B * H, Skv, D)
-    vf = v.reshape(B * H, Skv, D)
+    vf = v.reshape(B * H, Skv, v.shape[3])
     grid = (B * H, Sq // bq)
 
     if kernel == "v2":
@@ -183,8 +204,9 @@ def flash_attention_bhsd(
                 "unroll2 only applies to kernel='v1' (the v2 kernel has no "
                 "unrolled variant); pass kernel='v1' for unroll ablations"
             )
-        ones = jnp.ones((B * H, Skv, 1), v.dtype)
-        vf = jnp.concatenate([vf, ones], axis=2)
+        if not v_prepadded:
+            ones = jnp.ones((B * H, Skv, 1), v.dtype)
+            vf = jnp.concatenate([vf, ones], axis=2)
         out = pl.pallas_call(
             functools.partial(_attn_kernel_v2, bkv=bkv,
                               sm_scale=float(sm_scale), d_out=D),

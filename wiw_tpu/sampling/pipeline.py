@@ -52,15 +52,19 @@ class GenerationConfig:
     noise_aug_strength: float = 0.02
     task_type: str = "navigation"  # 'navigation' | 'manipulation' | None
     # None = auto: clamp the per-chunk pixel volume so decoder activations
-    # fit a 16 GB v5e alongside the resident UNet (2 frames at 576x1024,
-    # proportionally more at smaller sizes)
+    # fit a 16 GB v5e alongside the resident UNet (2 frames at 576x1024
+    # in fp32, 4 in bf16; proportionally more at smaller sizes)
     decode_chunk_frames: Optional[int] = None
     edm: S.EDMConfig = S.EDMConfig()
 
-    def resolved_decode_chunk(self) -> int:
+    def resolved_decode_chunk(self, dtype_bytes: int = 4) -> int:
+        """Auto chunk size: clamp per-chunk decoder-activation volume.
+
+        `dtype_bytes` is the VAE compute itemsize (4 = fp32 baseline; a
+        bf16 decoder halves activation memory, doubling the safe chunk)."""
         if self.decode_chunk_frames is not None:
             return min(self.decode_chunk_frames, self.num_frames)
-        budget_px = 2 * 576 * 1024
+        budget_px = (2 * 576 * 1024) * 4 // dtype_bytes
         return max(1, min(self.num_frames,
                           budget_px // (self.height * self.width)))
 
@@ -71,7 +75,11 @@ class SVDPipeline:
     def __init__(
         self,
         unet_config: UNetConfig,
-        vae_config: VAEConfig = VAEConfig(),
+        # bf16 VAE by default: the reference serves its whole pipeline in
+        # fp16 (eval_inference.py loads torch_dtype=float16); GroupNorm
+        # stats stay fp32 inside the layer. Pass VAEConfig(dtype="float32")
+        # for exactness comparisons.
+        vae_config: VAEConfig = VAEConfig(dtype="bfloat16"),
         clip_config: CLIPVisionConfig = CLIPVisionConfig(),
         params: Optional[dict[str, Any]] = None,
     ):
@@ -338,7 +346,8 @@ class SVDPipeline:
         decode_chunk_size loop has the same effect for CUDA,
         pipeline:296-309)."""
         B, F, h, w, _ = latents.shape
-        chunk = gen.resolved_decode_chunk()
+        chunk = gen.resolved_decode_chunk(
+            dtype_bytes=jnp.dtype(self.vae_config.jdtype).itemsize)
         videos = []
         for start in range(0, F, chunk):
             size = min(chunk, F - start)

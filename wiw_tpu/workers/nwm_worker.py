@@ -47,7 +47,9 @@ class NWMWorker(WorkerModelBase):
             input_size=latent, context_size=context_size, dtype="bfloat16"
         )
         self.model = CDiT(self.cfg)
-        self.vae = AutoencoderKLTemporal(VAEConfig())
+        # bf16 VAE for serving (reference runs its VAE in fp16 on CUDA,
+        # NWM/isolated_nwm_infer.py; GroupNorm stats stay fp32 internally)
+        self.vae = AutoencoderKLTemporal(VAEConfig(dtype="bfloat16"))
         self.num_steps = num_steps
         self._key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
