@@ -1,0 +1,251 @@
+"""Multi-provider VLM transport layer (agents/providers.py): message
+format conversion, batched querying with cache + repair, cost math."""
+
+import json
+import sys
+import threading
+import types
+
+import numpy as np
+import pytest
+
+from wiw_tpu.agents import providers as P
+from wiw_tpu.agents.vlm import build_messages, image_content
+
+
+def _sample_messages():
+    img = np.zeros((4, 4, 3), np.uint8)
+    return build_messages("be helpful", ["look:", img, "what is it?"])
+
+
+class TestConversion:
+    def test_split_data_url(self):
+        part = image_content(np.zeros((2, 2, 3), np.uint8))
+        mime, b64 = P.split_data_url(part["image_url"]["url"])
+        assert mime == "image/png"
+        import base64
+
+        assert base64.b64decode(b64)[:4] == b"\x89PNG"
+
+    def test_split_file_url(self, tmp_path):
+        p = tmp_path / "x.png"
+        p.write_bytes(b"\x89PNG....")
+        mime, b64 = P.split_data_url("file://" + str(p))
+        assert mime == "image/png"
+        assert P.split_data_url("https://host/img.png") is None
+
+    def test_to_anthropic(self):
+        system, msgs = P.to_anthropic(_sample_messages())
+        assert system == "be helpful"
+        assert [m["role"] for m in msgs] == ["user"]
+        parts = msgs[0]["content"]
+        assert [p["type"] for p in parts] == ["text", "image", "text"]
+        src = parts[1]["source"]
+        assert src["type"] == "base64" and src["media_type"] == "image/png"
+        assert "data:" not in src["data"]
+
+    def test_to_anthropic_assistant_and_plain_str(self):
+        msgs = [{"role": "user", "content": "hi"},
+                {"role": "assistant", "content": "hello"}]
+        system, out = P.to_anthropic(msgs)
+        assert system == ""
+        assert out[0]["content"] == [{"type": "text", "text": "hi"}]
+        assert out[1]["role"] == "assistant"
+
+    def test_to_gemini(self):
+        system, contents = P.to_gemini(
+            _sample_messages()
+            + [{"role": "assistant", "content": "a cat"}])
+        assert system == "be helpful"
+        assert [c["role"] for c in contents] == ["user", "model"]
+        parts = contents[0]["parts"]
+        assert "text" in parts[0] and "inline_data" in parts[1]
+        assert parts[1]["inline_data"]["mime_type"] == "image/png"
+
+    def test_video_placeholder_anthropic(self):
+        msgs = [{"role": "user", "content": [
+            {"type": "video_url", "video_url": {"url": "data:video/mp4;base64,AAAA"}},
+        ]}]
+        _, out = P.to_anthropic(msgs)
+        assert out[0]["content"][0]["type"] == "text"
+
+    def test_schema_instruction(self):
+        from wiw_tpu.agents.vlm import make_response_format
+
+        s = P._schema_instruction(make_response_format(["Plan", "Reason"]))
+        assert "Plan" in s and "Reason" in s
+        assert P._schema_instruction(None) is None
+
+
+class TestTransports:
+    def test_anthropic_transport_with_fake_client(self):
+        calls = {}
+
+        class _Block:
+            type = "text"
+            text = "the answer"
+
+        class _Messages:
+            def create(self, **kw):
+                calls.update(kw)
+                return types.SimpleNamespace(content=[_Block()])
+
+        client = types.SimpleNamespace(messages=_Messages())
+        tr = P.AnthropicTransport(model="claude-opus-5", client=client)
+        out = tr(_sample_messages(), max_tokens=99)
+        assert out["text"] == "the answer"
+        assert calls["model"] == "claude-opus-5"
+        assert calls["max_tokens"] == 99
+        assert calls["system"] == "be helpful"
+        assert calls["messages"][0]["content"][1]["type"] == "image"
+
+    def test_anthropic_response_format_becomes_instruction(self):
+        from wiw_tpu.agents.vlm import make_response_format
+
+        seen = {}
+
+        class _Messages:
+            def create(self, **kw):
+                seen.update(kw)
+                return types.SimpleNamespace(content=[])
+
+        tr = P.AnthropicTransport(
+            client=types.SimpleNamespace(messages=_Messages()))
+        tr([{"role": "user", "content": "plan"}],
+           response_format=make_response_format(["Chosen Landmark"]))
+        assert "Chosen Landmark" in seen["system"]
+
+    def test_gemini_transport_with_fake_module(self):
+        seen = {}
+
+        class _Model:
+            def __init__(self, name, system_instruction=None):
+                seen["model"] = name
+                seen["system"] = system_instruction
+
+            def generate_content(self, contents, generation_config=None):
+                seen["contents"] = contents
+                seen["config"] = generation_config
+                return types.SimpleNamespace(text="gemini says")
+
+        genai = types.SimpleNamespace(GenerativeModel=_Model)
+        tr = P.GeminiTransport(genai=genai)
+        out = tr(_sample_messages(), max_tokens=33, temperature=0.5)
+        assert out["text"] == "gemini says"
+        assert seen["config"] == {"max_output_tokens": 33, "temperature": 0.5}
+        assert seen["contents"][0]["role"] == "user"
+
+    def test_make_transport_openai_default(self):
+        fake_openai = types.ModuleType("openai")
+
+        class _OpenAI:
+            def __init__(self, base_url=None, api_key=None):
+                self.base_url = base_url
+
+        fake_openai.OpenAI = _OpenAI
+        saved = sys.modules.get("openai")
+        sys.modules["openai"] = fake_openai
+        try:
+            tr = P.make_transport("openai", base_url="http://h/v1", model="m")
+            assert tr.model == "m" and tr.client.base_url == "http://h/v1"
+        finally:
+            if saved is not None:
+                sys.modules["openai"] = saved
+            else:
+                del sys.modules["openai"]
+
+
+class TestErrorRepairAndCost:
+    def test_extract_context_lengths(self):
+        cur, lim = P.extract_context_lengths(
+            "This model's maximum context length is 8192 tokens. However, "
+            "your messages resulted in 9100 tokens.")
+        assert (cur, lim) == (9100, 8192)
+        cur, lim = P.extract_context_lengths(
+            "the total length 5000 exceeds the model context length 4096")
+        assert (cur, lim) == (5000, 4096)
+        assert P.extract_context_lengths("At most 16 image(s) may be "
+                                         "provided in one request")[0] == 125
+        assert P.extract_context_lengths("boom") == (None, None)
+
+    def test_estimate_cost(self):
+        msgs = [{"role": "user", "content": "hello world"}]
+        reply = "a considerably longer reply " * 10
+        c = P.estimate_cost(msgs, reply, "claude-opus-5")
+        assert c > 0
+        # output tokens cost 5x input tokens on this model
+        c_in_only = P.estimate_cost(msgs, "", "claude-opus-5")
+        assert c > c_in_only
+        assert P.estimate_cost(msgs, reply, "unknown-model") == 0.0
+
+    def test_format_history(self):
+        h = P.format_history("q", "r")
+        assert h[0] == {"role": "user", "content": "q"}
+        assert h[1]["role"] == "assistant"
+
+
+class TestQueryBatch:
+    def test_batch_retry_and_order(self):
+        fails = {"n": 0}
+        lock = threading.Lock()
+
+        def transport(messages, **kw):
+            text = messages[-1]["content"]
+            with lock:
+                if text == "flaky" and fails["n"] < 1:
+                    fails["n"] += 1
+                    raise RuntimeError(
+                        "maximum context length is 100 tokens, requested "
+                        "200 tokens")
+            return {"text": "ok:" + text}
+
+        batch = [[{"role": "system", "content": "s"},
+                  {"role": "user", "content": "old"},
+                  {"role": "user", "content": t}]
+                 for t in ("a", "flaky", "b")]
+        out = P.query_batch(transport, batch, retry=3)
+        assert [o["text"] for o in out] == ["ok:a", "ok:flaky", "ok:b"]
+
+    def test_batch_exhaustion_returns_none(self):
+        def transport(messages, **kw):
+            raise RuntimeError("hard failure")
+
+        out = P.query_batch(transport, [[{"role": "user", "content": "x"}]],
+                            retry=2)
+        assert out == [None]
+
+    def test_disk_cache_prevents_requery(self, tmp_path):
+        cache = str(tmp_path / "cache.json")
+        calls = {"n": 0}
+
+        def transport(messages, **kw):
+            calls["n"] += 1
+            return {"text": "resp"}
+
+        batch = [[{"role": "user", "content": "same"}]] * 3
+        out1 = P.query_batch(transport, batch, cache_path=cache)
+        # duplicates collapse onto one provider call
+        assert calls["n"] == 1
+        out2 = P.query_batch(transport, batch, cache_path=cache)
+        assert calls["n"] == 1
+        assert out1 == out2 == [{"text": "resp"}] * 3
+        assert json.load(open(cache))
+
+    def test_cache_key_includes_kwargs(self, tmp_path):
+        cache = str(tmp_path / "c.json")
+        calls = {"n": 0}
+
+        def transport(messages, **kw):
+            calls["n"] += 1
+            return {"text": str(kw.get("max_tokens"))}
+
+        b = [[{"role": "user", "content": "q"}]]
+        assert P.query_batch(transport, b, cache_path=cache,
+                             max_tokens=16)[0]["text"] == "16"
+        assert P.query_batch(transport, b, cache_path=cache,
+                             max_tokens=32)[0]["text"] == "32"
+        assert calls["n"] == 2
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-q"]))

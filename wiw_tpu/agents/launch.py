@@ -31,6 +31,12 @@ def build_common_arg_parser(defaults: dict | None = None) -> argparse.ArgumentPa
     ap.add_argument("--sam2_port", type=int, default=d.get("sam2_port", 6001))
     ap.add_argument("--gd_sam2_port", type=int, default=d.get("gd_sam2_port", 6002))
     ap.add_argument("--vllm_hosts", nargs="*", default=d.get("vllm_hosts", []))
+    ap.add_argument("--vlm_provider", default=d.get("vlm_provider", "openai"),
+                    choices=["openai", "anthropic", "gemini"],
+                    help="commercial-VLM wire format (agents/providers.py); "
+                         "openai covers any OpenAI-compatible endpoint")
+    ap.add_argument("--vlm_model", default=d.get("vlm_model", ""),
+                    help="override the provider's default model name")
     ap.add_argument("--worker_num", type=int, default=d.get("worker_num", 1))
     ap.add_argument("--query_num", type=int, default=d.get("query_num", 2))
     ap.add_argument("--look_ahead_action_num", type=int,

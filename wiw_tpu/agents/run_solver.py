@@ -23,13 +23,21 @@ def _build_sim(datum, args):
 
 
 def _build_vlm(args):
-    if not args.vllm_hosts:
+    provider = getattr(args, "vlm_provider", "openai")
+    if provider == "openai" and not args.vllm_hosts:
         return None
-    from wiw_tpu.agents.vlm import OpenAITransport, VLMClient
+    from wiw_tpu.agents.providers import make_transport
+    from wiw_tpu.agents.vlm import VLMClient
 
-    host = args.vllm_hosts[0]
-    base = host if host.startswith("http") else f"http://{host}/v1"
-    return VLMClient(OpenAITransport(base_url=base))
+    base = ""
+    if args.vllm_hosts:
+        host = args.vllm_hosts[0]
+        base = host if host.startswith("http") else f"http://{host}/v1"
+    transport = make_transport(provider, base_url=base,
+                               model=getattr(args, "vlm_model", ""))
+    # commercial endpoints classify via zero-padded digits (vlm.py:55-65)
+    fmt = "local" if provider == "openai" else "digits"
+    return VLMClient(transport, choice_format=fmt)
 
 
 def run_one_episode(datum, args, shard_idx):
