@@ -498,3 +498,69 @@ class TestSurroundAnnotations:
                             "scene_id": "s"}, str(tmp_path / "wm"))
         # 4 annotated + 4 clean views
         assert vlm.n_images[0] == 8
+
+
+class TestEpisodeSkipGuard:
+    """Invalid-start handling (solver_base.py:154-171): a semantic-target
+    episode whose GT bbox is absent at the spawn pose records a skip
+    instead of running the full action budget."""
+
+    def test_missing_start_bbox_records_skip(self, tmp_path):
+        class EmptySemSim(FakeSimulator):
+            def get_semantic(self):
+                return np.zeros((64, 128), np.int32)  # target id never seen
+
+        vlm = ScriptedVLM(classify_script=[(0, 0.99)])
+        solver = ARSolver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=4,
+                         states_root=str(tmp_path)),
+            EmptySemSim(), vlm=vlm, object_set=["chair"], tts_ratio=0.0,
+        )
+        datum = {"episode_id": 9, "scene_id": "s", "target_category": "chair",
+                 "target_semantic_ids": [5]}
+        m = solver.run_episode(datum, str(tmp_path / "wm"))
+        assert m.get("skipped") is True
+        # the metric file exists, so resume marks the episode done
+        import os.path as _osp
+
+        assert _osp.exists(solver.saver.get_metric_path(datum))
+
+    def test_no_semantics_episode_still_runs(self, tmp_path):
+        # a plain-RGB sim has no semantic channel: the guard must not fire
+        vlm = ScriptedVLM(classify_script=[(0, 0.99)])
+        solver = ARSolver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=4,
+                         states_root=str(tmp_path)),
+            FakeSimulator(), vlm=vlm, object_set=["chair"], tts_ratio=0.0,
+        )
+        datum = {"episode_id": 10, "scene_id": "s",
+                 "target_category": "chair", "target_semantic_ids": [5]}
+        m = solver.run_episode(datum, str(tmp_path / "wm"))
+        assert "skipped" not in m and "is_correct" in m
+
+    def test_aggregators_exclude_skipped(self):
+        from wiw_tpu.agents.evaluator import (ar_metrics, aeqa_metrics,
+                                              ignav_metrics)
+
+        recs = [{"is_correct": True, "traj_len": 2},
+                {"skipped": True, "reason": "invalid target bbox at start"}]
+        m = ar_metrics(recs)
+        assert m["accuracy"] == 1.0 and m["count"] == 1 and m["skipped"] == 1
+        assert aeqa_metrics([{"skipped": True}])["skipped"] == 1
+        assert ignav_metrics([{"skipped": True}])["count"] == 0
+
+
+class TestWmTypeDetection:
+    def test_detect_from_exp_id(self):
+        from wiw_tpu.utils.config import detect_wm_type_from_exp_id as det
+
+        assert det("exp1_igenex_heur") == "igenex"
+        assert det("eval_FTwan22-14B_run3") == "FTwan22-14B"  # subsumes _FTwan22
+        assert det("exp_igenex_manip") == "igenex_manip"
+        assert det("plain_experiment") == ""
+
+    def test_detect_ambiguous_raises(self):
+        from wiw_tpu.utils.config import detect_wm_type_from_exp_id as det
+
+        with pytest.raises(ValueError, match="ambiguous"):
+            det("exp_svd_vs_ltx")

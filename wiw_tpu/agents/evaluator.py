@@ -17,13 +17,24 @@ import os.path as osp
 from typing import Callable, Dict, List, Optional
 
 
+def _split_skipped(records: List[dict]):
+    """Episodes recorded as skipped (malformed start state, solver-side
+    guard) are excluded from score averages but counted, so resumed runs
+    don't retry them and the report shows dataset hygiene."""
+    live = [r for r in records if not r.get("skipped")]
+    return live, len(records) - len(live)
+
+
 def ar_metrics(records: List[dict]) -> dict:
     """records: [{'is_correct': bool, 'traj_len': int}, ...]"""
+    records, n_skip = _split_skipped(records)
     if not records:
-        return {"accuracy": 0.0, "mean_traj_len": 0.0, "count": 0}
+        return {"accuracy": 0.0, "mean_traj_len": 0.0, "count": 0,
+                "skipped": n_skip}
     acc = sum(bool(r["is_correct"]) for r in records) / len(records)
     mtl = sum(float(r["traj_len"]) for r in records) / len(records)
-    return {"accuracy": acc, "mean_traj_len": mtl, "count": len(records)}
+    return {"accuracy": acc, "mean_traj_len": mtl, "count": len(records),
+            "skipped": n_skip}
 
 
 def aeqa_score(sigma: float) -> float:
@@ -33,8 +44,10 @@ def aeqa_score(sigma: float) -> float:
 
 def aeqa_metrics(records: List[dict]) -> dict:
     """records: [{'sigma': float, 'traj_len': int, 'max_actions': int}]"""
+    records, n_skip = _split_skipped(records)
     if not records:
-        return {"llm_match": 0.0, "efficiency": 0.0, "count": 0}
+        return {"llm_match": 0.0, "efficiency": 0.0, "count": 0,
+                "skipped": n_skip}
     scores = [aeqa_score(float(r["sigma"])) for r in records]
     effs = [
         aeqa_score(float(r["sigma"]))
@@ -46,6 +59,7 @@ def aeqa_metrics(records: List[dict]) -> dict:
         "llm_match": sum(scores) / n,
         "efficiency": sum(effs) / n,
         "count": n,
+        "skipped": n_skip,
     }
 
 
@@ -59,15 +73,17 @@ def spl(success: bool, shortest_path: float, actual_path: float) -> float:
 
 def ignav_metrics(records: List[dict]) -> dict:
     """records: [{'success': bool, 'shortest_path': m, 'actual_path': m}]"""
+    records, n_skip = _split_skipped(records)
     if not records:
-        return {"success_rate": 0.0, "spl": 0.0, "count": 0}
+        return {"success_rate": 0.0, "spl": 0.0, "count": 0,
+                "skipped": n_skip}
     n = len(records)
     sr = sum(bool(r["success"]) for r in records) / n
     s = sum(
         spl(bool(r["success"]), float(r["shortest_path"]), float(r["actual_path"]))
         for r in records
     ) / n
-    return {"success_rate": sr, "spl": s, "count": n}
+    return {"success_rate": sr, "spl": s, "count": n, "skipped": n_skip}
 
 
 TASK_METRICS = {"AR": ar_metrics, "AEQA": aeqa_metrics, "IGNav": ignav_metrics}

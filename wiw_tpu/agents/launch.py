@@ -24,7 +24,10 @@ def build_common_arg_parser(defaults: dict | None = None) -> argparse.ArgumentPa
     ap.add_argument("--exp_id", default=d.get("exp_id", "debug"))
     ap.add_argument("--task", default=d.get("task", "AR"))
     ap.add_argument("--dataset_path", default=d.get("dataset_path", ""))
-    ap.add_argument("--wm_type", default=d.get("wm_type", "igenex"))
+    ap.add_argument("--wm_type", default=d.get("wm_type", ""),
+                    help="world-model name (WM_REGISTRY key); empty = "
+                         "auto-detect from _<model> tokens in --exp_id "
+                         "(solver_base.py:84-103), falling back to igenex")
     ap.add_argument("--world_model_type", default=d.get("world_model_type", ""))
     ap.add_argument("--WM_host", default=d.get("WM_host", "127.0.0.1"))
     ap.add_argument("--WM_port", type=int, default=d.get("WM_port", 7000))

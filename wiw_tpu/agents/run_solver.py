@@ -19,6 +19,8 @@ def _build_sim(datum, args):
         return FakeSimulator(seed=hash(str(datum.get("scene_id"))) % 997)
     from wiw_tpu.agents.habitat_sim_api import get_simulator
 
+    # get_simulator keeps a per-scene cache and closes the previous sim
+    # when the scene changes (solver_base.py:53-73 behavior)
     return get_simulator(str(datum["scene_id"]))
 
 
@@ -93,6 +95,11 @@ def main(argv=None):
     ap.add_argument("--use_detector", action="store_true")
     ap.add_argument("--max_episodes", type=int, default=0)
     args = ap.parse_args(argv)
+    if not args.wm_type:
+        from wiw_tpu.utils.config import detect_wm_type_from_exp_id
+
+        args.wm_type = (detect_wm_type_from_exp_id(args.exp_id)
+                        or "igenex")
 
     from wiw_tpu.agents.datasets import AEQADataset, ARDataset, IGDataset
 

@@ -306,7 +306,18 @@ class ARSolver(Solver):
 
     def run_episode(self, datum: dict, save_dir: str) -> dict:
         st = State()
-        self.interact(datum, st, 0)
+        first = self.interact(datum, st, 0)
+        # invalid-start guard (solver_base.py:154-171): a semantic-target
+        # episode whose GT bbox cannot be computed at the spawn pose is
+        # malformed — record a skip (so resume marks it done) instead of
+        # running max_action_num steps of garbage
+        if (datum.get("target_semantic_ids")
+                and getattr(self.sim, "get_semantic", None) is not None
+                and "gt_bbox" not in first):
+            metrics = {"skipped": True,
+                       "reason": "invalid target bbox at start"}
+            log_metric(self.saver.get_metric_path(datum), metrics)
+            return metrics
         target = datum.get("target_category", "")
         answer, prob = "", 0.0
         steps = 0

@@ -66,6 +66,24 @@ OUT_WIDTH_DEFAULT = 480  # workers_cfg.py:14-16
 OUT_HEIGHT_DEFAULT = 480
 
 
+def detect_wm_type_from_exp_id(exp_id: str) -> str:
+    """Auto-detect the world-model name from `_<model>` tokens in the
+    experiment id (solver_base.py:84-103 set_world_model_type parity):
+    scans WM_REGISTRY keys, raises on an ambiguous id, returns '' when
+    nothing matches (callers pick their default)."""
+    hits = sorted({name for name in WM_REGISTRY
+                   if f"_{name}" in exp_id})
+    # a longer name containing a shorter one (wan22 vs wan22-14B,
+    # igenex vs igenex_manip) is a single intent, not an ambiguity
+    hits = [h for h in hits
+            if not any(o != h and h in o for o in hits)]
+    if len(hits) > 1:
+        raise ValueError(
+            f"ambiguous world-model types in exp_id {exp_id!r}: {hits}; "
+            "pass --wm_type explicitly")
+    return hits[0] if hits else ""
+
+
 @dataclasses.dataclass
 class WorkerConfig:
     wm_type: str = "igenex"
