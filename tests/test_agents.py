@@ -198,6 +198,44 @@ class TestEvaluator:
         ])
         assert m["success_rate"] == 0.5 and m["spl"] == 0.25
 
+    def test_vln_objnav(self):
+        from wiw_tpu.agents.evaluator import TASK_METRICS, vln_metrics
+
+        recs = [
+            {"success": True, "demo_dist": 3.0, "traj_dist": 6.0,
+             "traj_len": 10},
+            {"success": False, "demo_dist": 2.0, "traj_dist": 2.0,
+             "traj_len": 4},
+        ]
+        m = vln_metrics(recs)
+        assert m["success_rate"] == 0.5 and m["spl"] == 0.25
+        assert m["mean_traj_len"] == 7.0
+        assert TASK_METRICS["ObjNav"] is vln_metrics
+
+    def test_aeqa_invalid_scores_excluded(self):
+        m = aeqa_metrics([
+            {"sigma": 5.0, "traj_len": 0, "max_actions": 250},
+            {"sigma": "ERROR: judge failed", "traj_len": 1},
+            {"sigma": None, "traj_len": 1},
+        ])
+        assert m["llm_match"] == 100.0
+        assert m["count"] == 1 and m["invalid"] == 2
+
+    def test_easy_episodes_artifact(self, tmp_path):
+        import os.path as osp
+
+        root = str(tmp_path)
+        sv = Saver(exp_id="e", task="AR", root=root)
+        for ep, (ok, tl) in enumerate([(True, 0), (True, 3), (False, 0)]):
+            datum = {"episode_id": ep, "scene_id": "sc.glb"}
+            log_metric(sv.get_metric_path(datum),
+                       {"is_correct": ok, "traj_len": tl})
+        ev = Evaluator("AR", "e", states_root=root)
+        ev.evaluate()
+        txt = open(osp.join(root, "AR_e", "easy_episodes.txt")).read()
+        # only the correct zero-step episode qualifies
+        assert len(txt.strip().splitlines()) == 1 and "E0" in txt
+
     def test_walk_and_aggregate(self, tmp_path):
         root = str(tmp_path)
         sv = Saver(exp_id="t", task="AR", root=root)

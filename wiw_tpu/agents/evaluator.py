@@ -43,11 +43,18 @@ def aeqa_score(sigma: float) -> float:
 
 
 def aeqa_metrics(records: List[dict]) -> dict:
-    """records: [{'sigma': float, 'traj_len': int, 'max_actions': int}]"""
+    """records: [{'sigma': float, 'traj_len': int, 'max_actions': int}].
+    Records whose judge score isn't numeric (a failed LLM grade comes back
+    as a string/None, evaluator.py:288-292) are excluded from the averages
+    and reported as invalid."""
     records, n_skip = _split_skipped(records)
+    total = len(records)
+    records = [r for r in records
+               if isinstance(r.get("sigma"), (int, float))]
+    n_invalid = total - len(records)
     if not records:
         return {"llm_match": 0.0, "efficiency": 0.0, "count": 0,
-                "skipped": n_skip}
+                "invalid": n_invalid, "skipped": n_skip}
     scores = [aeqa_score(float(r["sigma"])) for r in records]
     effs = [
         aeqa_score(float(r["sigma"]))
@@ -59,6 +66,7 @@ def aeqa_metrics(records: List[dict]) -> dict:
         "llm_match": sum(scores) / n,
         "efficiency": sum(effs) / n,
         "count": n,
+        "invalid": n_invalid,
         "skipped": n_skip,
     }
 
@@ -86,7 +94,38 @@ def ignav_metrics(records: List[dict]) -> dict:
     return {"success_rate": sr, "spl": s, "count": n, "skipped": n_skip}
 
 
-TASK_METRICS = {"AR": ar_metrics, "AEQA": aeqa_metrics, "IGNav": ignav_metrics}
+def vln_metrics(records: List[dict]) -> dict:
+    """VLN summary (evaluator.py:40-50, 344-362): SR plus distance-based
+    SPL = success * demo_dist / max(traj_dist, demo_dist), and the mean
+    step count."""
+    records, n_skip = _split_skipped(records)
+    if not records:
+        return {"success_rate": 0.0, "spl": 0.0, "mean_traj_len": 0.0,
+                "count": 0, "skipped": n_skip}
+    n = len(records)
+    sr = sum(bool(r["success"]) for r in records) / n
+    s = sum(
+        spl(bool(r["success"]), float(r["demo_dist"]), float(r["traj_dist"]))
+        for r in records
+    ) / n
+    mtl = sum(float(r.get("traj_len", 0)) for r in records) / n
+    return {"success_rate": sr, "spl": s, "mean_traj_len": mtl,
+            "count": n, "skipped": n_skip}
+
+
+def easy_episodes(records: List[dict]) -> List[dict]:
+    """Episodes solved correctly with zero movement (evaluator.py:312-330
+    writes these to easy_episodes.txt for dataset curation)."""
+    return [r for r in records
+            if not r.get("skipped") and bool(r.get("is_correct"))
+            and int(r.get("traj_len", -1)) == 0]
+
+
+# VLN and ObjNav share the distance-based SPL summary (evaluator.py:153-154
+# groups them); IGNav keeps its step-count SPL variant
+TASK_METRICS = {"AR": ar_metrics, "AEQA": aeqa_metrics,
+                "IGNav": ignav_metrics, "VLN": vln_metrics,
+                "ObjNav": vln_metrics}
 
 
 def load_records(states_dir: str) -> List[dict]:
@@ -98,7 +137,9 @@ def load_records(states_dir: str) -> List[dict]:
             with open(osp.join(root, "metrics.jsonl")) as f:
                 lines = [ln for ln in f if ln.strip()]
             if lines:
-                records.append(json.loads(lines[-1]))
+                rec = json.loads(lines[-1])
+                rec["_dir"] = osp.relpath(root, states_dir)
+                records.append(rec)
     return records
 
 
@@ -120,6 +161,14 @@ class Evaluator:
                 if "sigma" not in r:
                     r["sigma"] = self.llm_scorer(r)
         summary = TASK_METRICS[self.task](records)
+        if self.task == "AR":
+            easy = easy_episodes(records)
+            if easy and os.path.isdir(self.states_dir):
+                # dataset-curation artifact (evaluator.py:322-330)
+                with open(osp.join(self.states_dir,
+                                   "easy_episodes.txt"), "w") as f:
+                    for r in easy:
+                        f.write(r.get("_dir", "?") + "\n")
         return summary
 
     def summary_table(self) -> str:
