@@ -32,6 +32,71 @@ class TestMaskUtils:
         kept = filter_detections(dets)
         assert len(kept) == 1 and kept[0]["label"] == "a"
 
+    def test_confidence_and_size_gates(self):
+        big = np.ones((10, 10))          # covers 100% -> over max ratio
+        tiny = np.zeros((10, 10)); tiny[0, 0] = 1   # 1% of frame
+        ok = np.zeros((10, 10)); ok[2:6, 2:6] = 1   # 16%
+        dets = [
+            {"label": "a", "score": 0.9, "mask": big},
+            {"label": "b", "score": 0.9, "mask": tiny},
+            {"label": "c", "score": 0.1, "mask": ok},
+            {"label": "d", "score": 0.9, "mask": ok.copy()},
+        ]
+        kept = filter_detections(dets, confidence_thr=0.3,
+                                 min_mask_ratio=0.05, max_mask_ratio=0.5)
+        assert [d["label"] for d in kept] == ["d"]
+
+    def test_exempt_classes_bypass_gates(self):
+        big = np.ones((10, 10))
+        kept = filter_detections(
+            [{"label": "door", "score": 0.1, "mask": big}],
+            confidence_thr=0.3, max_mask_ratio=0.5)
+        assert len(kept) == 1
+
+    def test_background_classes_dropped(self):
+        m = np.zeros((10, 10)); m[2:6, 2:6] = 1
+        kept = filter_detections(
+            [{"label": "wall", "score": 0.9, "mask": m}],
+            background_classes=("wall",))
+        assert kept == []
+
+    def test_proximity_keeps_larger(self):
+        small = np.zeros((20, 20)); small[8:12, 8:12] = 1
+        large = np.zeros((20, 20)); large[5:15, 5:15] = 1
+        dets = [
+            {"label": "small", "score": 0.9, "mask": small},
+            {"label": "large", "score": 0.5, "mask": large},
+        ]
+        # same center: proximity fires; the larger box wins even though it
+        # was seen second with a lower score
+        kept = filter_detections(dets, iou_thr=0.99, containment_thr=1.1,
+                                 proximity_thr=5.0, keep_larger=True)
+        assert [d["label"] for d in kept] == ["large"]
+        kept = filter_detections(dets, iou_thr=0.99, containment_thr=1.1,
+                                 proximity_thr=5.0, keep_larger=False)
+        assert [d["label"] for d in kept] == ["small"]
+
+    def test_top_x_caps_pool(self):
+        masks = []
+        for k in range(4):
+            m = np.zeros((10, 40)); m[2:6, k * 10:k * 10 + 4] = 1
+            masks.append(m)
+        dets = [{"label": str(k), "score": 1.0 - 0.1 * k, "mask": m}
+                for k, m in enumerate(masks)]
+        assert len(filter_detections(dets, top_x=2)) == 2
+
+    def test_mask_subtract_contained(self):
+        from wiw_tpu.workers.detection_utils import mask_subtract_contained
+
+        table = np.zeros((20, 20), bool); table[5:15, 5:15] = True
+        cup = np.zeros((20, 20), bool); cup[8:11, 8:11] = True
+        masks = np.stack([table, cup])
+        boxes = np.array([[5, 5, 15, 15], [8, 8, 11, 11]], np.float32)
+        out = mask_subtract_contained(masks, boxes)
+        # the cup's pixels are carved out of the table's mask
+        assert not out[0][8:11, 8:11].any()
+        assert out[0][5:8].any() and (out[1] == cup).all()
+
     def test_mask_to_bbox(self):
         m = np.zeros((10, 10)); m[3:6, 2:9] = 1
         bb = mask_to_bbox(m)

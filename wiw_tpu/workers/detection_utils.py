@@ -39,30 +39,122 @@ def mask_to_bbox(mask: np.ndarray) -> Dict[str, int]:
             "y_min": int(ys.min()), "y_max": int(ys.max())}
 
 
+# structural classes are exempt from the size/confidence gates (a door fills
+# half the frame; losing it breaks landmark nav) — post_process.py:27,126
+EXEMPT_CLASSES = ("door", "stairs", "stair rail", "doorway")
+BACKGROUND_CLASSES = ("wall", "floor", "ceiling")
+
+
 def filter_detections(
     detections: List[dict],
     iou_thr: float = 0.8,
     containment_thr: float = 0.9,
+    confidence_thr: float = 0.0,
+    min_mask_ratio: float = 0.0,
+    max_mask_ratio: float = 1.0,
+    proximity_thr: float = 0.0,
+    top_x: int = 0,
+    keep_larger: bool = True,
+    exempt_classes=EXEMPT_CLASSES,
+    background_classes=(),
 ) -> List[dict]:
-    """detections: [{label, score, mask}] -> deduplicated list, keeping the
-    higher-score detection of overlapping pairs."""
+    """detections: [{label, score, mask}] -> filtered list.
+
+    Policy parity with post_process.py:16-155, original decomposition:
+    confidence-ordered greedy keep; drops a candidate when (a) its score
+    is under `confidence_thr`, (b) its mask covers under `min_mask_ratio`
+    or over `max_mask_ratio` of the image, (c) its label is a background
+    class, (d) it overlaps a kept mask above `iou_thr` or sits inside one
+    above `containment_thr`, or (e) its bbox center is within
+    `proximity_thr` px of a kept one — proximity evicts whichever box the
+    `keep_larger` policy disfavors, even if already kept. Labels in
+    `exempt_classes` bypass (a)/(b)/(d). `top_x` caps the candidate pool
+    before filtering. The size/score gates are opt-in (permissive
+    defaults keep existing callers' behavior)."""
     order = sorted(range(len(detections)),
                    key=lambda i: -detections[i].get("score", 0.0))
+    if top_x:
+        order = order[:top_x]
     keep: List[int] = []
+
+    def center_area(d):
+        b = mask_to_bbox(d["mask"])
+        return (((b["x_min"] + b["x_max"]) / 2,
+                 (b["y_min"] + b["y_max"]) / 2),
+                max(b["x_max"] - b["x_min"], 0)
+                * max(b["y_max"] - b["y_min"], 0))
+
     for i in order:
-        mi = detections[i]["mask"]
+        det = detections[i]
+        mi = np.asarray(det["mask"], bool)
+        label = str(det.get("label", ""))
+        exempt = label in exempt_classes
+        if label in background_classes:
+            continue
+        if not exempt:
+            if det.get("score", 1.0) < confidence_thr:
+                continue
+            frac = mi.mean() if mi.size else 0.0
+            if frac < min_mask_ratio or frac > max_mask_ratio:
+                continue
+        ci, ai = center_area(det)
         drop = False
+        evict: List[int] = []
         for j in keep:
             mj = detections[j]["mask"]
-            if mask_iou(mi, mj) >= iou_thr:
+            if not exempt and (mask_iou(mi, mj) >= iou_thr
+                               or mask_containment(mi, mj) >= containment_thr):
                 drop = True
                 break
-            if mask_containment(mi, mj) >= containment_thr:
-                drop = True
-                break
-        if not drop:
-            keep.append(i)
+            if proximity_thr > 0.0:
+                cj, aj = center_area(detections[j])
+                dist = float(np.hypot(ci[0] - cj[0], ci[1] - cj[1]))
+                if dist < proximity_thr:
+                    if (keep_larger and ai > aj) or \
+                            (not keep_larger and ai < aj):
+                        evict.append(j)
+                    else:
+                        drop = True
+                        break
+        if drop:
+            continue
+        keep = [j for j in keep if j not in evict]
+        keep.append(i)
     return [detections[i] for i in sorted(keep)]
+
+
+def mask_subtract_contained(masks: np.ndarray, bboxes_xyxy: np.ndarray,
+                            inter_over_outer_thr: float = 0.7,
+                            inter_over_inner_thr: float = 0.8) -> np.ndarray:
+    """Carve contained objects out of their containers' masks
+    (post_process.py:157-206 behavior): box j counts as contained in box i
+    when their intersection covers > `inter_over_inner_thr` of j while
+    staying < `inter_over_outer_thr` of i; each container mask gets every
+    contained mask subtracted, so 'a cup on a table' doesn't double-count
+    the cup's pixels inside the table's mask.
+
+    masks: [N, H, W] bool; bboxes_xyxy: [N, 4]."""
+    masks = np.asarray(masks, bool)
+    xy = np.asarray(bboxes_xyxy, np.float32)
+    n = len(masks)
+    if n == 0:
+        return masks.copy()
+    areas = np.maximum(xy[:, 2] - xy[:, 0], 0) * np.maximum(
+        xy[:, 3] - xy[:, 1], 0)
+    lt = np.maximum(xy[:, None, :2], xy[None, :, :2])
+    rb = np.minimum(xy[:, None, 2:], xy[None, :, 2:])
+    inter = np.clip(rb - lt, 0, None)
+    inter_area = inter[..., 0] * inter[..., 1]
+    over_outer = inter_area / np.maximum(areas[:, None], 1e-9)
+    contained = (over_outer < inter_over_outer_thr) & \
+        (over_outer.T > inter_over_inner_thr)
+    np.fill_diagonal(contained, False)
+    out = masks.copy()
+    for i in range(n):
+        inner = contained[i]
+        if inner.any():
+            out[i] &= ~masks[inner].any(axis=0)
+    return out
 
 
 def draw_bbox(img: np.ndarray, bbox: Dict[str, int],

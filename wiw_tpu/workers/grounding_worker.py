@@ -118,7 +118,14 @@ class GroundingWorker:
                         frames.append(load_image(osp.join(d, name)))
             dir_dets = []
             for fi, img in enumerate(frames):
-                dets = filter_detections(self._detect(img))
+                # production gates (post_process.py:16-30 defaults):
+                # confidence 0.3, mask 0.3%-50% of the frame, 20 px
+                # proximity suppression keeping the larger box
+                dets = filter_detections(
+                    self._detect(img), iou_thr=0.9, confidence_thr=0.3,
+                    min_mask_ratio=0.003, max_mask_ratio=0.5,
+                    proximity_thr=20.0,
+                    background_classes=("wall", "floor", "ceiling"))
                 for det in dets:
                     dir_dets.append({
                         "frame": fi, "label": det["label"],
