@@ -564,3 +564,48 @@ class TestWmTypeDetection:
 
         with pytest.raises(ValueError, match="ambiguous"):
             det("exp_svd_vs_ltx")
+
+
+class TestDepthSteering:
+    def test_deviation_from_depth(self):
+        from wiw_tpu.agents.nav import compute_theta_deviation_from_depth
+
+        depth = np.ones((40, 80)) * 1.0
+        depth[:, 60:] = 5.0  # open corridor on the right quarter
+        dev = compute_theta_deviation_from_depth(depth, hfov_deg=90.0)
+        assert dev is not None and dev > 0  # positive = right of center
+        # median column ~69.5 of 80 -> offset ~ (69.5-40)/80 * pi/2
+        assert abs(dev - (69.5 - 40) / 80 * np.pi / 2) < 0.05
+
+    def test_deviation_none_when_closed(self):
+        from wiw_tpu.agents.nav import compute_theta_deviation_from_depth
+
+        assert compute_theta_deviation_from_depth(
+            np.ones((40, 80)), hfov_deg=90.0) is None
+        tiny = np.ones((40, 80))
+        tiny[0, 0] = 5.0  # below the area threshold
+        assert compute_theta_deviation_from_depth(tiny, 90.0) is None
+
+    def test_face_view_refined_by_depth(self, tmp_path):
+        from wiw_tpu.agents.solver import FakeSimulator, SolverConfig
+
+        class DepthSim(FakeSimulator):
+            def get_depth(self):
+                d = np.ones((40, 80))
+                d[:, :20] = 5.0  # open space far LEFT of the view center
+                return d
+
+        vlm = ScriptedVLM()
+        base = AEQASolver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=4,
+                         states_root=str(tmp_path)),
+            FakeSimulator(), vlm=vlm)
+        deep = AEQASolver(
+            SolverConfig(world_model_type="GTsim", igenex_n_frame=4,
+                         states_root=str(tmp_path)),
+            DepthSim(), vlm=vlm)
+        plan = {"Chosen View": 1}  # left view, yaw +90
+        t0 = base.face_chosen_view(dict(plan))
+        t1 = deep.face_chosen_view(dict(plan))
+        # open space left of center adds left turn steps (dev < 0 -> yaw up)
+        assert t1 > t0

@@ -103,3 +103,39 @@ class ActionFinder:
             max_actions=self.max_actions,
         )
         return acts + [None]
+
+
+def compute_theta_deviation_from_depth(depth: np.ndarray, hfov_deg: float,
+                                       dist_thr: float = 2.4,
+                                       area_ratio: float = 0.02
+                                       ) -> Optional[float]:
+    """Open-space steering offset (igenex_util.py:41-96 parity): find the
+    largest connected region deeper than `dist_thr` meters; if it covers at
+    least `area_ratio` of the view, return the angular offset (radians,
+    positive = right of center) of its median column, else None. AEQA uses
+    this to refine a 'Chosen View' heading toward traversable space
+    (solver_AEQA.py:600-614)."""
+    depth = np.asarray(depth, float)
+    if depth.ndim == 3:
+        depth = depth[..., 0]
+    mask = depth > dist_thr
+    if not mask.any():
+        return None
+    try:
+        from scipy import ndimage
+
+        labeled, n = ndimage.label(mask)
+        if n == 0:
+            return None
+        areas = np.bincount(labeled.ravel())[1:]
+        best = int(np.argmax(areas)) + 1
+        region = labeled == best
+        area = int(areas[best - 1])
+    except ImportError:  # pragma: no cover - scipy is baked in here
+        region, area = mask, int(mask.sum())
+    if area < area_ratio * depth.size:
+        return None
+    xs = np.where(region)[1]
+    width = depth.shape[1]
+    return float((np.median(xs) - width / 2.0) / width
+                 * np.radians(hfov_deg))

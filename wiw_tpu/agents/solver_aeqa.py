@@ -187,7 +187,11 @@ class AEQASolver(Solver):
 
     def face_chosen_view(self, plan: dict) -> int:
         """Turn toward the plan's 'Chosen View' before executing it;
-        returns the number of turn steps taken."""
+        returns the number of turn steps taken. When the simulator exposes
+        depth, the heading is refined toward the largest open region in
+        that view (compute_theta_deviation_from_depth,
+        solver_AEQA.py:600-614) so a view-only plan steers into
+        traversable space rather than the view's dead center."""
         from wiw_tpu.agents.surround import choose_view_yaw
 
         view = plan.get("Chosen View")
@@ -197,6 +201,18 @@ class AEQASolver(Solver):
             yaw = choose_view_yaw(int(view))
         except (TypeError, ValueError):
             return 0
+        get_depth = getattr(self.sim, "get_depth", None)
+        if get_depth is not None:
+            from wiw_tpu.agents.nav import compute_theta_deviation_from_depth
+
+            try:
+                dev = compute_theta_deviation_from_depth(
+                    get_depth(), getattr(self, "obs_hfov", 90.0))
+            except Exception:
+                dev = None
+            if dev is not None:
+                # positive deviation = open space right of center
+                yaw -= float(np.degrees(dev))
         turns = int(round(abs(yaw) / 22.5))
         action = "turn_left" if yaw > 0 else "turn_right"
         for _ in range(turns):
