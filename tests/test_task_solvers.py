@@ -609,3 +609,37 @@ class TestDepthSteering:
         t1 = deep.face_chosen_view(dict(plan))
         # open space left of center adds left turn steps (dev < 0 -> yaw up)
         assert t1 > t0
+
+
+class TestIGNavGroundTruthSuccess:
+    """The stop decision is the agent's belief; success is judged against
+    the datum's goal pose (solver_IGNav.py:261-271)."""
+
+    def _solver(self, tmp_path, sim):
+        return IGNavSolver(
+            gtsim_config(states_root=str(tmp_path)), sim,
+            reward_fn=mse_reward,
+            success_checker=lambda s, g: True,  # agent always WANTS to stop
+            max_action_num=10,
+        )
+
+    def test_confident_stop_far_from_goal_fails(self, tmp_path):
+        sim = FakeSimulator()
+        solver = self._solver(tmp_path, sim)
+        goal = np.zeros((8, 8, 3), np.uint8)
+        m = solver.run_episode(
+            {"episode_id": 0, "scene_id": "s", "shortest_path": 5.0,
+             "goal_position": [50.0, 50.0], "goal_radius": 0.5},
+            goal, str(tmp_path / "wm"))
+        assert m["stopped"] and not m["success"]
+        assert m["goal_dist"] > 0.5
+
+    def test_stop_at_goal_succeeds(self, tmp_path):
+        sim = FakeSimulator()
+        solver = self._solver(tmp_path, sim)
+        goal_pos = list(np.atleast_1d(sim.get_agent_state()[0]))
+        m = solver.run_episode(
+            {"episode_id": 1, "scene_id": "s", "shortest_path": 0.1,
+             "goal_position": goal_pos, "goal_radius": 0.5},
+            np.zeros((8, 8, 3), np.uint8), str(tmp_path / "wm"))
+        assert m["success"] and m["goal_dist"] <= 0.5

@@ -174,18 +174,43 @@ class IGNavSolver(Solver):
             return idx == 0
         return False
 
+    def evaluate_goal_success(self, datum: dict) -> Optional[dict]:
+        """Ground-truth goal evaluation (solver_IGNav.py:261-271): the
+        final pose succeeds iff its distance to datum['goal_position'] is
+        within datum['goal_radius'] — geodesic when the simulator has a
+        pathfinder, euclidean otherwise. Returns None when the datum
+        carries no goal pose (the injected success_checker then rules).
+        The agent's decision to STOP never by itself makes the episode a
+        success; the metric is judged against the goal, not the belief."""
+        goal = datum.get("goal_position")
+        if goal is None:
+            return None
+        pos = np.atleast_1d(np.asarray(self.sim.get_agent_state()[0], float))
+        goal = np.asarray(goal, float)[: len(pos)]
+        dist = None
+        pathfinder = getattr(self.sim, "pathfinder", None)
+        if pathfinder is not None:
+            try:
+                dist = float(pathfinder.geodesic_distance(pos, goal))
+            except Exception:
+                dist = None
+        if dist is None or not np.isfinite(dist):
+            dist = float(np.linalg.norm(goal - pos))
+        radius = float(datum.get("goal_radius", 1.0))
+        return {"goal_dist": dist, "success": dist <= radius}
+
     # ------------------------------------------------------------------
     def run_episode(self, datum: dict, goal_img: np.ndarray,
                     save_dir: str) -> dict:
         st = State()
         actions_taken = 0
-        success = False
+        stopped = False
         st.update_position_traj(list(np.atleast_1d(
             self.sim.get_agent_state()[0]
         )))
         while actions_taken < self.max_action_num:
             if self.check_stop(st, goal_img):
-                success = True
+                stopped = True
                 break
             candidates = self.propose_candidates(st, goal_img)
             out = self.imagine_by_model_type(candidates, save_dir)
@@ -201,12 +226,24 @@ class IGNavSolver(Solver):
                 self.sim.get_agent_state()[0]
             )))
 
+        gt = self.evaluate_goal_success(datum)
+        if gt is not None:
+            success = bool(gt["success"])
+        elif self.success_checker is not None:
+            success = stopped and bool(
+                self.success_checker(self.sim, goal_img))
+        else:
+            success = stopped  # no ground truth available: trust the stop
+
         shortest = float(datum.get("shortest_path", st.path_length() or 1.0))
         metrics = {
             "success": success,
+            "stopped": stopped,
             "shortest_path": shortest,
             "actual_path": st.path_length(),
             "traj_len": actions_taken,
         }
+        if gt is not None:
+            metrics["goal_dist"] = gt["goal_dist"]
         log_metric(self.saver.get_metric_path(datum), metrics)
         return metrics
