@@ -179,3 +179,68 @@ class TestSceneLock:
         mark_scene_done(root, "sceneA")
         assert not claim_scene(root, "sceneA")  # done -> skip
         assert claim_scene(root, "sceneB")
+
+
+class TestPrefetchLoader:
+    class _SeqDataset:
+        def __init__(self, n=64, fail_at=None):
+            self.n = n
+            self.fail_at = fail_at
+
+        def __getitem__(self, i):
+            if self.fail_at is not None and i == self.fail_at:
+                raise RuntimeError("corrupt item")
+            return {"pixel_values": np.full((2, 2), i, np.float32),
+                    "actions": np.array([i], np.int64)}
+
+    def test_order_and_shapes(self):
+        from wiw_tpu.data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(self._SeqDataset(), batch_size=4,
+                                num_steps=3, num_workers=3)
+        batches = list(loader)
+        assert len(batches) == 3
+        for s, b in enumerate(batches):
+            assert b["pixel_values"].shape == (4, 2, 2)
+            assert b["actions"].ravel().tolist() == [
+                s * 4 + i for i in range(4)]
+
+    def test_transform_and_place_run_in_background(self):
+        import threading as _t
+
+        from wiw_tpu.data.loader import PrefetchLoader
+
+        main = _t.get_ident()
+        seen = {}
+
+        def transform(b):
+            seen["transform_thread"] = _t.get_ident()
+            return {k: v * 2 for k, v in b.items()}
+
+        def place(b):
+            seen["place_thread"] = _t.get_ident()
+            return b
+
+        loader = PrefetchLoader(self._SeqDataset(), 2, 2,
+                                transform=transform, place=place)
+        out = list(loader)
+        assert out[1]["actions"].ravel().tolist() == [4, 6]
+        assert seen["transform_thread"] != main
+        assert seen["place_thread"] != main
+
+    def test_error_propagates(self):
+        from wiw_tpu.data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(self._SeqDataset(fail_at=5), 4, 4)
+        with pytest.raises(RuntimeError, match="corrupt item"):
+            list(loader)
+
+    def test_early_close_joins_producer(self):
+        from wiw_tpu.data.loader import PrefetchLoader
+
+        loader = PrefetchLoader(self._SeqDataset(n=10_000), 4, 1000,
+                                prefetch_batches=1)
+        it = iter(loader)
+        next(it)
+        loader.close()
+        assert loader._thread is None

@@ -193,3 +193,64 @@ class TestTrainerGuards:
         trainer = Trainer(pipe, TrainConfig(train_params="new"))
         with _pytest.raises(RuntimeError, match="init_state"):
             trainer.make_train_step()
+
+
+class TestOptimizerOptions:
+    """LR schedules + memory-efficient optimizers (train_svd.py:228-240
+    get_scheduler, :643-653 use_8bit_adam equivalents)."""
+
+    def test_schedules(self):
+        import pytest
+
+        from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+        def sched(**kw):
+            cfg = TrainConfig(learning_rate=1e-3, **kw)
+            return Trainer.__new__(Trainer), cfg
+
+        tr, cfg = sched(lr_scheduler="constant_with_warmup",
+                        lr_warmup_steps=10)
+        tr.cfg = cfg
+        s = tr._make_schedule()
+        assert float(s(0)) == 0.0
+        assert abs(float(s(10)) - 1e-3) < 1e-9
+        assert abs(float(s(500)) - 1e-3) < 1e-9
+
+        tr, cfg = sched(lr_scheduler="linear", lr_warmup_steps=10,
+                        lr_total_steps=110)
+        tr.cfg = cfg
+        s = tr._make_schedule()
+        assert abs(float(s(10)) - 1e-3) < 1e-9
+        assert float(s(110)) < 1e-5
+        assert 0 < float(s(60)) < 1e-3
+
+        tr, cfg = sched(lr_scheduler="cosine", lr_warmup_steps=5,
+                        lr_total_steps=100)
+        tr.cfg = cfg
+        s = tr._make_schedule()
+        assert abs(float(s(5)) - 1e-3) < 1e-9
+        assert float(s(100)) < float(s(50))
+
+        tr, cfg = sched(lr_scheduler="linear")  # decay needs total steps
+        tr.cfg = cfg
+        with pytest.raises(ValueError, match="lr_total_steps"):
+            tr._make_schedule()
+
+    def test_optimizer_variants_step(self):
+        import optax
+        from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+        params = {"w": jnp.ones((4, 4), jnp.float32)}
+        g = {"w": jnp.full((4, 4), 0.1, jnp.float32)}
+        for name in ("adamw", "adamw_bf16m", "adafactor"):
+            tr = Trainer.__new__(Trainer)
+            tr.cfg = TrainConfig(learning_rate=1e-3, optimizer=name)
+            tx = tr._make_optimizer()
+            st = tx.init(params)
+            up, _ = tx.update(g, st, params)
+            new = optax.apply_updates(params, up)
+            assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+            if name == "adamw_bf16m":
+                mus = [l for l in jax.tree_util.tree_leaves(st)
+                       if getattr(l, "dtype", None) == jnp.bfloat16]
+                assert mus, "bf16 first moment expected in opt state"

@@ -28,6 +28,15 @@ def parse_args(argv=None):
     ap.add_argument("--per_device_batch", type=int, default=1)
     ap.add_argument("--grad_accum", type=int, default=4)
     ap.add_argument("--learning_rate", type=float, default=2e-5)
+    ap.add_argument("--lr_scheduler", default="constant",
+                    choices=["constant", "constant_with_warmup", "linear",
+                             "cosine"])
+    ap.add_argument("--lr_warmup_steps", type=int, default=0)
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "adamw_bf16m", "adafactor"],
+                    help="adamw_bf16m = bf16 first moment (8-bit-Adam-style "
+                         "optimizer-memory saving); adafactor = factored "
+                         "second moment")
     ap.add_argument("--max_steps", type=int, default=20000)
     ap.add_argument("--checkpointing_steps", type=int, default=500)
     ap.add_argument("--checkpoints_total_limit", type=int, default=3)
@@ -46,12 +55,21 @@ def parse_args(argv=None):
     ap.add_argument("--unet_path", default="", help="initial weights (diffusers dir)")
     ap.add_argument("--svd_path", default="")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--loader_workers", type=int, default=4,
+                    help="concurrent item-fetch threads in the prefetch "
+                         "loader (torch DataLoader num_workers equivalent)")
+    ap.add_argument("--unet_channels", type=int, nargs="*", default=[],
+                    help="override block_out_channels (smoke runs / CI; "
+                         "empty = the full SVD widths)")
+    ap.add_argument("--unet_heads", type=int, nargs="*", default=[],
+                    help="override num_attention_heads (pair with "
+                         "--unet_channels)")
     return ap.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    from wiw_tpu.data.dataset import TrajectoryDataset, WeightedDataset, iterate_batches
+    from wiw_tpu.data.dataset import TrajectoryDataset, WeightedDataset
     from wiw_tpu.models.unet import UNetConfig
     from wiw_tpu.parallel.mesh import make_mesh
     from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
@@ -62,12 +80,18 @@ def main(argv=None):
     mesh = make_mesh(dp=n_dev // args.fsdp, fsdp=args.fsdp)
     global_batch = args.per_device_batch * n_dev
 
+    size_kw = {}
+    if args.unet_channels:
+        size_kw["block_out_channels"] = tuple(args.unet_channels)
+        size_kw["num_attention_heads"] = tuple(
+            args.unet_heads or [max(1, c // 64) for c in args.unet_channels])
     unet_cfg = UNetConfig(
         num_frames=args.sample_frames,
         action_strategy=args.action_strategy,
         action_input_channel=args.action_input_channel,
         dtype="bfloat16",
         remat=args.gradient_checkpointing,
+        **size_kw,
     )
     pipe = SVDPipeline(unet_cfg)
     gen = GenerationConfig(height=args.height, width=args.width,
@@ -91,6 +115,10 @@ def main(argv=None):
         use_ema=args.use_ema,
         conditioning_dropout=args.conditioning_dropout,
         train_params=args.train_params,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_total_steps=args.max_steps,
+        optimizer=args.optimizer,
     )
     trainer = Trainer(pipe, tcfg, mesh=mesh)
     state = trainer.init_state(pipe.params)
@@ -113,18 +141,29 @@ def main(argv=None):
     writer = SummaryWriter(args.output_dir)
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
-    for i, batch in enumerate(
-        iterate_batches(dataset, global_batch, args.max_steps)
-    ):
+
+    def accum_transform(batch):
         if args.grad_accum > 1:
             batch = jax.tree_util.tree_map(
                 lambda x: np.broadcast_to(
                     x[None], (args.grad_accum,) + x.shape
-                ),
+                ).copy(),
                 batch,
             )
-        jb = jax.tree_util.tree_map(jnp.asarray, batch)
-        state, _, jb = trainer.place(state, frozen, jb)
+        return batch
+
+    # state/frozen are placed once; each batch is assembled, transformed,
+    # and device_put on the loader's background thread so batch N+1's h2d
+    # transfer overlaps step N (data/loader.py)
+    state, frozen, _ = trainer.place(state, frozen, {})
+    from wiw_tpu.data.loader import PrefetchLoader
+
+    loader = PrefetchLoader(
+        dataset, global_batch, args.max_steps,
+        transform=accum_transform, place=trainer.place_batch,
+        num_workers=args.loader_workers, prefetch_batches=2,
+    )
+    for i, jb in enumerate(loader):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, frozen, jb, sub)
         step = int(state["step"])
@@ -136,7 +175,7 @@ def main(argv=None):
         if step % args.checkpointing_steps == 0 and step > 0:
             ckpts.save(step, state)
         if args.validation_steps and step % args.validation_steps == 0 and step > 0:
-            metrics_val = run_validation(pipe, state, gen, batch, args)
+            metrics_val = run_validation(pipe, state, gen, jb, args)
             for k, v in metrics_val.items():
                 writer.add_scalar(f"val/{k}", v, step)
             print(f"validation @ {step}: {metrics_val}")

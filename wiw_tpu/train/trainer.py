@@ -54,6 +54,16 @@ class TrainConfig:
     # which params train: 'full' | 'new' | 'new+temp_layer'
     # (train_svd.py:656-675 name-matching)
     train_params: str = "full"
+    # lr schedule (train_svd.py:228-240 get_scheduler parity):
+    # 'constant' | 'constant_with_warmup' | 'linear' | 'cosine'
+    lr_scheduler: str = "constant"
+    lr_warmup_steps: int = 0
+    # total steps for decaying schedules (linear/cosine); 0 = constant tail
+    lr_total_steps: int = 0
+    # 'adamw' = fp32 moments; 'adamw_bf16m' = bf16 first moment (the
+    # TPU-native stand-in for --use_8bit_adam's optimizer-memory saving,
+    # train_svd.py:643-653); 'adafactor' = factored second moment
+    optimizer: str = "adamw"
     edm: S.EDMConfig = S.EDMConfig()
 
 
@@ -126,17 +136,50 @@ class Trainer:
         self.tx = self._make_optimizer()
         self._tx = None  # bound by init_state (param-dependent masking)
 
+    def _make_schedule(self):
+        c = self.cfg
+        warm, total = c.lr_warmup_steps, c.lr_total_steps
+        if c.lr_scheduler == "constant" and not warm:
+            return c.learning_rate
+        if c.lr_scheduler in ("constant", "constant_with_warmup"):
+            return optax.schedules.warmup_constant_schedule(
+                0.0, c.learning_rate, max(warm, 1))
+        if not total:
+            raise ValueError(
+                f"lr_scheduler={c.lr_scheduler!r} needs lr_total_steps")
+        if c.lr_scheduler == "linear":
+            return optax.schedules.join_schedules(
+                [optax.schedules.linear_schedule(0.0, c.learning_rate,
+                                                 max(warm, 1)),
+                 optax.schedules.linear_schedule(
+                     c.learning_rate, 0.0, max(total - warm, 1))],
+                [max(warm, 1)])
+        if c.lr_scheduler == "cosine":
+            return optax.schedules.warmup_cosine_decay_schedule(
+                0.0, c.learning_rate, max(warm, 1), total)
+        raise ValueError(f"unknown lr_scheduler {c.lr_scheduler!r}")
+
     def _make_optimizer(self):
         c = self.cfg
-        tx = optax.chain(
-            optax.clip_by_global_norm(c.max_grad_norm),
-            optax.adamw(
-                c.learning_rate,
+        lr = self._make_schedule()
+        if c.optimizer == "adafactor":
+            opt = optax.adafactor(lr, weight_decay_rate=c.weight_decay,
+                                  clipping_threshold=None)
+        elif c.optimizer in ("adamw", "adamw_bf16m"):
+            opt = optax.adamw(
+                lr,
                 b1=c.adam_beta1,
                 b2=c.adam_beta2,
                 eps=c.adam_eps,
                 weight_decay=c.weight_decay,
-            ),
+                mu_dtype=(jnp.bfloat16 if c.optimizer == "adamw_bf16m"
+                          else None),
+            )
+        else:
+            raise ValueError(f"unknown optimizer {c.optimizer!r}")
+        tx = optax.chain(
+            optax.clip_by_global_norm(c.max_grad_norm),
+            opt,
         )
         if c.train_params != "full":
             # freeze non-selected params (reference: optimizer only receives
@@ -337,16 +380,22 @@ class Trainer:
         accum_bsh = NamedSharding(mesh, P(None, ("dp", "fsdp")))
         use_accum = c.grad_accum_steps > 1
 
+        def place_batch(batch):
+            return jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, accum_bsh if use_accum else bsh),
+                batch,
+            )
+
         def place(state, frozen, batch):
             state = jax.tree_util.tree_map(
                 lambda l, s: jax.device_put(l, s), state, shard_state_specs(state)
             )
             frozen = jax.device_put(frozen, repl)
-            batch = jax.tree_util.tree_map(
-                lambda l: jax.device_put(l, accum_bsh if use_accum else bsh),
-                batch,
-            )
-            return state, frozen, batch
+            return state, frozen, place_batch(batch)
 
         self.place = place
+        # standalone batch placement for the PrefetchLoader's background
+        # thread (device_put is async: the h2d DMA overlaps the running
+        # step); state/frozen are placed once, not per step
+        self.place_batch = place_batch
         return jax.jit(train_step, donate_argnums=(0,))
