@@ -416,3 +416,15 @@ class TestImaginationModes:
         # four left turns = 90 deg; forward then moves +x... yaw=90:
         # x += 0.2*sin(90)=0.2, z -= 0.2*cos(90)=0
         np.testing.assert_allclose(poses[-1], [0.2, 0.0, 90.0], atol=1e-6)
+
+    def test_aeqa_spl_efficiency_with_demo_len(self):
+        # reference formula: score * l / max(p, l) (evaluator.py:24-38)
+        m = aeqa_metrics([{"sigma": 5.0, "traj_len": 6,
+                           "traj_dist": 4.0, "demo_len": 2.0}])
+        assert abs(m["efficiency"] - 100.0 * 2.0 / 4.0) < 1e-9
+        # overshoot clamp: traveling less than the demo length can't
+        # exceed the raw score
+        m = aeqa_metrics([{"sigma": 5.0, "traj_len": 1,
+                           "traj_dist": 0.5, "demo_len": 2.0}])
+        assert abs(m["efficiency"] - 100.0) < 1e-9
+        assert m["mean_traj_len"] == 1.0

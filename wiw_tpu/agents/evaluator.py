@@ -56,15 +56,26 @@ def aeqa_metrics(records: List[dict]) -> dict:
         return {"llm_match": 0.0, "efficiency": 0.0, "count": 0,
                 "invalid": n_invalid, "skipped": n_skip}
     scores = [aeqa_score(float(r["sigma"])) for r in records]
-    effs = [
-        aeqa_score(float(r["sigma"]))
-        * (1.0 - float(r.get("traj_len", 0)) / max(float(r.get("max_actions", 250)), 1.0))
-        for r in records
-    ]
+
+    def eff(r, score):
+        # reference formula (evaluator.py:24-38): SPL-style weighting by
+        # the GT demo path length, score * l / max(p, l) with p =
+        # distance traveled and l = demo length
+        if "demo_len" in r and ("traj_dist" in r or "traj_len" in r):
+            p = float(r.get("traj_dist", r.get("traj_len", 0.0)))
+            length = float(r["demo_len"])
+            return score * length / max(p, length, 1e-9)
+        # step-budget fallback for datasets without GT demo lengths
+        return score * (1.0 - float(r.get("traj_len", 0))
+                        / max(float(r.get("max_actions", 250)), 1.0))
+
+    effs = [eff(r, s) for r, s in zip(records, scores)]
     n = len(records)
     return {
         "llm_match": sum(scores) / n,
         "efficiency": sum(effs) / n,
+        "mean_traj_len": sum(float(r.get("traj_len", 0))
+                             for r in records) / n,
         "count": n,
         "invalid": n_invalid,
         "skipped": n_skip,

@@ -241,12 +241,19 @@ class AEQASolver(Solver):
         pending_landmark: Optional[int] = None
         imagine_frames: List[np.ndarray] = []
         first_answer: Optional[str] = None
+
+        def track():
+            st.update_position_traj(list(np.atleast_1d(
+                self.sim.get_agent_state()[0])))
+
+        track()
         while steps < self.max_action_num:
             # landmark navigation in flight: drain pending follower actions
             # before re-planning (solver_AEQA.py pending-action queue)
             if st.get_pending_action_num():
                 a = st.pop_next_pending_action()
                 self.sim.step(text_to_action_name(a))
+                track()
                 st.record_past_action(a)
                 steps += 1
                 if not st.get_pending_action_num() and pending_landmark is not None:
@@ -291,6 +298,7 @@ class AEQASolver(Solver):
                     self.sim.step(text_to_action_name(a))
                 except ValueError:
                     continue
+                track()
                 st.record_past_action(a)
                 steps += 1
                 if steps >= self.max_action_num:
@@ -304,6 +312,12 @@ class AEQASolver(Solver):
             "gt_answer": datum.get("answer", ""),
             "traj_len": steps,
             "max_actions": self.max_action_num,
+            # distance traveled + GT demo length feed the reference's
+            # SPL-style efficiency (evaluator.py:24-38); demo lengths come
+            # from the dataset (gt_path_length.json equivalent)
+            "traj_dist": st.path_length(),
         }
+        if "demo_len" in datum:
+            metrics["demo_len"] = float(datum["demo_len"])
         log_metric(self.saver.get_metric_path(datum), metrics)
         return metrics
