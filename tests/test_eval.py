@@ -98,3 +98,26 @@ class TestI3DArch:
         pooled, logits = model.apply(variables, v)
         assert pooled.shape == (1, 1024)
         assert logits.shape == (1, 400)
+
+
+class TestInferenceCLIHelpers:
+    def test_stitch_side_by_side(self):
+        import numpy as np
+
+        from wiw_tpu.eval.inference_cli import stitch
+
+        gen = np.zeros((4, 8, 8, 3), np.uint8)
+        gt = np.full((5, 8, 8, 3), 200, np.uint8)
+        out = stitch(gen, gt)
+        assert out.shape == (4, 8, 20, 3)  # min T, divider 4px
+        assert out[:, :, :8].max() == 0 and out[:, :, -8:].min() == 200
+        assert out[:, :, 9].min() == 255  # divider strip
+
+    def test_stitch_resizes_gen(self):
+        import numpy as np
+
+        from wiw_tpu.eval.inference_cli import stitch
+
+        gen = np.zeros((2, 4, 4, 3), np.uint8)
+        gt = np.zeros((2, 8, 8, 3), np.uint8)
+        assert stitch(gen, gt).shape == (2, 8, 20, 3)

@@ -1,0 +1,158 @@
+"""Offline eval-inference CLI: generate clips from a trajectory dataset
+with a (trained or random-init) SVD-dagger pipeline, save stitched
+gen|GT videos, and print the metric table.
+
+Role parity (no code copied) with FTsvd/eval_inference.py:36-271
+(`collect_inference_frames` + the Navigator's save_video_stitch /
+save_gif paths) and its metric pass: walk val windows, condition on
+frame 0 + the window's action sequence, generate, score vs GT.
+
+Usage:
+  python -m wiw_tpu.eval.inference_cli --data_root <collected traj root> \
+      [--unet_path <diffusers dir>] [--svd_path <svd dir>] \
+      --num_clips 4 --width 512 --height 320 --out_dir runs/eval_inf \
+      [--unet_channels 32 32 64 64]   # smoke-scale override
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", nargs="+", required=True)
+    ap.add_argument("--out_dir", default="runs/eval_inference")
+    ap.add_argument("--unet_path", default="",
+                    help="trained UNet (diffusers dir); empty = random init")
+    ap.add_argument("--svd_path", default="",
+                    help="SVD dir for vae/image_encoder weights")
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--sample_frames", type=int, default=14)
+    ap.add_argument("--num_clips", type=int, default=4)
+    ap.add_argument("--num_inference_steps", type=int, default=30)
+    ap.add_argument("--action_strategy", default="micro_cond")
+    ap.add_argument("--action_input_channel", type=int, default=14)
+    ap.add_argument("--fps", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--unet_channels", type=int, nargs="*", default=[])
+    ap.add_argument("--unet_heads", type=int, nargs="*", default=[])
+    ap.add_argument("--save_gif", action="store_true")
+    return ap.parse_args(argv)
+
+
+def stitch(gen: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """[T,H,W,C] x2 -> side-by-side [T,H,2W+4,C] with a divider strip
+    (save_video_stitch role, eval_inference.py:168-185)."""
+    t = min(len(gen), len(gt))
+    gen, gt = gen[:t], gt[:t]
+    if gen.shape[1:3] != gt.shape[1:3]:
+        from PIL import Image
+
+        gen = np.stack([
+            np.asarray(Image.fromarray(f).resize(
+                (gt.shape[2], gt.shape[1])))
+            for f in gen
+        ])
+    bar = np.full((t, gt.shape[1], 4, gt.shape[3]), 255, np.uint8)
+    return np.concatenate([gen, bar, gt], axis=2)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from wiw_tpu.agents.saver import save_video
+    from wiw_tpu.data.dataset import TrajectoryDataset
+    from wiw_tpu.eval.metrics import evaluate_video_metrics
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+
+    size_kw = {}
+    if args.unet_channels:
+        size_kw["block_out_channels"] = tuple(args.unet_channels)
+        size_kw["num_attention_heads"] = tuple(
+            args.unet_heads or [max(1, c // 64) for c in args.unet_channels])
+    cfg = UNetConfig(num_frames=args.sample_frames,
+                     action_strategy=args.action_strategy,
+                     action_input_channel=args.action_input_channel,
+                     dtype="bfloat16", **size_kw)
+    pipe = SVDPipeline(cfg)
+    gen_cfg = GenerationConfig(height=args.height, width=args.width,
+                               num_frames=args.sample_frames,
+                               num_inference_steps=args.num_inference_steps)
+    if args.unet_path:
+        from wiw_tpu.models import convert as C
+
+        pipe.params = {
+            "unet": C.load_unet(args.unet_path),
+            "vae": C.convert_state_dict(
+                C.load_safetensors_dir(args.svd_path + "/vae")),
+            "clip": C.convert_state_dict(
+                C.load_safetensors_dir(args.svd_path + "/image_encoder")),
+        }
+    else:
+        print("[eval_inference] no --unet_path: random-init weights",
+              file=sys.stderr)
+        pipe.init_params(jax.random.PRNGKey(args.seed), gen_cfg)
+
+    ds = TrajectoryDataset(args.data_root, sample_frames=args.sample_frames,
+                           width=args.width, height=args.height)
+    os.makedirs(args.out_dir, exist_ok=True)
+    gens, gts = [], []
+    key = jax.random.PRNGKey(args.seed)
+    for i in range(args.num_clips):
+        item = ds[i]
+        gt = np.asarray(item["pixel_values"])  # [T,H,W,C] in [-1,1]
+        gt_u8 = ((gt + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        cond = jnp.asarray(gt[None, 0])
+        actions = jnp.asarray(item["actions"])[None]
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        video = pipe.generate(sub, cond, gen_cfg, actions=actions)
+        video = np.asarray(video[0])
+        gen_u8 = (np.clip(video, 0, 1) * 255).astype(np.uint8) \
+            if video.dtype != np.uint8 else video
+        print(f"[eval_inference] clip {i}: {gen_u8.shape} "
+              f"({time.time()-t0:.1f}s)", flush=True)
+        save_video(osp.join(args.out_dir, f"clip{i}_stitch.mp4"),
+                   stitch(gen_u8, gt_u8), fps=args.fps)
+        if args.save_gif:
+            import imageio
+
+            imageio.mimwrite(osp.join(args.out_dir, f"clip{i}.gif"),
+                             list(gen_u8),
+                             duration=max(1, int(1000 / args.fps)))
+        gens.append(gen_u8.astype(np.float32) / 255.0)
+        gts.append(gt_u8.astype(np.float32) / 255.0)
+
+    v_gen = jnp.asarray(np.stack(gens))
+    v_gt = jnp.asarray(np.stack(gts))
+    metrics = {k: float(v)
+               for k, v in evaluate_video_metrics(v_gen, v_gt).items()}
+    if v_gen.shape[1] >= 10:  # FVD needs >=10-frame clips
+        try:  # computed only when I3D weights exist (eval/fvd.py)
+            from wiw_tpu.eval.fvd import FVDEvaluator
+
+            ev = FVDEvaluator()
+            if ev.variables is not None:
+                metrics["fvd"] = ev.fvd(v_gen, v_gt)
+        except Exception as e:
+            print(f"[eval_inference] FVD skipped: {e!r}", file=sys.stderr)
+    with open(osp.join(args.out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
