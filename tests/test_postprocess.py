@@ -79,3 +79,35 @@ class TestVisualize:
         assert out[3, 3, 1] > 0 and out[0, 0, 1] == 0
         txt = V.annotate_text(img, "x")
         assert txt.shape == img.shape
+
+
+class TestNavPathOverlay:
+    def test_projection_and_draw(self):
+        import numpy as np
+
+        from wiw_tpu.agents.visualize import (annotate_nav_paths,
+                                              polar_actions_to_paths,
+                                              project_camera_point)
+
+        # straight ahead lands on the vertical centerline, below center
+        # (cam_height drops it to the floor plane)
+        u, v = project_camera_point((0.0, 0.3, -2.0), 100, 200, 90.0)
+        assert u == 100 and v > 50
+        # behind the camera -> None
+        assert project_camera_point((0, 0, 1.0), 100, 200, 90.0) is None
+
+        paths = polar_actions_to_paths(
+            [(2.0, 0.0), (2.0, 0.6), (2.0, -0.6), (0.5, np.pi)],
+            100, 200, 90.0)
+        assert paths[0][1][0] == 100          # forward: centered
+        assert paths[1][1][0] > 100           # right turn: right of center
+        assert paths[2][1][0] < 100           # left turn: left of center
+        assert paths[3][1] is None            # behind the camera
+
+        img = np.zeros((100, 200, 3), np.uint8)
+        out = annotate_nav_paths(img, paths, chosen=1)
+        assert out.shape == img.shape and out.sum() > 0
+        # the chosen endpoint circle is green
+        ex, ey = paths[1][1]
+        assert out[ey, ex + 5].tolist() == [0, 255, 0] or \
+            out[ey + 5, ex].tolist() == [0, 255, 0]

@@ -82,3 +82,62 @@ def save_montage(path: str, montage: np.ndarray) -> None:
     from wiw_tpu.agents.saver import save_image
 
     save_image(path, montage)
+
+
+# -- candidate nav-path overlays (visualize.py:89-154, util.py:251-330) ------
+
+def project_camera_point(point_xyz, height: int, width: int,
+                         hfov_deg: float):
+    """Pinhole projection of a camera-frame point (camera looks along -z,
+    x right, y down) -> (u, v) pixels, or None when behind the camera
+    (util.py:288-330 agent_frame_to_image_coords role for the
+    camera-centered case)."""
+    x, y, z = (float(v) for v in point_xyz)
+    if z >= -1e-6:
+        return None
+    focal = (width / 2.0) / np.tan(np.radians(hfov_deg) / 2.0)
+    u = width / 2.0 + focal * x / -z
+    v = height / 2.0 + focal * y / -z
+    return int(round(u)), int(round(v))
+
+
+def polar_actions_to_paths(polar_actions, height: int, width: int,
+                           hfov_deg: float, cam_height: float = 0.3):
+    """(r, theta) candidate endpoints -> [(start_px, end_px|None)] pixel
+    segments from the image center toward each action's landing point
+    (util.py:251-272 generate_nav_path). theta=0 is straight ahead,
+    positive turns right. cam_height drops the endpoints below the
+    horizon so forward paths render on the floor."""
+    start = (width // 2, height - 1)
+    paths = []
+    for r, theta in polar_actions:
+        end = project_camera_point(
+            (r * np.sin(theta), cam_height, -r * np.cos(theta)),
+            height, width, hfov_deg)
+        paths.append((start, end))
+    return paths
+
+
+def annotate_nav_paths(img: np.ndarray, paths, labels=None,
+                       chosen: Optional[int] = None) -> np.ndarray:
+    """Draw candidate paths on a frame: a line per path ending in a
+    labeled circle; the chosen candidate's circle renders green, others
+    white (visualize.py:89-154 behavior). Endpoints behind the camera
+    (None) are skipped."""
+    from PIL import Image, ImageDraw
+
+    pil = Image.fromarray(np.asarray(img, np.uint8))
+    draw = ImageDraw.Draw(pil)
+    labels = list(labels) if labels is not None else list(range(len(paths)))
+    for i, (start, end) in enumerate(paths):
+        if end is None:
+            continue
+        draw.line([tuple(start), tuple(end)], fill=(255, 0, 0), width=3)
+        r = 9
+        fill = (0, 255, 0) if chosen is not None and labels[i] == chosen \
+            else (255, 255, 255)
+        ex, ey = end
+        draw.ellipse([ex - r, ey - r, ex + r, ey + r], fill=fill,
+                     outline=(255, 0, 0), width=2)
+        draw.text((ex, ey), str(labels[i]), fill=(0, 0, 0), anchor="mm")
+    return np.asarray(pil)
