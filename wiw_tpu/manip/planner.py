@@ -392,31 +392,47 @@ class DiffIgenexPlanner(IgenexManipPlanner):
 
     # -- two-phase judging ----------------------------------------------
     def _describe_candidates(self, candidates, instruction):
+        """Per-candidate descriptor queries fan out over a thread pool —
+        the reference batches these through async gather
+        (query_utils.py:226-240); each is an independent multi-image
+        round trip, so serializing them multiplies planner latency by
+        the candidate count."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from wiw_tpu.agents.vlm import build_messages
 
+        def describe(i_and_cand):
+            i, (_traj, frames) = i_and_cand
+            if self.vlm is None:
+                return i, None
+            parts: list = [MP.DESCRIPTOR_PROMPT]
+            few = MP.few_shot_block(self.task_name, "descriptor",
+                                    self.n_shot)
+            if few:
+                parts.append(few)
+            parts.append(f"Candidate trajectory <{i}> anchor frames:")
+            parts.extend(frames)
+            return i, self.vlm.plan_json(
+                build_messages(MP.MANIP_SYSTEM_PROMPT, parts),
+                ["scene_description", "action_trajectory_description"],
+            )
+
+        if self.vlm is not None and len(candidates) > 1:
+            with ThreadPoolExecutor(min(8, len(candidates))) as pool:
+                results = list(pool.map(describe, enumerate(candidates)))
+        else:
+            results = [describe(x) for x in enumerate(candidates)]
+
         descriptions, scene = [], ""
-        for i, (_traj, frames) in enumerate(candidates):
-            js = None
-            if self.vlm is not None:
-                parts: list = [MP.DESCRIPTOR_PROMPT]
-                few = MP.few_shot_block(self.task_name, "descriptor",
-                                        self.n_shot)
-                if few:
-                    parts.append(few)
-                parts.append(f"Candidate trajectory <{i}> anchor frames:")
-                parts.extend(frames)
-                js = self.vlm.plan_json(
-                    build_messages(MP.MANIP_SYSTEM_PROMPT, parts),
-                    ["scene_description", "action_trajectory_description"],
-                )
-                if js:
-                    self.chat_log.append(js)
+        for i, js in results:  # chat log + lines stay in candidate order
             if js:
+                self.chat_log.append(js)
                 if not scene:
                     scene = js["scene_description"]
                 descriptions.append(MP.candidate_description_line(
                     i, js["action_trajectory_description"]))
             else:
+                frames = candidates[i][1]
                 descriptions.append(MP.candidate_description_line(
                     i, f"(no description available; {len(frames)} frames)"))
         return scene, descriptions
