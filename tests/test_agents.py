@@ -428,3 +428,18 @@ class TestImaginationModes:
                            "traj_dist": 0.5, "demo_len": 2.0}])
         assert abs(m["efficiency"] - 100.0) < 1e-9
         assert m["mean_traj_len"] == 1.0
+
+    def test_aeqa_dataset_demo_lens(self, tmp_path):
+        import json as _json
+
+        from wiw_tpu.agents.datasets import AEQADataset
+
+        eps = [{"question_id": "q1", "scene_id": "s", "question": "?"},
+               {"question_id": "q2", "scene_id": "s", "question": "?"}]
+        dp = tmp_path / "eps.json"
+        dp.write_text(_json.dumps(eps))
+        lp = tmp_path / "gt_path_length.json"
+        lp.write_text(_json.dumps({"q1": 3.5}))
+        ds = AEQADataset(str(dp), demo_lens_path=str(lp))
+        assert ds[0]["demo_len"] == 3.5
+        assert "demo_len" not in ds[1]

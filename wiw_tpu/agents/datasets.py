@@ -58,14 +58,23 @@ class ARDataset(EpisodeDataset):
 
 class AEQADataset(EpisodeDataset):
     """Active EQA episodes (HM3D); optional 184-episode subset filter
-    (solver_AEQA.py:1116)."""
+    (solver_AEQA.py:1116) and GT demo path lengths for the SPL-style
+    efficiency metric (evaluator.py:52-56 load_aeqa_demo_trajlens —
+    a {question_id: length_m} json)."""
 
-    def __init__(self, path: str, subset_ids: Optional[List] = None):
+    def __init__(self, path: str, subset_ids: Optional[List] = None,
+                 demo_lens_path: Optional[str] = None):
         data = _load_json_gz(path)
         eps = data["episodes"] if isinstance(data, dict) else data
         if subset_ids is not None:
             wanted = set(map(str, subset_ids))
             eps = [e for e in eps if str(e.get("question_id")) in wanted]
+        if demo_lens_path:
+            lens = _load_json_gz(demo_lens_path)
+            for e in eps:
+                length = lens.get(str(e.get("question_id")))
+                if length is not None:
+                    e.setdefault("demo_len", float(length))
         super().__init__(eps)
 
 

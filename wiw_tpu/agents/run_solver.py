@@ -94,6 +94,10 @@ def main(argv=None):
     ap.add_argument("--object_set", nargs="*", default=[])
     ap.add_argument("--use_detector", action="store_true")
     ap.add_argument("--max_episodes", type=int, default=0)
+    ap.add_argument("--demo_lens_path", default="",
+                    help="AEQA GT demo path lengths json "
+                         "({question_id: meters}) for the efficiency "
+                         "metric (gt_path_length.json equivalent)")
     args = ap.parse_args(argv)
     if not args.wm_type:
         from wiw_tpu.utils.config import detect_wm_type_from_exp_id
@@ -108,7 +112,8 @@ def main(argv=None):
         if not args.object_set:
             args.object_set = ds.object_set
     elif args.task == "AEQA":
-        ds = AEQADataset(args.dataset_path)
+        ds = AEQADataset(args.dataset_path,
+                         demo_lens_path=args.demo_lens_path or None)
     else:
         ds = IGDataset(args.dataset_path)
     episodes = list(ds.episodes)
