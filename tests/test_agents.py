@@ -137,7 +137,10 @@ class TestSolver:
                 ["forward", "forward", "forward"]]
         out = s.imagine_by_model_type(seqs, str(tmp_path))
         frames = out["pred_frames"]
-        assert frames.shape == (2, 5, 3, 64, 128)
+        # default task AR: GTsim records perspective FRONT views (square),
+        # not panos (solver_base.py:589-594)
+        assert frames.shape == (2, 5, 3, 64, 64)
+        assert out["coord_type"] == "non_pano"
         assert frames.dtype == np.uint8
         # simulator state restored after rollouts
         assert np.allclose(sim.pos, 0) and sim.heading_deg == 0

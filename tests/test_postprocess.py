@@ -51,16 +51,58 @@ class TestAlignment:
         assert crops is None and boxes is None
 
     def test_task_selectors(self):
-        frames = np.random.randint(0, 255, (2, 5, 3, 8, 8), np.uint8)
+        from wiw_tpu.agents.postprocess import (
+            front_crop,
+            post_process_output_ignav_non_pano,
+        )
+
+        frames = np.random.randint(0, 255, (2, 5, 3, 8, 16), np.uint8)
+        # pano path: the FRONT perspective view of the final frame
+        # (igenex_util.py:338-358)
         ig = post_process_output_ignav(frames)
         assert len(ig) == 2 and ig[0].shape == (8, 8, 3)
         np.testing.assert_array_equal(
-            ig[0], np.transpose(frames[0, -1], (1, 2, 0))
+            ig[0],
+            front_crop(np.transpose(frames[0, -1], (1, 2, 0)), 90.0, (8, 8)),
+        )
+        # non-pano path: the raw final frame passes through (:293-336)
+        ig_np = post_process_output_ignav_non_pano(frames)
+        np.testing.assert_array_equal(
+            ig_np[0], np.transpose(frames[0, -1], (1, 2, 0))
         )
         ae = post_process_output_aeqa(frames, frame_index=3)
         np.testing.assert_array_equal(
             ae[1], np.transpose(frames[1, 3], (1, 2, 0))
         )
+
+    def test_postprocess_fn_dispatch(self):
+        from wiw_tpu.agents.postprocess import (
+            get_postprocess_fn,
+            post_process_output_ar,
+            post_process_output_ar_non_pano,
+        )
+
+        assert get_postprocess_fn("AR", "pano") is post_process_output_ar
+        assert (get_postprocess_fn("AR", "non_pano")
+                is post_process_output_ar_non_pano)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            get_postprocess_fn("nope", "pano")
+
+    def test_ar_non_pano_drops_empty_and_resizes(self):
+        from wiw_tpu.agents.postprocess import post_process_output_ar_non_pano
+
+        frames = np.random.randint(0, 255, (1, 3, 3, 16, 16), np.uint8)
+        masks = np.zeros((1, 3, 16, 16), np.uint8)
+        masks[0, 0, 4:10, 5:12] = 255  # only frame 0 has a mask
+        out = post_process_output_ar_non_pano(frames, masks,
+                                              img_size=(8, 8))
+        assert out[0]["crops"].shape == (1, 8, 8, 3)
+        # all-empty candidate -> None
+        out2 = post_process_output_ar_non_pano(
+            frames, np.zeros_like(masks), img_size=(8, 8))
+        assert out2[0]["crops"] is None
 
 
 class TestVisualize:

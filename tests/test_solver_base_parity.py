@@ -1,0 +1,227 @@
+"""Solver-base depth parity: GTsim per-task frame types, empty-future
+auto-fill, pred merging, candidate dedup, camera-path GT target saving,
+VLM media persistence, and multi-object pano bbox projection
+(reference behaviors from downstream/solver_base.py — cited per test)."""
+
+import numpy as np
+import pytest
+
+from wiw_tpu.agents.object_memory import DetectedObjects
+from wiw_tpu.agents.postprocess import (
+    compute_2d_bbox_from_8_corners,
+    is_wrapped_by_width,
+)
+from wiw_tpu.agents.solver import (
+    ACTION_IDS,
+    FakeSimulator,
+    Solver,
+    SolverConfig,
+)
+
+
+def make_solver(task="AR", wm="GTsim", tmp_path=None, n_frame=6):
+    cfg = SolverConfig(task=task, world_model_type=wm, igenex_n_frame=n_frame,
+                       look_ahead_action_num=4,
+                       states_root=str(tmp_path) if tmp_path else "/tmp/states")
+    return Solver(cfg, FakeSimulator(height=32, width=64))
+
+
+class TestGTsimFrameTypes:
+    def test_ar_uses_front_views(self, tmp_path):
+        """AR/IGNav GTsim rollouts record perspective front views, AEQA
+        panos (solver_base.py:589-594, :716-719)."""
+        s = make_solver(task="AR", tmp_path=tmp_path)
+        out = s.imagine_by_model_type([["forward 0.2m", "forward 0.2m"]],
+                                      str(tmp_path))
+        assert out["coord_type"] == "non_pano"
+        # front crop is square (H, H) vs the 2:1 pano
+        assert out["pred_frames"].shape[-1] == out["pred_frames"].shape[-2]
+
+    def test_aeqa_uses_panos(self, tmp_path):
+        s = make_solver(task="AEQA", tmp_path=tmp_path)
+        out = s.imagine_by_model_type([["forward 0.2m"]], str(tmp_path))
+        assert out["coord_type"] == "pano"
+        assert out["pred_frames"].shape[-1] == 2 * out["pred_frames"].shape[-2]
+
+    def test_action_wm_coord_type(self, tmp_path):
+        """'action'/'FTtext' WMs are pano; 'text' is non_pano
+        (solver_base.py:703-737)."""
+        for wm, expect in (("action", "pano"), ("FTtext", "pano"),
+                           ("text", "non_pano")):
+            s = make_solver(task="AR", wm=wm, tmp_path=tmp_path)
+            sent = {}
+
+            def fake_send(b_action, save_dirs, b_image=None, **kw):
+                sent["actions"] = b_action
+                return {"save_dirs": save_dirs,
+                        "pred_frames": np.zeros(
+                            (len(save_dirs), s.cfg.igenex_n_frame, 3, 4, 8),
+                            np.uint8)}
+
+            s.send_batch_to_server = fake_send
+            out = s.imagine_by_model_type([["forward 0.2m"]], str(tmp_path))
+            assert out["coord_type"] == expect, wm
+
+
+class TestGTsimEmptyFuture:
+    def test_empty_candidate_auto_fills(self, tmp_path, capsys):
+        """An empty future sequence warns and rolls out anyway with the
+        pre-rotated view as a second init frame (solver_base.py:606-616)."""
+        s = make_solver(task="AEQA", tmp_path=tmp_path)
+        start = s.sim.get_agent_state()
+        out = s.imagine_by_model_type([[]], str(tmp_path))
+        assert out["pred_frames"].shape[1] == s.cfg.igenex_n_frame
+        assert "empty future action_seq" in capsys.readouterr().out
+        # agent state restored
+        end = s.sim.get_agent_state()
+        np.testing.assert_allclose(end[0], start[0])
+        assert end[1] == start[1]
+
+
+class TestMergedPreds:
+    def test_wm_mode_skips_frame0_and_truncates(self, tmp_path):
+        """WM clips drop frame 0 and append after init frames; lengths clamp
+        to min(len) <= lookahead+1 (solver_base.py:390-410)."""
+        s = make_solver(wm="action", tmp_path=tmp_path)
+        frames = [[f"p{i}" for i in range(6)]]
+        init_frames = {0: ["init0"]}
+        init_turns = {0: ["turn_left 22.5\N{DEGREE SIGN}"]}
+        prior_ids = {0: [ACTION_IDS["forward"], ACTION_IDS["forward"]]}
+        actions, merged = s.get_merged_preds(prior_ids, frames,
+                                             init_frames, init_turns)
+        assert actions[0] == ["turn_left 22.5\N{DEGREE SIGN}",
+                              "forward 0.2m", "forward 0.2m"]
+        assert merged[0] == ["init0", "p1", "p2"]
+
+    def test_gtsim_mode_keeps_whole_clip(self, tmp_path):
+        s = make_solver(wm="GTsim", tmp_path=tmp_path)
+        frames = [["g0", "g1", "g2"]]
+        actions, merged = s.get_merged_preds(
+            {0: [ACTION_IDS["forward"]]}, frames, {0: []}, {0: []})
+        assert merged[0] == ["g0"]  # min(len(actions)=1, len(frames)=3)
+        assert actions[0] == ["forward 0.2m"]
+
+    def test_failed_candidate_skipped_and_mismatch_warns(self, tmp_path,
+                                                         capsys):
+        s = make_solver(wm="action", tmp_path=tmp_path)
+        actions, merged = s.get_merged_preds(
+            {0: [], 1: []}, [None, ["a", "b"]],
+            {0: ["i"], 1: ["i"]}, {0: [], 1: []})
+        assert 0 not in merged and 1 in merged
+        # length mismatch -> empty result + warning
+        actions, merged = s.get_merged_preds({0: []}, [], {0: ["i"]}, {0: []})
+        assert merged == {} and "WARNING" in capsys.readouterr().out
+
+
+class TestCandidateBookkeeping:
+    def test_extract_unique_action_seq(self):
+        seqs = [
+            {"convert_answer": ["forward"], "origin_answer": ["1"]},
+            {"convert_answer": ["forward"], "origin_answer": ["one"]},
+            {"convert_answer": ["turn_left"], "origin_answer": ["2"]},
+        ]
+        uniq, ori = Solver.extract_unique_action_seq(seqs)
+        assert uniq == [["forward"], ["turn_left"]]
+        assert ori == [["1"], ["2"]]  # first original wording wins
+
+    def test_get_action_seqs_noprior(self, tmp_path):
+        s = make_solver(tmp_path=tmp_path, n_frame=5)
+        degs, ids = s.get_action_seqs_noprior({0: 22.5, 1: -45.0})
+        assert degs == {0: 22.5, 1: -45.0}
+        assert ids == {0: [1, 1, 1, 1], 1: [1, 1, 1, 1]}
+
+
+class TestSaveGtRgb:
+    def test_saves_target_pano_and_restores(self, tmp_path):
+        s = make_solver(tmp_path=tmp_path)
+        start = s.sim.get_agent_state()
+        ok = s.save_gt_rgb(45.0, str(tmp_path), forward_dist=2.4)
+        assert ok
+        assert (tmp_path / "target_pano_rgb.png").exists()
+        end = s.sim.get_agent_state()
+        np.testing.assert_allclose(end[0], start[0])
+        assert end[1] == start[1]
+
+    def test_non_navigable_skips_save(self, tmp_path):
+        class BlockedSim(FakeSimulator):
+            def is_navigable(self, state):
+                return False
+
+        cfg = SolverConfig(task="AR", states_root=str(tmp_path))
+        s = Solver(cfg, BlockedSim(height=32, width=64))
+        ok = s.save_gt_rgb(0.0, str(tmp_path / "b"))
+        assert not ok
+        assert not (tmp_path / "b" / "target_pano_rgb.png").exists()
+
+
+class TestVlmInputMedia:
+    def test_image_grid(self, tmp_path):
+        s = make_solver(tmp_path=tmp_path)
+        frames = np.random.randint(0, 255, (3, 16, 16, 3), np.uint8)
+        p = s.save_vlm_input_media(frames, str(tmp_path / "vlm_in.png"))
+        assert p.endswith(".png")
+        from wiw_tpu.agents.saver import load_image
+
+        img = load_image(p)
+        assert img.shape[1] >= 3 * 16  # horizontal strip
+
+    def test_video_mode(self, tmp_path):
+        s = make_solver(tmp_path=tmp_path)
+        frames = np.random.randint(0, 255, (3, 16, 16, 3), np.uint8)
+        p = s.save_vlm_input_media(frames, str(tmp_path / "vlm_in.png"),
+                                   vlm_input_format="video")
+        assert p.endswith(".mp4")
+
+    def test_set_vlm_input_format(self):
+        assert Solver.set_vlm_input_format("InternVL-8B", "gpt") == "image"
+
+
+class TestBboxProjectionHelpers:
+    def test_wrap_detection(self):
+        W = 100
+        ok = np.array([[40, 5], [60, 8]] * 4)
+        wrapped = np.array([[2, 5], [98, 8]] * 4)
+        assert not is_wrapped_by_width(ok, W)
+        assert is_wrapped_by_width(wrapped, W)
+
+    def test_bbox_from_corners(self):
+        pc = np.array([[10, 2], [30, 8], [20, 4]] + [[15, 5]] * 5)
+        np.testing.assert_array_equal(
+            compute_2d_bbox_from_8_corners(pc), [10, 2, 30, 8])
+
+    def test_multi_object_projection_drops_wrapped_and_empty(self, tmp_path):
+        from wiw_tpu.agents.solver_ar import ARSolver
+
+        mem = DetectedObjects()
+        # one object straight ahead (-z in habitat camera frame), one behind
+        front = np.array([[0.0, 0.0, -3.0]]) + 0.1 * np.random.RandomState(
+            0).randn(20, 3)
+        behind = np.array([[0.0, 0.0, 3.0]]) + 0.1 * np.random.RandomState(
+            1).randn(20, 3)
+        i0 = mem.add_detection("chair", front)
+        i1 = mem.add_detection("table", behind)
+        cfg = SolverConfig(task="AR", states_root=str(tmp_path))
+        ar = ARSolver(cfg, FakeSimulator(32, 64))
+        eye = np.eye(4)
+        boxes, ids, keep = ar.prepare_gt_bbox_coords_3d(
+            mem, [i0, i1], [eye, eye], img_width=64, img_height=32)
+        assert keep == [0, 1]
+        # behind-camera box crosses the seam -> only the front object stays
+        assert all(obj_ids == [i0] for obj_ids in ids)
+        for frame_boxes in boxes:
+            (x0, y0, x1, y1), = frame_boxes
+            assert 0 <= x0 <= x1 < 64 and 0 <= y0 <= y1 < 32
+            assert abs((x0 + x1) / 2 - 32) < 6  # centered at front
+
+    def test_all_wrapped_frame_dropped(self, tmp_path):
+        from wiw_tpu.agents.solver_ar import ARSolver
+
+        mem = DetectedObjects()
+        behind = np.array([[0.0, 0.0, 3.0]]) + 0.1 * np.random.RandomState(
+            1).randn(20, 3)
+        i1 = mem.add_detection("table", behind)
+        cfg = SolverConfig(task="AR", states_root=str(tmp_path))
+        ar = ARSolver(cfg, FakeSimulator(32, 64))
+        boxes, ids, keep = ar.prepare_gt_bbox_coords_3d(
+            mem, [i1], [np.eye(4)], img_width=64, img_height=32)
+        assert boxes == [] and keep == []

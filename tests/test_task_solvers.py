@@ -40,12 +40,16 @@ def gtsim_config(**kw):
 
 class TestIGNav:
     def test_episode_reaches_goal_with_oracle_checker(self, tmp_path):
+        from wiw_tpu.agents.postprocess import front_crop
+
         sim = FakeSimulator()
         goal_sim = FakeSimulator()
         goal_pos = None
         for _ in range(3):
             goal_sim.step("forward")
-        goal = goal_sim.get_pano()
+        # goal images are PERSPECTIVE (IGDataset zip goals); GTsim clips for
+        # IGNav are front views too (solver_base.py:589-594)
+        goal = front_crop(goal_sim.get_pano(), 90.0, (64, 64))
         goal_pos = goal_sim.pos.copy()
 
         def checker(s, goal_img):

@@ -96,6 +96,12 @@ class DetectedObjects:
             return None
         return min(candidates, key=lambda t: t[1])[0]
 
+    def get_object_3d_bbox_corners(self, indices: List[int]
+                                   ) -> List[np.ndarray]:
+        """Per-entity [8, 3] world-frame bbox corners
+        (state_obj.get_object_3d_bbox_corners role)."""
+        return [self.entities[i].bbox_corners() for i in indices]
+
     def summary(self) -> List[Dict]:
         return [
             {"label": e.label, "centroid": e.centroid.tolist(),

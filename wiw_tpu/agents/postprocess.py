@@ -103,6 +103,26 @@ def generate_aligned_bbox_frames(
     return np.stack(crops), bboxes
 
 
+def is_wrapped_by_width(pixel_coords: np.ndarray, img_width: int,
+                        wrap_frac: float = 0.5) -> bool:
+    """True when projected corner pixels straddle the pano's wrap seam
+    (igenex_util.is_wrapped_by_width role): the horizontal extent of the
+    8 corners exceeds `wrap_frac` of the width, meaning the box crosses
+    the +/-180 deg boundary and a single axis-aligned rect would be wrong."""
+    xs = np.asarray(pixel_coords, np.float64)[:, 0]
+    return bool((xs.max() - xs.min()) > img_width * wrap_frac)
+
+
+def compute_2d_bbox_from_8_corners(pixel_coords: np.ndarray) -> np.ndarray:
+    """8 projected [x, y] corner pixels -> [x_min, y_min, x_max, y_max]
+    int32 (igenex_util.compute_2d_bbox_from_8_corners role)."""
+    pc = np.asarray(pixel_coords, np.float64)
+    return np.array(
+        [pc[:, 0].min(), pc[:, 1].min(), pc[:, 0].max(), pc[:, 1].max()],
+        np.int32,
+    )
+
+
 def mp4_to_frames(path: str) -> np.ndarray:
     """Saved WM clip -> uint8 [T, H, W, C] (visualize.py:37 parity)."""
     from wiw_tpu.agents.saver import load_video_frames
@@ -126,11 +146,79 @@ def post_process_output_ar(pred_frames: np.ndarray, masks: np.ndarray,
     return out
 
 
-def post_process_output_ignav(pred_frames: np.ndarray) -> List[np.ndarray]:
-    """IGNav: the raw final frames per candidate feed the LPIPS reward
-    (igenex_util.py ignav path)."""
-    return [np.transpose(pred_frames[b, -1], (1, 2, 0))
-            for b in range(pred_frames.shape[0])]
+def post_process_output_ar_non_pano(pred_frames: np.ndarray,
+                                    masks: np.ndarray,
+                                    img_size: Tuple[int, int] = (384, 512)):
+    """AR over perspective clips (GTsim / text WMs — igenex_util.py:210-241):
+    frames are already perspective, so there is no pano alignment roll;
+    each frame keeps its mask bbox drawn, frames whose mask is empty are
+    dropped, and the survivors are resized to `img_size`."""
+    out = []
+    for b in range(pred_frames.shape[0]):
+        crops, boxes = [], []
+        for t in range(pred_frames.shape[1]):
+            frame = np.transpose(pred_frames[b, t], (1, 2, 0))
+            bb = mask_to_bbox(masks[b, t] > 0)
+            if bb["x_max"] <= bb["x_min"] or bb["y_max"] <= bb["y_min"]:
+                continue  # empty mask -> frame dropped (:226)
+            crops.append(draw_bbox(resize_frame(frame, img_size),
+                                   scale_bbox(bb, frame.shape[:2], img_size)))
+            boxes.append(bb)
+        out.append({"crops": np.stack(crops) if crops else None,
+                    "bboxes": boxes or None})
+    return out
+
+
+def resize_frame(frame: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize of one [H, W, C] uint8 frame to (h, w)."""
+    from PIL import Image
+
+    h, w = size
+    if frame.shape[:2] == (h, w):
+        return frame
+    return np.asarray(
+        Image.fromarray(frame.astype(np.uint8)).resize((w, h))
+    )
+
+
+def scale_bbox(bb: dict, src_hw: Tuple[int, int],
+               dst_hw: Tuple[int, int]) -> dict:
+    sy = dst_hw[0] / src_hw[0]
+    sx = dst_hw[1] / src_hw[1]
+    return {"x_min": int(bb["x_min"] * sx), "x_max": int(bb["x_max"] * sx),
+            "y_min": int(bb["y_min"] * sy), "y_max": int(bb["y_max"] * sy)}
+
+
+def post_process_output_ignav(pred_frames: np.ndarray,
+                              start_idx: int = -1,
+                              per_hfov: float = 90.0,
+                              img_size: Optional[Tuple[int, int]] = None
+                              ) -> List[np.ndarray]:
+    """IGNav over pano clips: the FRONT perspective view of each
+    candidate's frames from `start_idx` feeds the reward/evaluator
+    (igenex_util.py:338-358 — get_perspective_views(...)[0]); the goal
+    image is perspective, so the comparison must be too. Returns one
+    [h, w, C] frame per candidate (the final kept frame)."""
+    out = []
+    for b in range(pred_frames.shape[0]):
+        frame = np.transpose(pred_frames[b, start_idx], (1, 2, 0))
+        view = front_crop(frame, per_hfov,
+                          img_size or (frame.shape[0], frame.shape[0]))
+        out.append(view)
+    return out
+
+
+def post_process_output_ignav_non_pano(
+    pred_frames: np.ndarray, start_idx: int = -1,
+    img_size: Optional[Tuple[int, int]] = None,
+) -> List[np.ndarray]:
+    """IGNav over perspective clips (GTsim): the raw frame, resized
+    (igenex_util.py:293-336)."""
+    out = []
+    for b in range(pred_frames.shape[0]):
+        frame = np.transpose(pred_frames[b, start_idx], (1, 2, 0))
+        out.append(resize_frame(frame, img_size) if img_size else frame)
+    return out
 
 
 def post_process_output_aeqa(pred_frames: np.ndarray,
@@ -139,3 +227,32 @@ def post_process_output_aeqa(pred_frames: np.ndarray,
     solver_AEQA.py:1031-1071)."""
     return [np.transpose(pred_frames[b, frame_index], (1, 2, 0))
             for b in range(pred_frames.shape[0])]
+
+
+def post_process_output_aeqa_non_pano(
+    pred_frames: np.ndarray, frame_index: int = -1,
+    img_size: Optional[Tuple[int, int]] = None,
+) -> List[np.ndarray]:
+    """AEQA over perspective clips: the selected frame resized directly —
+    no equi2per (igenex_util.py:243-266)."""
+    out = []
+    for b in range(pred_frames.shape[0]):
+        frame = np.transpose(pred_frames[b, frame_index], (1, 2, 0))
+        out.append(resize_frame(frame, img_size) if img_size else frame)
+    return out
+
+
+def get_postprocess_fn(task_name: str, coord_type: str):
+    """Dispatch to the task's pano / non_pano post-processor
+    (solver_base.py:357-370)."""
+    task_map = {
+        "AR": (post_process_output_ar, post_process_output_ar_non_pano),
+        "IGNav": (post_process_output_ignav,
+                  post_process_output_ignav_non_pano),
+        "AEQA": (post_process_output_aeqa,
+                 post_process_output_aeqa_non_pano),
+    }
+    if task_name not in task_map:
+        raise ValueError(f"Unknown task: {task_name}")
+    pano_fn, non_pano_fn = task_map[task_name]
+    return pano_fn if coord_type == "pano" else non_pano_fn

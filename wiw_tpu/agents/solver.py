@@ -21,6 +21,7 @@ math routes through wiw_tpu.geo (XLA) instead of equilib.
 from __future__ import annotations
 
 import dataclasses
+import os.path as osp
 import random
 from typing import Dict, List, Optional, Sequence
 
@@ -59,6 +60,11 @@ class SimulatorAPI:
 
     def set_agent_state(self, state) -> None:
         raise NotImplementedError
+
+    def is_navigable(self, state) -> bool:
+        """Whether the agent state is reachable (habitat pathfinder role,
+        solver_base.py:757). Simulators without a navmesh say yes."""
+        return True
 
 
 class FakeSimulator(SimulatorAPI):
@@ -243,22 +249,52 @@ class Solver:
         return self.send_batch_to_server(batch_actions, save_dirs, images)
 
     def look_ahead_explore_gt(self, init_turn_degrees, origin_action_ids,
-                              save_dir) -> dict:
+                              save_dir, frame_type: str = "pano") -> dict:
         """GTsim oracle: roll the simulator per candidate and restore state
-        (solver_base.py:568-643)."""
+        (solver_base.py:568-643).
+
+        frame_type: 'pano' keeps the equirect obs (AEQA); 'front' records
+        the perspective front view instead (AR/IGNav — solver_base.py:
+        589-594 picks obs["rgb_front"] for non-AEQA tasks).
+
+        A candidate with an EMPTY future sequence (pure-turn proposal) is
+        auto-filled (solver_base.py:606-616): the agent is pre-rotated by
+        the candidate's initial yaw, that view becomes a second init frame,
+        and the first two padded slots are consumed.
+        """
         assert self.sim is not None
+
+        def _grab() -> np.ndarray:
+            pano = self.sim.get_pano()
+            if frame_type == "front":
+                from wiw_tpu.agents.postprocess import front_crop
+
+                return front_crop(pano, 90.0, (pano.shape[0], pano.shape[0]))
+            return pano
+
         _, batch_actions, _, save_dirs = self._prepare_common(
             self.sim.get_pano(), init_turn_degrees, origin_action_ids, save_dir
         )
         origin_state = self.sim.get_agent_state()
+        init_degrees = [init_turn_degrees[i]
+                        for i in sorted(init_turn_degrees)]
         all_frames = []
-        for action_seq in batch_actions.tolist():
-            frames = [self.sim.get_pano()]
+        for i, action_seq in enumerate(batch_actions.tolist()):
+            frames = [_grab()]
+            if not origin_action_ids[i]:
+                print(f"WARNING: empty future action_seq in {save_dirs[i]}, "
+                      "auto filled with 'forward'")
+                turns = int(round(abs(init_degrees[i]) / UNIT_TURN_DEG))
+                turn = "turn_left" if init_degrees[i] > 0 else "turn_right"
+                for _ in range(turns):
+                    self.sim.step(turn)
+                frames.append(_grab())
+                action_seq = action_seq[2:]
             for action_id in action_seq:
                 if action_id == ACTION_IDS["stop"]:
                     continue
                 self.sim.step(ACTION_NAMES[action_id])
-                frames.append(self.sim.get_pano())
+                frames.append(_grab())
             self.sim.set_agent_state(origin_state)
             frames = frames[: self.cfg.igenex_n_frame]
             while len(frames) < self.cfg.igenex_n_frame:
@@ -318,25 +354,147 @@ class Solver:
         return self.send_batch_to_server(batch_actions, save_dirs, images)
 
     def imagine_by_model_type(self, prior_actions, save_dir) -> dict:
-        """Dispatch on world_model_type: 'action' (pano SVD-dagger),
+        """Dispatch on world_model_type: 'action'/'FTtext' (pano WMs),
         'text' (prompt WMs), 'camera' (pose WMs), 'GTsim' (oracle)
-        (solver_base.py:691-738)."""
+        (solver_base.py:691-738). The returned dict carries `coord_type`
+        ('pano' | 'non_pano') so task post-processors pick the right warp
+        path (solver_base.py:707-737)."""
         init_deg, remain_ids, all_ids = self.get_action_info_from_prior(
             prior_actions
         )
         wm = self.cfg.world_model_type
         if wm == "GTsim":
-            return self.look_ahead_explore_gt(init_deg, all_ids, save_dir)
-        if wm == "action":
+            # GTsim records panos for AEQA, perspective front views for
+            # AR/IGNav (solver_base.py:589-594, :716-719)
+            pano_task = self.cfg.task == "AEQA"
+            out = self.look_ahead_explore_gt(
+                init_deg, all_ids, save_dir,
+                frame_type="pano" if pano_task else "front",
+            )
+            out["coord_type"] = "pano" if pano_task else "non_pano"
+        elif wm in ("action", "FTtext"):
             pano = self.sim.get_pano() if self.sim is not None else None
-            return self.look_ahead_explore(pano, init_deg, remain_ids, save_dir)
-        if wm == "text":
+            out = self.look_ahead_explore(pano, init_deg, remain_ids, save_dir)
+            out["coord_type"] = "pano"
+        elif wm == "text":
             view = self.sim.get_pano() if self.sim is not None else None
-            return self.look_ahead_explore_non_pano(view, all_ids, save_dir)
-        if wm == "camera":
+            out = self.look_ahead_explore_non_pano(view, all_ids, save_dir)
+            out["coord_type"] = "non_pano"
+        elif wm == "camera":
             pano = self.sim.get_pano() if self.sim is not None else None
-            return self.look_ahead_explore_camera(pano, all_ids, save_dir)
-        raise NotImplementedError(f"world_model_type {wm}")
+            out = self.look_ahead_explore_camera(pano, all_ids, save_dir)
+            out["coord_type"] = "pano"
+        else:
+            raise NotImplementedError(f"world_model_type {wm}")
+        return out
+
+    # -- candidate bookkeeping (solver_base.py:178-185, :372-443) --------
+    def get_action_seqs_noprior(self, init_turn_degrees: Dict[int, float]):
+        """No-prior fallback: every candidate is its initial turn followed
+        by all-forward motion (solver_base.py:178-185)."""
+        forward = ACTION_IDS["forward"]
+        return init_turn_degrees, {
+            i: [forward] * (self.cfg.igenex_n_frame - 1)
+            for i in init_turn_degrees
+        }
+
+    @staticmethod
+    def extract_unique_action_seq(action_seqs: List[dict]):
+        """Dedup VLM-proposed sequences on their converted form while
+        keeping the original wording (solver_base.py:433-443). Items are
+        {'convert_answer': [...], 'origin_answer': [...]}."""
+        seen = set()
+        uniq, uniq_ori = [], []
+        for seq in action_seqs:
+            tup = tuple(seq["convert_answer"])
+            if tup not in seen:
+                seen.add(tup)
+                uniq.append(seq["convert_answer"])
+                uniq_ori.append(seq["origin_answer"])
+        return uniq, uniq_ori
+
+    def get_merged_preds(self, prior_action_ids, pred_frames_per_cand,
+                         init_frames, init_turn_actions):
+        """Merge each candidate's imagined frames with its initial-turn
+        frames and stitch the full action texts (solver_base.py:372-412):
+        GTsim clips are kept whole; WM clips drop frame 0 (it repeats the
+        conditioning view) and append after the init frames; both lists are
+        truncated to their common length, which never exceeds
+        look_ahead_action_num + 1.
+
+        prior_action_ids: {cand: [action ids]}; pred_frames_per_cand:
+        list of per-candidate frame lists (None = failed candidate);
+        init_frames / init_turn_actions: {cand: [frames] / [action texts]}.
+        """
+        actions: Dict = {}
+        merged: Dict = {}
+        if len(pred_frames_per_cand) != len(init_frames):
+            print(f"WARNING: len(pred_frames) != len(init_frames), "
+                  f"{len(pred_frames_per_cand)} vs {len(init_frames)}")
+            return actions, merged
+        for i, k in enumerate(init_frames):
+            if pred_frames_per_cand[i] is None:
+                continue
+            prior_texts = [ACTION_TEXT[ACTION_NAMES[a]]
+                           for a in prior_action_ids[i]]
+            actions[k] = list(init_turn_actions[k]) + prior_texts
+            frames = list(pred_frames_per_cand[i])
+            if self.cfg.world_model_type == "GTsim":
+                merged[k] = frames
+            else:
+                merged[k] = list(init_frames[k]) + frames[1:]
+            n = min(len(actions[k]), len(merged[k]),
+                    self.cfg.look_ahead_action_num + 1)
+            actions[k] = actions[k][:n]
+            merged[k] = merged[k][:n]
+        return actions, merged
+
+    def save_gt_rgb(self, init_turn_degree: float, save_dir: str,
+                    forward_dist: float = 2.4) -> bool:
+        """Camera-WM GT target: rotate by the candidate's initial yaw, move
+        `forward_dist` ahead, and save that pano as target_pano_rgb.png if
+        the target pose is navigable (solver_base.py:746-768). The agent
+        state is restored afterwards. Returns navigability."""
+        assert self.sim is not None
+        origin = self.sim.get_agent_state()
+        turns = int(round(abs(init_turn_degree) / UNIT_TURN_DEG))
+        turn = "turn_left" if init_turn_degree > 0 else "turn_right"
+        for _ in range(turns):
+            self.sim.step(turn)
+        steps = int(round(forward_dist / UNIT_FORWARD_M))
+        for _ in range(steps):
+            self.sim.step("forward")
+        target_state = self.sim.get_agent_state()
+        ok = self.sim.is_navigable(target_state)
+        if ok:
+            from wiw_tpu.agents.saver import save_image
+
+            pano = self.sim.get_pano()
+            save_image(osp.join(save_dir, "target_pano_rgb.png"), pano)
+        self.sim.set_agent_state(origin)
+        return ok
+
+    @staticmethod
+    def set_vlm_input_format(planner_model: str, answerer_model: str) -> str:
+        """Imagined-clip input format per VLM family (solver_base.py:77-83;
+        the reference resolves every current family to stacked images)."""
+        del planner_model, answerer_model
+        return "image"
+
+    def save_vlm_input_media(self, frames: np.ndarray, save_path: str,
+                             vlm_input_format: str = "image") -> str:
+        """Persist the imagined frames the VLM will see, as an image grid
+        or a 2 fps clip (solver_base.py:416-431)."""
+        from wiw_tpu.agents.saver import save_image, save_video
+        from wiw_tpu.agents.visualize import hstack_frames
+
+        frames = np.asarray(frames)
+        if vlm_input_format == "video":
+            save_path = save_path.replace(".png", ".mp4")
+            save_video(save_path, frames.astype(np.uint8), fps=2)
+        else:
+            save_image(save_path, hstack_frames(list(frames)))
+        return save_path
 
     # -- heuristic policy ----------------------------------------------
     def retrieve_action_space(self):

@@ -136,6 +136,50 @@ class ARSolver(Solver):
         )
         return {k: int(box[k]) for k in ("x_min", "x_max", "y_min", "y_max")}
 
+    def prepare_gt_bbox_coords_3d(self, detected_objs, det_obj_ids,
+                                  RTs, img_width: int, img_height: int):
+        """Project every tracked object's 3D bbox into each frame's pano
+        (solver_base.py:248-306): per (frame pose RT, object) the 8 world
+        corners go world -> spherical -> equirect pixels; boxes straddling
+        the wrap seam are skipped (is_wrapped_by_width); frames left with
+        no box at all are dropped.
+
+        Returns (bbox_coords per kept frame [[x0,y0,x1,y1]...],
+        obj ids per kept frame, kept frame indices).
+        """
+        import jax.numpy as jnp
+
+        from wiw_tpu.agents.postprocess import (
+            compute_2d_bbox_from_8_corners,
+            is_wrapped_by_width,
+        )
+        from wiw_tpu.geo.projection import (
+            cartesian_to_spherical,
+            spherical_to_equirect_pixels,
+            world_to_camera,
+        )
+
+        corners_all = detected_objs.get_object_3d_bbox_corners(det_obj_ids)
+        bbox_coords, bbox_ids, keep_idxs = [], [], []
+        for i, RT in enumerate(RTs):
+            boxes_i, ids_i = [], []
+            for j, corners in enumerate(corners_all):
+                pix = np.asarray(spherical_to_equirect_pixels(
+                    cartesian_to_spherical(world_to_camera(
+                        jnp.asarray(corners, jnp.float32),
+                        jnp.asarray(RT, jnp.float32),
+                    )), img_width, img_height,
+                ))
+                if is_wrapped_by_width(pix, img_width):
+                    continue  # crosses the back seam -> skip this box
+                boxes_i.append(compute_2d_bbox_from_8_corners(pix).tolist())
+                ids_i.append(det_obj_ids[j])
+            if boxes_i:
+                bbox_coords.append(boxes_i)
+                bbox_ids.append(ids_i)
+                keep_idxs.append(i)
+        return bbox_coords, bbox_ids, keep_idxs
+
     def prepare_gt_bbox_coords(self, bbox: dict, init_turn_degrees: dict,
                                img_width: int) -> List[dict]:
         """Rotate the current-pose bbox into each candidate's rolled pano
@@ -150,6 +194,24 @@ class ARSolver(Solver):
                 "y_min": bbox["y_min"],
                 "y_max": bbox["y_max"],
             })
+        return out
+
+    def _bbox_rect_masks_non_pano(self, bbox_coords: List[dict],
+                                  shape_bt: tuple, pano_hw: tuple,
+                                  frame_hw: tuple) -> np.ndarray:
+        """Rect-mask fallback for PERSPECTIVE clips (GTsim AR): the rolled
+        pano-space bbox rect is warped into the front view so the seed mask
+        lives in frame coordinates, then held constant through the clip."""
+        from wiw_tpu.agents.postprocess import front_crop
+
+        B, T = shape_bt
+        pano_masks = self._bbox_rect_masks(bbox_coords, (B, 1),
+                                           pano_hw[0], pano_hw[1])
+        out = np.zeros((B, T) + tuple(frame_hw), np.uint8)
+        for b in range(B):
+            m3 = np.repeat(pano_masks[b, 0][..., None], 3, axis=-1)
+            warped = front_crop(m3, self.obs_hfov, frame_hw)[..., 0]
+            out[b] = (warped > 127).astype(np.uint8) * 255
         return out
 
     @staticmethod
@@ -198,37 +260,76 @@ class ARSolver(Solver):
                         ) -> List[np.ndarray]:
         """The flagship AR look-ahead (solver_AR.py:526-600):
         candidates -> WM imagination -> per-candidate rotated GT bbox ->
-        SAM2 mask propagation -> mask-centered aligned perspective crops ->
-        every-2nd crop from index 3 joins the VLM context."""
-        from wiw_tpu.agents.postprocess import post_process_output_ar
+        SAM2 mask propagation -> aligned (pano) or bbox-drawn (perspective)
+        crops -> every-2nd crop from index 3 joins the VLM context.
+        No candidates -> all-forward seeds per action-space direction
+        (get_action_seqs_noprior, solver_base.py:178-185)."""
+        from wiw_tpu.agents.postprocess import (
+            post_process_output_ar,
+            post_process_output_ar_non_pano,
+        )
         from wiw_tpu.agents.saver import save_image
 
         candidates = self.propose_candidates(st)
+        if not candidates:
+            n = self.cfg.look_ahead_action_num
+            candidates = [
+                [ACTION_TEXT["forward"]] * n,
+                [ACTION_TEXT["turn_left"]] + [ACTION_TEXT["forward"]] * (n - 1),
+                [ACTION_TEXT["turn_right"]] + [ACTION_TEXT["forward"]] * (n - 1),
+            ]
         init_deg, _, _ = self.get_action_info_from_prior(candidates)
         out = self.imagine_by_model_type(candidates, save_dir)
         pred_frames = np.asarray(out["pred_frames"])
         if pred_frames.size == 0:
             return []
-        W = pred_frames.shape[-1]
+        pano = self.sim.get_pano()
+        pano_W = pano.shape[1]
 
         bbox = self.current_gt_bbox(datum, st)
         if bbox is None:
             return []
-        bbox_coords = self.prepare_gt_bbox_coords(bbox, init_deg, W)
-        masks = self.propagate_masks(out, bbox_coords)
+        # bbox rotation happens in PANO coordinates either way; non-pano
+        # clips then warp the seed rect into the front view so both the
+        # SAM2 prompt and the fallback masks live in FRAME coordinates
+        bbox_coords = self.prepare_gt_bbox_coords(bbox, init_deg, pano_W)
+        non_pano = out.get("coord_type") == "non_pano"
+        if non_pano:
+            from wiw_tpu.workers.detection_utils import mask_to_bbox
 
-        per_cand = post_process_output_ar(
-            pred_frames, masks, per_hfov=self.obs_hfov,
-            img_size=self.pred_obs_size,
-        )
+            B, T = pred_frames.shape[:2]
+            rect_masks = self._bbox_rect_masks_non_pano(
+                bbox_coords, (B, T), pano.shape[:2], pred_frames.shape[-2:]
+            )
+            if self.sam2_client is None:
+                masks = rect_masks
+            else:
+                frame_bboxes = [mask_to_bbox(rect_masks[b, 0] > 0)
+                                for b in range(B)]
+                masks = self.propagate_masks(out, frame_bboxes)
+        else:
+            masks = self.propagate_masks(out, bbox_coords)
+
+        if non_pano:
+            per_cand = post_process_output_ar_non_pano(
+                pred_frames, masks, img_size=self.pred_obs_size
+            )
+        else:
+            per_cand = post_process_output_ar(
+                pred_frames, masks, per_hfov=self.obs_hfov,
+                img_size=self.pred_obs_size,
+            )
         crops: List[np.ndarray] = []
         pred_save_paths: List[str] = []
         for b, res in enumerate(per_cand):
             if res["crops"] is None:
                 continue
-            # select interval=2 starting at index 3
-            # (select_and_save_preds, solver_AR.py:594-597)
+            # select interval=2 starting at index 3; an all-dropped
+            # selection falls back to the final crop
+            # (select_and_save_preds, solver_AR.py:632-640)
             sel = res["crops"][self.select_start_idx::self.select_interval]
+            if len(sel) == 0:
+                sel = res["crops"][-1:]
             for j, crop in enumerate(sel):
                 crops.append(crop)
                 if out.get("save_dirs"):

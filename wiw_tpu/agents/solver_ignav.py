@@ -115,28 +115,47 @@ class IGNavSolver(Solver):
             msgs, space, self.cfg.look_ahead_action_num, self.cfg.query_num
         )
 
+    @staticmethod
+    def final_views(pred_frames: np.ndarray, coord_type: str = "non_pano"
+                    ) -> List[np.ndarray]:
+        """Each candidate's final imagined frame as a PERSPECTIVE view: the
+        goal image is perspective, so pano clips take the front crop first
+        (post_process_output_ignav, igenex_util.py:338-358) while
+        perspective clips pass through (:293-336)."""
+        from wiw_tpu.agents.postprocess import (
+            post_process_output_ignav,
+            post_process_output_ignav_non_pano,
+        )
+
+        if coord_type == "pano":
+            return post_process_output_ignav(pred_frames, start_idx=-1)
+        return post_process_output_ignav_non_pano(pred_frames, start_idx=-1)
+
     def pick_by_reward(self, goal_img: np.ndarray, pred_frames: np.ndarray,
-                       candidates: List[List[str]]) -> int:
+                       candidates: List[List[str]],
+                       coord_type: str = "non_pano") -> int:
         """pred_frames: [B, T, C, H, W] uint8; reward on each candidate's
         final frame (solver_IGNav.py:546-596, the LPIPS arm)."""
-        rewards = []
-        for i in range(pred_frames.shape[0]):
-            final = np.transpose(pred_frames[i, -1], (1, 2, 0))  # HWC
-            rewards.append(self.reward_fn(goal_img, final))
+        rewards = [
+            self.reward_fn(goal_img, final)
+            for final in self.final_views(pred_frames, coord_type)
+        ]
         return int(np.argmax(rewards))
 
     def pick_by_vlm(self, goal_img: np.ndarray, pred_frames: np.ndarray,
-                    candidates: List[List[str]]) -> int:
+                    candidates: List[List[str]],
+                    coord_type: str = "non_pano") -> int:
         """The reference's DEFAULT ranking arm: a VLM evaluator sees each
         candidate's imagined outcome plus the goal image and picks the best
         plan (task/ignav_evaluator + aux/ignav_evaluator_N_action roles)."""
         from wiw_tpu.agents.prompts import render_prompt
         from wiw_tpu.agents.vlm import build_messages
 
+        finals = self.final_views(pred_frames, coord_type)
         parts: list = [render_prompt("aux/ignav_evaluator_N_action")]
         for i, cand in enumerate(candidates):
             parts.append(f"Action Plan {chr(65 + i)}: {list(cand)}")
-            parts.append(np.transpose(pred_frames[i, -1], (1, 2, 0)))
+            parts.append(finals[i])
         parts.append("Goal image:")
         parts.append(goal_img)
         parts.append(
@@ -151,10 +170,13 @@ class IGNavSolver(Solver):
         idx, _ = self.vlm.classify(msgs, len(candidates))
         return int(idx)
 
-    def pick_candidate(self, goal_img, pred_frames, candidates) -> int:
+    def pick_candidate(self, goal_img, pred_frames, candidates,
+                       coord_type: str = "non_pano") -> int:
         if self.rank_mode == "vlm" and self.vlm is not None:
-            return self.pick_by_vlm(goal_img, pred_frames, candidates)
-        return self.pick_by_reward(goal_img, pred_frames, candidates)
+            return self.pick_by_vlm(goal_img, pred_frames, candidates,
+                                    coord_type)
+        return self.pick_by_reward(goal_img, pred_frames, candidates,
+                                   coord_type)
 
     def check_stop(self, st: State, goal_img: np.ndarray) -> bool:
         if self.success_checker is not None:
@@ -214,7 +236,9 @@ class IGNavSolver(Solver):
                 break
             candidates = self.propose_candidates(st, goal_img)
             out = self.imagine_by_model_type(candidates, save_dir)
-            best = self.pick_candidate(goal_img, out["pred_frames"], candidates)
+            best = self.pick_candidate(goal_img, out["pred_frames"],
+                                       candidates,
+                                       out.get("coord_type", "non_pano"))
             seq = candidates[best]
             executed = seq[: max(len(seq) - 2, 1)]
             for action_text in executed:
