@@ -176,6 +176,57 @@ class TestVlmInputMedia:
         assert Solver.set_vlm_input_format("InternVL-8B", "gpt") == "image"
 
 
+class TestIGNavWholeClipReward:
+    def _solver(self, tmp_path):
+        from wiw_tpu.agents.solver_ignav import IGNavSolver, mse_reward
+
+        cfg = SolverConfig(task="IGNav", world_model_type="GTsim",
+                           states_root=str(tmp_path))
+        return IGNavSolver(cfg, FakeSimulator(16, 32),
+                           reward_fn=mse_reward, pred_obs_size=(8, 8))
+
+    def test_mean_over_frames_beats_final_frame_only(self, tmp_path):
+        """The reward averages over the WHOLE clip (fetch_action_by_LPIPS,
+        solver_IGNav.py:546-596): a candidate that matches the goal only
+        in the final frame loses to one matching throughout."""
+        s = self._solver(tmp_path)
+        goal = np.zeros((8, 8, 3), np.uint8)
+        flashy = np.full((4, 3, 8, 8), 255, np.uint8)
+        flashy[-1] = 0  # perfect final frame, terrible rest
+        steady = np.full((4, 3, 8, 8), 30, np.uint8)  # close throughout
+        frames = np.stack([flashy, steady])
+        best = s.pick_by_reward(goal, frames, [["a"], ["b"]])
+        assert best == 1
+
+    def test_empty_candidate_gets_neg_inf(self, tmp_path):
+        s = self._solver(tmp_path)
+        goal = np.zeros((8, 8, 3), np.uint8)
+        frames = np.stack([
+            np.zeros((2, 3, 8, 8), np.uint8),      # perfect
+            np.full((2, 3, 8, 8), 255, np.uint8),  # bad
+        ])
+        # candidate 0 merged to empty via remain_ids/init mismatch
+        init_views = {0: [], 1: [np.zeros((8, 8, 3), np.uint8)]}
+        remain = {0: [], 1: [1]}
+        # make candidate 0 produce no merged frames: pass a None pred list
+        views = s.candidate_views(frames, "non_pano")
+        _, merged = s.get_merged_preds(
+            remain, [None, views[1]], init_views,
+            {k: [""] * len(v) for k, v in init_views.items()})
+        assert 0 not in merged
+        best = s.pick_by_reward(goal, frames, [["a"], ["b"]], "non_pano",
+                                init_views, remain)
+        # candidate 0 merges to an empty clip (-inf) -> 1 wins despite its
+        # perfect raw frames
+        assert best == 1
+
+    def test_pano_clips_reward_front_views(self, tmp_path):
+        s = self._solver(tmp_path)
+        views = s.candidate_views(
+            np.random.randint(0, 255, (1, 2, 3, 8, 16), np.uint8), "pano")
+        assert views[0][0].shape == (8, 8, 3)  # front crop is square
+
+
 class TestBboxProjectionHelpers:
     def test_wrap_detection(self):
         W = 100
@@ -212,6 +263,53 @@ class TestBboxProjectionHelpers:
             (x0, y0, x1, y1), = frame_boxes
             assert 0 <= x0 <= x1 < 64 and 0 <= y0 <= y1 < 32
             assert abs((x0 + x1) / 2 - 32) < 6  # centered at front
+
+    def test_init_frames_from_init_degrees(self, tmp_path):
+        """One labeled front crop per unit turn of the initial rotation,
+        preceded by the raw observation (solver_AR.py:684-712)."""
+        from wiw_tpu.agents.solver_ar import ARSolver
+
+        cfg = SolverConfig(task="AR", states_root=str(tmp_path))
+        ar = ARSolver(cfg, FakeSimulator(32, 64), pred_obs_size=(16, 16))
+        pano = ar.sim.get_pano()
+        rgbs, texts = ar.get_init_frames_from_init_degrees(
+            pano, {0: 45.0, 1: 0.0})
+        assert len(rgbs[0]) == 3  # obs + 2 unit left turns
+        assert texts[0][0].startswith("It is the current observation")
+        assert all("turn_left" in t for t in texts[0][1:])
+        assert len(rgbs[1]) == 1 and len(texts[1]) == 1
+        assert rgbs[0][0].shape == (16, 16, 3)
+
+    def test_igenex_planner_arm_composes_action_strips(self, tmp_path):
+        """The merged init+imagined frames are annotated with their action
+        texts, persisted, and recorded under imagine_action_key
+        (solver_AR.py:580-600, :647-681)."""
+        from wiw_tpu.agents.solver import FakeSemanticSimulator
+        from wiw_tpu.agents.state import State
+        from wiw_tpu.agents.solver_ar import ARSolver
+
+        cfg = SolverConfig(task="AR", world_model_type="GTsim",
+                           igenex_n_frame=6, look_ahead_action_num=3,
+                           states_root=str(tmp_path))
+        ar = ARSolver(cfg, FakeSemanticSimulator(32, 64),
+                      pred_obs_size=(24, 24), lookahead=3,
+                      select_start_idx=0, use_igenex_planner=True)
+        st = State()
+        datum = {"episode_id": 1, "scene_id": "s",
+                 "target_category": "chair", "target_semantic_ids": [7]}
+        ar.interact(datum, st, 0)
+        crops = ar.forward_with_WM(datum, st, str(tmp_path / "wm"))
+        assert crops, "no aligned crops produced"
+        paths = st.get_from_recent_state(ar.imagine_action_key)
+        assert paths, "no action strips recorded"
+        import os.path as osp
+
+        assert all(osp.exists(p) for p in paths)
+        assert all(ar.imagine_action_key in p for p in paths)
+        # clean_cache prunes older rows but keeps the live one
+        st.add_new_state({"step": 1})
+        ar.clean_cache(st)
+        assert st.get_from_history(ar.imagine_action_key) in ([], [paths])
 
     def test_all_wrapped_frame_dropped(self, tmp_path):
         from wiw_tpu.agents.solver_ar import ARSolver

@@ -474,6 +474,42 @@ class Solver:
         self.sim.set_agent_state(origin)
         return ok
 
+    def get_init_frames_from_init_degrees(self, pano: np.ndarray,
+                                          init_turn_degrees: dict):
+        """Per candidate: the current observation plus one frame per unit
+        turn of its initial rotation, each labeled with the action taken,
+        all as FRONT perspective crops (solver_AR.py:684-712; the reference
+        duplicates this in solver_IGNav.py:769-806)."""
+        from wiw_tpu.agents.postprocess import front_crop
+
+        hfov = getattr(self, "obs_hfov", 90.0)
+        size = getattr(self, "pred_obs_size", (384, 512))
+        init_rgbs, init_turn_actions = {}, {}
+        for k, degrees in init_turn_degrees.items():
+            frames = [pano]
+            texts = ["It is the current observation before acting"]
+            num_turn = int(abs(degrees) // UNIT_TURN_DEG)
+            unit = UNIT_TURN_DEG if degrees > 0 else -UNIT_TURN_DEG
+            rolled = pano
+            for _ in range(num_turn):
+                rolled = roll_pano_np(rolled, unit)
+                frames.append(rolled)
+                texts.append(ACTION_TEXT["turn_left" if unit > 0
+                                         else "turn_right"])
+            init_rgbs[k] = [front_crop(f, hfov, size) for f in frames]
+            init_turn_actions[k] = texts
+        return init_rgbs, init_turn_actions
+
+    def clean_cache(self, st):
+        """Clear imagined-media history after each executed step so the
+        VLM context only carries the CURRENT step's imagination
+        (solver_base.py:740-744)."""
+        for key in ("imagine_obs_key", "imagine_action_key"):
+            name = getattr(self, key, None)
+            if name is not None:
+                st.clean_up_history(key=name)
+        return st
+
     @staticmethod
     def set_vlm_input_format(planner_model: str, answerer_model: str) -> str:
         """Imagined-clip input format per VLM family (solver_base.py:77-83;

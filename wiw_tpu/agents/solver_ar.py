@@ -46,7 +46,8 @@ class ARSolver(Solver):
                  use_heuristic_policy: bool = True, seed: int = 0,
                  save_obs: bool = False, obs_hfov: float = 90.0,
                  pred_obs_size: tuple = (384, 512),
-                 select_interval: int = 2, select_start_idx: int = 3):
+                 select_interval: int = 2, select_start_idx: int = 3,
+                 use_igenex_planner: bool = True):
         config.look_ahead_action_num = lookahead
         config.query_num = query_num
         config.task = "AR"
@@ -64,6 +65,10 @@ class ARSolver(Solver):
         self.use_heuristic_policy = use_heuristic_policy
         self.save_obs = save_obs
         self.rng = random.Random(seed)
+        # imagined-media state keys (solver_AR.py:93-94)
+        self.imagine_obs_key = "pred_bbox_front"
+        self.imagine_action_key = "pred_bbox_action_seq"
+        self.use_igenex_planner = use_igenex_planner
 
     # ------------------------------------------------------------------
     def recognize(self, st: State, extra_images: List[np.ndarray]) -> tuple:
@@ -256,6 +261,33 @@ class ARSolver(Solver):
         })
         return np.asarray(out["masks"])
 
+    def compose_action_results_from_preds(self, save_dirs, merged_frames,
+                                          actions) -> List[str]:
+        """Annotate each merged (init + imagined) frame with its action
+        text and persist the per-candidate strip (solver_AR.py:647-681).
+        Frame 0 keeps the raw label; later frames read
+        'Imagined action <i>: ...'."""
+        from wiw_tpu.agents.postprocess import resize_frame
+        from wiw_tpu.agents.visualize import annotate_text
+
+        pred_save_paths = []
+        for i, (k, rgbs) in enumerate(merged_frames.items()):
+            annotated = []
+            for idx, frame in enumerate(rgbs):
+                text = actions[k][idx]
+                if idx != 0:
+                    text = f"Imagined action <{idx}>: {text}"
+                frame = resize_frame(np.asarray(frame, np.uint8),
+                                     self.pred_obs_size)
+                annotated.append(annotate_text(frame, text))
+            if not annotated:
+                continue
+            path = f"{save_dirs[i]}/{self.imagine_action_key}.png"
+            pred_save_paths.append(
+                self.save_vlm_input_media(np.stack(annotated), path)
+            )
+        return pred_save_paths
+
     def forward_with_WM(self, datum: dict, st: State, save_dir: str
                         ) -> List[np.ndarray]:
         """The flagship AR look-ahead (solver_AR.py:526-600):
@@ -278,7 +310,7 @@ class ARSolver(Solver):
                 [ACTION_TEXT["turn_left"]] + [ACTION_TEXT["forward"]] * (n - 1),
                 [ACTION_TEXT["turn_right"]] + [ACTION_TEXT["forward"]] * (n - 1),
             ]
-        init_deg, _, _ = self.get_action_info_from_prior(candidates)
+        init_deg, remain_ids, _ = self.get_action_info_from_prior(candidates)
         out = self.imagine_by_model_type(candidates, save_dir)
         pred_frames = np.asarray(out["pred_frames"])
         if pred_frames.size == 0:
@@ -319,6 +351,24 @@ class ARSolver(Solver):
                 pred_frames, masks, per_hfov=self.obs_hfov,
                 img_size=self.pred_obs_size,
             )
+        # igenex-planner context arm (solver_AR.py:580-600): the merged
+        # init-turn + imagined frames, each labeled with its action, are
+        # composed into per-candidate strips for the next planner query
+        if self.use_igenex_planner and out.get("save_dirs"):
+            init_rgbs, init_turn_actions = \
+                self.get_init_frames_from_init_degrees(pano, init_deg)
+            actions_all, merged_all = self.get_merged_preds(
+                remain_ids,
+                [res["crops"] for res in per_cand],
+                init_rgbs, init_turn_actions,
+            )
+            action_paths = self.compose_action_results_from_preds(
+                out["save_dirs"], merged_all, actions_all
+            )
+            if st.rows:
+                st.add_to_recent_state(action_paths,
+                                       key=self.imagine_action_key)
+
         crops: List[np.ndarray] = []
         pred_save_paths: List[str] = []
         for b, res in enumerate(per_cand):
@@ -337,7 +387,8 @@ class ARSolver(Solver):
                     save_image(p, crop)
                     pred_save_paths.append(p)
         if st.rows:
-            st.add_to_recent_state(pred_save_paths, key="pred_save_paths")
+            st.add_to_recent_state(pred_save_paths,
+                                   key=self.imagine_obs_key)
         return crops
 
     def pick_next_action(self, st: State) -> str:
@@ -350,7 +401,11 @@ class ARSolver(Solver):
 
             space = list(ACTION_TEXT.values())[:3]
             parts: list = [self.sim.get_pano()]
-            recent_preds = st.get_from_recent_state("pred_save_paths")
+            # planner context prefers the action-annotated rollout strips
+            # (imagine_action_key, solver_AR.py:460-461), falling back to
+            # the aligned-crop paths
+            recent_preds = (st.get_from_recent_state(self.imagine_action_key)
+                            or st.get_from_recent_state(self.imagine_obs_key))
             if recent_preds:
                 parts.insert(0, render_prompt("aux/ar_planner"))
             parts.append(sequence_format_note(1, 1))
@@ -433,6 +488,7 @@ class ARSolver(Solver):
             action_text = self.pick_next_action(st)
             self.sim.step(text_to_action_name(action_text))
             st.record_past_action(action_text)
+            self.clean_cache(st)
             steps += 1
             self.interact(datum, st, steps)
         metrics = {

@@ -74,7 +74,9 @@ class IGNavSolver(Solver):
                  max_action_num: int = 50,
                  lookahead: int = 5, query_num: int = 3,
                  use_heuristic_policy: bool = True,
-                 rank_mode: str = "reward"):
+                 rank_mode: str = "reward",
+                 obs_hfov: float = 90.0,
+                 pred_obs_size: tuple = (384, 512)):
         config.look_ahead_action_num = lookahead
         config.query_num = query_num
         config.task = "IGNav"
@@ -87,6 +89,8 @@ class IGNavSolver(Solver):
         self.success_checker = success_checker
         self.max_action_num = max_action_num
         self.use_heuristic_policy = use_heuristic_policy
+        self.obs_hfov = obs_hfov
+        self.pred_obs_size = tuple(pred_obs_size)
 
     # ------------------------------------------------------------------
     def propose_candidates(self, st: State, goal_img=None) -> List[List[str]]:
@@ -131,14 +135,44 @@ class IGNavSolver(Solver):
             return post_process_output_ignav(pred_frames, start_idx=-1)
         return post_process_output_ignav_non_pano(pred_frames, start_idx=-1)
 
+    @staticmethod
+    def candidate_views(pred_frames: np.ndarray,
+                        coord_type: str = "non_pano"
+                        ) -> List[List[np.ndarray]]:
+        """ALL frames of each candidate as perspective views (the reward
+        runs over the whole clip, solver_IGNav.py:546-596)."""
+        from wiw_tpu.agents.postprocess import front_crop
+
+        views = []
+        for b in range(pred_frames.shape[0]):
+            frames = [np.transpose(f, (1, 2, 0)) for f in pred_frames[b]]
+            if coord_type == "pano":
+                frames = [front_crop(f, 90.0, (f.shape[0], f.shape[0]))
+                          for f in frames]
+            views.append(frames)
+        return views
+
     def pick_by_reward(self, goal_img: np.ndarray, pred_frames: np.ndarray,
                        candidates: List[List[str]],
-                       coord_type: str = "non_pano") -> int:
-        """pred_frames: [B, T, C, H, W] uint8; reward on each candidate's
-        final frame (solver_IGNav.py:546-596, the LPIPS arm)."""
+                       coord_type: str = "non_pano",
+                       init_views: Optional[dict] = None,
+                       remain_ids: Optional[dict] = None) -> int:
+        """Whole-clip perceptual reward (fetch_action_by_LPIPS,
+        solver_IGNav.py:546-596): the goal image is compared against EVERY
+        frame of each candidate's merged (init-turn + imagined) clip and
+        the MEAN reward ranks candidates; a candidate with no frames gets
+        -inf so it is never selected."""
+        views = self.candidate_views(pred_frames, coord_type)
+        if init_views is not None and remain_ids is not None:
+            _, merged = self.get_merged_preds(
+                remain_ids, views, init_views,
+                {k: [""] * len(v) for k, v in init_views.items()},
+            )
+            views = [merged.get(k) for k in sorted(init_views)]
         rewards = [
-            self.reward_fn(goal_img, final)
-            for final in self.final_views(pred_frames, coord_type)
+            float(np.mean([self.reward_fn(goal_img, f) for f in frames]))
+            if frames else float("-inf")
+            for frames in views
         ]
         return int(np.argmax(rewards))
 
@@ -175,8 +209,17 @@ class IGNavSolver(Solver):
         if self.rank_mode == "vlm" and self.vlm is not None:
             return self.pick_by_vlm(goal_img, pred_frames, candidates,
                                     coord_type)
+        # the reward clip merges each candidate's init-turn views with its
+        # imagined frames (forward_with_WM -> origin_imagine,
+        # solver_IGNav.py:649-731)
+        init_views = remain_ids = None
+        if self.sim is not None and candidates:
+            init_deg, remain_ids, _ = self.get_action_info_from_prior(
+                candidates)
+            init_views, _ = self.get_init_frames_from_init_degrees(
+                self.sim.get_pano(), init_deg)
         return self.pick_by_reward(goal_img, pred_frames, candidates,
-                                   coord_type)
+                                   coord_type, init_views, remain_ids)
 
     def check_stop(self, st: State, goal_img: np.ndarray) -> bool:
         if self.success_checker is not None:

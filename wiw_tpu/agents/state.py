@@ -95,8 +95,11 @@ class State:
         return self.rows[-1].get(key)
 
     def clean_up_history(self, key: str) -> None:
-        """Drop a key from all but the latest row (context-window pruning,
-        state_traj.py:173-181)."""
+        """Drop a key from all but the latest row (context-window pruning;
+        the reference clears the whole column, state_traj.py:173-181 — we
+        keep the latest row so a just-written value survives until the
+        next state is appended; callers prune BEFORE adding the new row,
+        solver_base.py:740-744)."""
         for r in self.rows[:-1]:
             r.pop(key, None)
 
