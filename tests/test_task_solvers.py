@@ -647,3 +647,163 @@ class TestIGNavGroundTruthSuccess:
              "goal_position": goal_pos, "goal_radius": 0.5},
             np.zeros((8, 8, 3), np.uint8), str(tmp_path / "wm"))
         assert m["success"] and m["goal_dist"] <= 0.5
+
+
+class TestAEQAHierarchical:
+    """The two-level AEQA split (inference_aeqa, solver_AEQA.py:452-520):
+    multi-candidate pre-imagination before each high-level plan and the
+    low-level planner-N stage under the active plan."""
+
+    class _SeqVLM(ScriptedVLM):
+        """Scripted low-level action sequences on top of scripted plans."""
+
+        def __init__(self, plans, seqs):
+            super().__init__(plans=plans)
+            self.seqs = list(seqs)
+            self.seq_calls = 0
+
+        def sample_action_seqs(self, messages, space, seq_len, num):
+            self.seq_calls += 1
+            if self.seqs:
+                return [self.seqs.pop(0)]
+            return [["stop"]]
+
+    def test_parser_landmark_and_view_directions(self, tmp_path):
+        """Landmark plans turn toward the landmark azimuth; view-only plans
+        toward their Chosen View; duplicates collapse; far landmarks drop
+        (parser_highlevel_plan_imagine, solver_AEQA.py:585-648)."""
+        sim = FakeSimulator()
+        solver = AEQASolver(gtsim_config(states_root=str(tmp_path)), sim)
+        # entity at (+2, -2): azimuth -45 deg from the agent's heading 0
+        near = np.array([[2.0, -2.0, 0.0]]) + 0.02 * np.random.RandomState(
+            0).randn(20, 3)
+        far = near + np.array([100.0, 0.0, 0.0])
+        i_near = solver.objects.add_detection("sofa", near)
+        i_far = solver.objects.add_detection("lamp", far)
+        plans = [
+            {"Chosen Landmark": i_near, "Chosen View": ""},
+            {"Chosen Landmark": i_far, "Chosen View": ""},   # filtered: far
+            {"Chosen Landmark": "", "Chosen View": 1},        # left view
+            {"Chosen Landmark": "", "Chosen View": 1},        # duplicate
+        ]
+        deg, prior, origin = solver.parser_highlevel_plan_imagine(plans)
+        assert len(deg) == 2  # far landmark filtered, duplicate view merged
+        assert abs(deg[0] + 45.0) < 2.0   # toward the landmark
+        assert deg[1] == 90.0             # Chosen View 1 = left
+        assert all(prior[k] == [] for k in prior)
+
+    def test_highlevel_imagine_returns_frames_and_filtered_plans(
+            self, tmp_path):
+        sim = FakeSimulator()
+        vlm = ScriptedVLM(plans=[
+            {"Reason": "a", "Action Plan": ["forward 0.2m"],
+             "Chosen View": 1, "Chosen Landmark": "", "Answer": "secret"},
+            {"Reason": "b", "Action Plan": [], "Chosen View": 2,
+             "Chosen Landmark": "", "Answer": ""},
+            {"Reason": "c", "Action Plan": [], "Chosen View": 2,
+             "Chosen Landmark": "", "Answer": ""},
+        ])
+        solver = AEQASolver(gtsim_config(states_root=str(tmp_path)), sim,
+                            vlm=vlm)
+        from wiw_tpu.agents.state import State
+
+        frames, plans = solver.highlevel_imagine("q?", State(),
+                                                 str(tmp_path / "wm"))
+        assert len(frames) == 2  # views 1 and 2 dedup to two directions
+        assert len(plans) == 3
+        assert all("Answer" not in p for p in plans)  # filtered keys only
+        assert frames[0].ndim == 3 and frames[0].shape[-1] == 3
+
+    def test_lowlevel_rounds_capped_then_new_highlevel(self, tmp_path):
+        """The low-level planner re-plans at most 4 consecutive rounds per
+        high-level plan (max_consecutive_num, solver_AEQA.py:461-480)."""
+        sim = FakeSimulator()
+        plans = [
+            {"Reason": "explore", "Action Plan": ["forward 0.2m"],
+             "Chosen View": 0, "Chosen Landmark": "", "Answer": ""},
+            {"Reason": "done", "Action Plan": [], "Chosen View": 0,
+             "Chosen Landmark": "", "Answer": "blue"},
+            {"Reason": "done", "Action Plan": [], "Chosen View": 0,
+             "Chosen Landmark": "", "Answer": "blue"},
+        ]
+        vlm = self._SeqVLM(plans, seqs=[["forward 0.2m"]] * 10)
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            max_action_num=30, use_lowlevel_planner=True,
+        )
+        m = solver.run_episode(
+            {"question_id": "q9", "scene_id": "s", "question": "?",
+             "answer": "blue"},
+            str(tmp_path / "wm"),
+        )
+        assert m["answer"] == "blue"
+        # 1 seq from the initial high-level round + 3 consecutive re-plans
+        assert vlm.seq_calls == 4
+        assert m["traj_len"] == 4
+
+    def test_lowlevel_stop_ends_active_plan(self, tmp_path):
+        sim = FakeSimulator()
+        plans = [
+            {"Reason": "r", "Action Plan": ["forward 0.2m"],
+             "Chosen View": 0, "Chosen Landmark": "", "Answer": ""},
+            {"Reason": "a", "Action Plan": [], "Chosen View": 0,
+             "Chosen Landmark": "", "Answer": "red"},
+            {"Reason": "a", "Action Plan": [], "Chosen View": 0,
+             "Chosen Landmark": "", "Answer": "red"},
+        ]
+        vlm = self._SeqVLM(plans, seqs=[["forward 0.2m"], ["stop"]])
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            max_action_num=30, use_lowlevel_planner=True,
+        )
+        m = solver.run_episode(
+            {"question_id": "q10", "scene_id": "s", "question": "?",
+             "answer": "red"},
+            str(tmp_path / "wm"),
+        )
+        assert m["answer"] == "red"
+        assert m["traj_len"] == 1  # one forward, then stop -> replan
+
+    def test_wm_imagination_joins_highlevel_context(self, tmp_path):
+        """With use_wm_imagination the confirmed high-level fetch sees the
+        candidates' imagined frames + filtered plans
+        (aux/aeqa_highlevel_planner role)."""
+        sim = FakeSimulator()
+
+        class _RecordingVLM(ScriptedVLM):
+            def __init__(self, plans):
+                super().__init__(plans=plans)
+                self.plan_contexts = []
+
+            def plan_json(self, messages, required):
+                self.plan_contexts.append(messages)
+                return super().plan_json(messages, required)
+
+        # 3 imagination-candidate fetches + 1 confirmed fetch per round;
+        # round 2 answers twice (confirmation)
+        base = {"Reason": "r", "Action Plan": [], "Chosen Landmark": ""}
+        plans = (
+            [dict(base, **{"Chosen View": 1, "Answer": ""})] * 3
+            + [dict(base, **{"Chosen View": 0, "Answer": "green",
+                             "Action Plan": []})]
+            + [dict(base, **{"Chosen View": 1, "Answer": ""})] * 3
+            + [dict(base, **{"Chosen View": 0, "Answer": "green"})]
+        )
+        vlm = _RecordingVLM(plans)
+        solver = AEQASolver(
+            gtsim_config(states_root=str(tmp_path)), sim, vlm=vlm,
+            max_action_num=10, use_wm_imagination=True,
+        )
+        m = solver.run_episode(
+            {"question_id": "q11", "scene_id": "s", "question": "?",
+             "answer": "green"},
+            str(tmp_path / "wm"),
+        )
+        assert m["answer"] == "green"
+        # the 4th plan fetch (confirmed round) carries the simulated
+        # outcomes: a 'Proposed High-Level Plan' text part
+        confirmed_ctx = vlm.plan_contexts[3]
+        texts = [c.get("text", "") for msg in confirmed_ctx
+                 for c in (msg["content"] if isinstance(msg["content"], list)
+                           else []) if isinstance(c, dict)]
+        assert any("Proposed High-Level Plan" in t for t in texts), texts

@@ -362,6 +362,15 @@ class Solver:
         init_deg, remain_ids, all_ids = self.get_action_info_from_prior(
             prior_actions
         )
+        return self.imagine_with_degrees(init_deg, remain_ids, all_ids,
+                                         save_dir)
+
+    def imagine_with_degrees(self, init_deg, remain_ids, all_ids,
+                             save_dir) -> dict:
+        """Imagination dispatch on explicit (initial yaw, leftover ids)
+        candidates — used directly by AEQA's high-level pre-imagination,
+        whose candidates are pure directions with no prior actions
+        (parser_highlevel_plan_imagine, solver_AEQA.py:585-648)."""
         wm = self.cfg.world_model_type
         if wm == "GTsim":
             # GTsim records panos for AEQA, perspective front views for

@@ -35,7 +35,9 @@ class AEQASolver(Solver):
                  detector_client=None, max_action_num: int = 250,
                  lookahead: int = 4, use_heuristic_policy: bool = False,
                  max_pending_actions: int = 50,
-                 landmark_max_distance: float = 15.0):
+                 landmark_max_distance: float = 15.0,
+                 use_wm_imagination: bool = False,
+                 use_lowlevel_planner: bool = False):
         config.look_ahead_action_num = lookahead
         config.task = "AEQA"
         super().__init__(config, sim)
@@ -45,10 +47,18 @@ class AEQASolver(Solver):
         self.use_heuristic_policy = use_heuristic_policy
         self.max_pending_actions = max_pending_actions
         self.landmark_max_distance = landmark_max_distance
+        # hierarchical arms (both on in the reference's use_WM runs):
+        # multi-candidate pre-imagination before each high-level plan, and
+        # the low-level planner-N stage under the active high-level plan
+        self.use_wm_imagination = use_wm_imagination
+        self.use_lowlevel_planner = use_lowlevel_planner
         self.objects = DetectedObjects()
         from wiw_tpu.agents.nav import ActionFinder
 
         self.action_finder = ActionFinder(sim) if sim is not None else None
+        # imagined-media state keys (solver_AEQA.py high-level imagination)
+        self.imagine_obs_key = "aeqa_imagine_obs"
+        self.imagine_action_key = "aeqa_imagine_plan"
 
     # ------------------------------------------------------------------
     def detect_objects(self, save_dir: str):
@@ -96,9 +106,13 @@ class AEQASolver(Solver):
                 )
 
     def highlevel_plan(self, question: str, st: State,
-                       imagine_frames: List[np.ndarray]) -> Optional[dict]:
-        """JSON plan over the ANNOTATED surround views (+ last imagination)
-        (solver_AEQA.py:523-720 planning inputs)."""
+                       imagine_frames: List[np.ndarray],
+                       imagine_plans: Optional[List[dict]] = None
+                       ) -> Optional[dict]:
+        """JSON plan over the ANNOTATED surround views (+ the previous
+        round's simulated outcomes: candidate plan + imagined panorama
+        pairs, aux/aeqa_highlevel_planner role)
+        (solver_AEQA.py:523-720, :804-860 planning inputs)."""
         if self.vlm is None:
             # heuristic fallback: explore forward, answer empty
             return {"Reason": "explore", "Action Plan": ["forward 0.2m"] * 2,
@@ -145,7 +159,12 @@ class AEQASolver(Solver):
             parts.append("\n".join(lines))
         if imagine_frames:
             parts.append(render_prompt("aux/aeqa_highlevel_planner"))
-            parts += imagine_frames
+            for i, frame in enumerate(imagine_frames):
+                if imagine_plans and i < len(imagine_plans):
+                    parts.append(
+                        f"Proposed High-Level Plan {i}: {imagine_plans[i]}"
+                    )
+                parts.append(frame)
         return self.vlm.plan_json(
             build_messages("You are an embodied question-answering agent.",
                            parts),
@@ -219,6 +238,125 @@ class AEQASolver(Solver):
             self.sim.step(action)
         return turns
 
+    # -- high-level pre-imagination (solver_AEQA.py:585-672) -------------
+    def parser_highlevel_plan_imagine(self, plans: List[dict]):
+        """Candidate high-level plans -> pure-direction imagination seeds
+        (parser_highlevel_plan_imagine, solver_AEQA.py:585-648): a plan
+        with a Chosen Landmark turns toward the landmark's azimuth (too-far
+        landmarks are filtered); a view-only plan turns to its Chosen View
+        refined by the open-space depth deviation; degrees normalize to
+        (-180, 180] and duplicates collapse. Prior ids are empty — the
+        imagination is 'turn then roll forward'."""
+        from wiw_tpu.agents.nav import (
+            azimuth_between,
+            compute_theta_deviation_from_depth,
+        )
+        from wiw_tpu.agents.surround import choose_view_yaw
+
+        pos_h = self.sim.get_agent_state()
+        pos = np.atleast_1d(np.asarray(pos_h[0], float))
+        heading = float(pos_h[1]) if np.ndim(pos_h[1]) == 0 else 0.0
+        degrees: List[float] = []
+        for plan in plans or []:
+            if not isinstance(plan, dict):
+                continue
+            lm = self.resolve_landmark(plan)
+            if lm is not None:
+                cent = np.asarray(self.objects.entities[lm].centroid, float)
+                if (np.linalg.norm(cent[: len(pos)] - pos)
+                        > self.landmark_max_distance):
+                    continue  # filter_by_distance (:622)
+                deg = azimuth_between(pos[:2], cent[:2]) - heading
+            else:
+                view = plan.get("Chosen View")
+                try:
+                    deg = choose_view_yaw(int(view))
+                except (TypeError, ValueError):
+                    continue
+                depth = getattr(self.sim, "get_depth", lambda: None)()
+                if depth is not None:
+                    dev = compute_theta_deviation_from_depth(
+                        depth, getattr(self, "obs_hfov", 90.0))
+                    if dev is None:
+                        continue  # no open space in that view (:610-613)
+                    deg -= float(np.degrees(dev))
+            deg = (deg + 180.0) % 360.0 - 180.0
+            if deg == -180.0:
+                deg = 180.0
+            if deg not in degrees:
+                degrees.append(deg)
+        init_deg = {i: d for i, d in enumerate(degrees)}
+        empty = {i: [] for i in init_deg}
+        return init_deg, empty, dict(empty)
+
+    def highlevel_imagine(self, question: str, st: State, save_dir: str,
+                          query_num: int = 3):
+        """Fetch `query_num` candidate high-level plans, imagine each
+        candidate direction with the WM, and return (last frames, filtered
+        plans) to seed the NEXT confirmed planning round
+        (_highlevel_planning_imagine, solver_AEQA.py:649-672)."""
+        plans = []
+        for _ in range(query_num):
+            p = self.highlevel_plan(question, st, [])
+            if isinstance(p, dict):
+                plans.append(p)
+        init_deg, prior, _ = self.parser_highlevel_plan_imagine(plans)
+        if not init_deg:
+            return [], []
+        out = self.imagine_with_degrees(init_deg, prior, prior, save_dir)
+        frames = out.get("pred_frames")
+        if frames is None:
+            return [], []
+        last = [np.transpose(frames[i, -1], (1, 2, 0))
+                for i in range(frames.shape[0])]
+        keep = ("Reason", "Action Plan", "Chosen View", "Chosen Landmark")
+        filtered = [{k: p.get(k) for k in keep if k in p} for p in plans]
+        return last, filtered
+
+    # -- low-level planner (solver_AEQA.py:674-752) ----------------------
+    def lowlevel_plan(self, st: State, high_plan: dict):
+        """The hierarchical split's SECOND stage: a low-level planner-N VLM
+        emits <= look_ahead unit actions conditioned on the active
+        high-level plan; 'stop' as the first action means the plan is
+        complete (is_stop, solver_AEQA.py:737-751). Without a VLM (or in
+        heuristic mode) the high-level 'Action Plan' executes directly."""
+        from wiw_tpu.agents.solver import ACTION_TEXT
+
+        hl_actions = [str(a) for a in high_plan.get("Action Plan", [])][
+            : self.cfg.look_ahead_action_num
+        ]
+        if (self.vlm is None or self.use_heuristic_policy
+                or not self.use_lowlevel_planner):
+            return hl_actions, not hl_actions
+        from wiw_tpu.agents.prompts import render_prompt, sequence_format_note
+        from wiw_tpu.agents.surround import annotated_surround_views
+        from wiw_tpu.agents.vlm import build_messages
+
+        keep = {k: high_plan.get(k)
+                for k in ("Action Plan", "Chosen Landmark") if k in high_plan}
+        space = list(ACTION_TEXT.values())  # includes 'stop'
+        view = annotated_surround_views(self.sim.get_pano(), size=256)[0]
+        msgs = build_messages(
+            render_prompt(
+                "task/aeqa_planner", high_level_plan=keep,
+                obs_key="perspective RGB views",
+                look_ahead_action_num=self.cfg.look_ahead_action_num,
+            ),
+            [view, sequence_format_note(self.cfg.look_ahead_action_num, 1)],
+        )
+        seq = self.vlm.sample_action_seqs(
+            msgs, space, self.cfg.look_ahead_action_num, 1
+        )[0]
+        if seq and text_to_action_name(seq[0]) == "stop":
+            return [], True
+        # a mid-sequence stop truncates the executed prefix
+        out = []
+        for a in seq:
+            if text_to_action_name(a) == "stop":
+                break
+            out.append(a)
+        return out, False
+
     def generate_imagine(self, plan_actions: List[str], save_dir: str
                          ) -> List[np.ndarray]:
         """Imagine the plan; return the LAST frame (index n_frame-1 == 13,
@@ -233,14 +371,23 @@ class AEQASolver(Solver):
                 for i in range(frames.shape[0])]
 
     # ------------------------------------------------------------------
-    def run_episode(self, datum: dict, save_dir: str) -> dict:
+    def run_episode(self, datum: dict, save_dir: str,
+                    max_consecutive_lowlevel: int = 4) -> dict:
+        """Hierarchical loop (inference_aeqa, solver_AEQA.py:452-520): a
+        pending-action queue drains first; the LOW-level planner re-plans
+        up to `max_consecutive_lowlevel` rounds under the active high-level
+        plan; then a fresh HIGH-level plan is fetched — preceded (use_WM)
+        by multi-candidate pre-imagination whose frames + plans join its
+        context. Answers double-confirm before finalizing."""
         question = datum.get("question", "")
         st = State()
         steps = 0
         answer = ""
         pending_landmark: Optional[int] = None
-        imagine_frames: List[np.ndarray] = []
         first_answer: Optional[str] = None
+        active_plan: Optional[dict] = None
+        lowlevel_rounds = max_consecutive_lowlevel  # force high-level first
+        stalled_highlevel = 0
 
         def track():
             st.update_position_traj(list(np.atleast_1d(
@@ -248,8 +395,7 @@ class AEQASolver(Solver):
 
         track()
         while steps < self.max_action_num:
-            # landmark navigation in flight: drain pending follower actions
-            # before re-planning (solver_AEQA.py pending-action queue)
+            # 1) drain the pending-action queue (solver_AEQA.py:472-474)
             if st.get_pending_action_num():
                 a = st.pop_next_pending_action()
                 self.sim.step(text_to_action_name(a))
@@ -260,8 +406,29 @@ class AEQASolver(Solver):
                     self.objects.mark_visited(pending_landmark)
                     pending_landmark = None
                 continue
+            # 2) consecutive LOW-level re-planning under the active plan
+            # (solver_AEQA.py:474-480, capped at max_consecutive_num=4);
+            # without the low-level planner a high-level plan executes once
+            if (self.use_lowlevel_planner and active_plan is not None
+                    and lowlevel_rounds < max_consecutive_lowlevel):
+                acts, is_stop = self.lowlevel_plan(st, active_plan)
+                lowlevel_rounds += 1
+                if is_stop or not acts:
+                    active_plan = None
+                else:
+                    st.add_pending_actions(acts)
+                    st.add_new_state({"step": steps})
+                    continue
+            # 3) fresh HIGH-level plan, preceded by WM pre-imagination
+            # (solver_AEQA.py:481-494)
             self.detect_objects(save_dir)
-            plan = self.highlevel_plan(question, st, imagine_frames)
+            imagine_frames: List[np.ndarray] = []
+            imagine_plans: List[dict] = []
+            if self.use_wm_imagination:
+                imagine_frames, imagine_plans = self.highlevel_imagine(
+                    question, st, save_dir)
+            plan = self.highlevel_plan(question, st, imagine_frames,
+                                       imagine_plans)
             if plan is None:
                 break
             ans = str(plan.get("Answer") or "")
@@ -277,32 +444,30 @@ class AEQASolver(Solver):
                 continue
             first_answer = None
             # landmark navigation beats the raw action plan when the
-            # planner chose one (solver_AEQA.py:683-710)
+            # planner chose one (method 1, solver_AEQA.py:683-710)
             lm = self.resolve_landmark(plan)
             if lm is not None:
                 acts = self.plan_landmark_actions(lm)
                 if acts:
                     st.add_pending_actions(acts)
                     pending_landmark = lm
+                    active_plan = plan
+                    lowlevel_rounds = 1
+                    stalled_highlevel = 0
                     st.add_new_state({"step": steps, "landmark": lm})
                     continue
+            # method 2: low-level planner-N under the new high-level plan
             steps += self.face_chosen_view(plan)
-            actions = [str(a) for a in plan.get("Action Plan", [])][
-                : self.cfg.look_ahead_action_num
-            ]
-            if not actions:
-                break
-            imagine_frames = self.generate_imagine(actions, save_dir)
-            for a in actions:
-                try:
-                    self.sim.step(text_to_action_name(a))
-                except ValueError:
-                    continue
-                track()
-                st.record_past_action(a)
-                steps += 1
-                if steps >= self.max_action_num:
-                    break
+            acts, is_stop = self.lowlevel_plan(st, plan)
+            if is_stop or not acts:
+                stalled_highlevel += 1
+                if stalled_highlevel >= 2:
+                    break  # two planless high-level rounds: give up
+                continue
+            stalled_highlevel = 0
+            active_plan = plan
+            lowlevel_rounds = 1
+            st.add_pending_actions(acts)
             st.add_new_state({"step": steps})
         if not answer and first_answer:
             answer = first_answer
