@@ -45,6 +45,13 @@ def build_common_arg_parser(defaults: dict | None = None) -> argparse.ArgumentPa
     ap.add_argument("--look_ahead_action_num", type=int,
                     default=d.get("look_ahead_action_num", 4))
     ap.add_argument("--use_heur", action="store_true")
+    # AEQA hierarchical arms (reference use_WM runs enable both)
+    ap.add_argument("--use_wm_imagination", action="store_true",
+                    help="AEQA: imagine candidate high-level directions "
+                         "before each confirmed plan fetch")
+    ap.add_argument("--use_lowlevel_planner", action="store_true",
+                    help="AEQA: low-level planner-N under the active "
+                         "high-level plan")
     ap.add_argument("--TTS_ratio", type=float, default=d.get("TTS_ratio", 1.0))
     ap.add_argument("--states_root", default=d.get("states_root", "downstream/states"))
     ap.add_argument("--spawn_stagger_secs", type=float,

@@ -71,7 +71,11 @@ def run_one_episode(datum, args, shard_idx):
 
         detector = (WMClient(args.WM_host, args.gd_sam2_port, "gd_sam2")
                     if args.use_detector else None)
-        solver = AEQASolver(cfg, sim, vlm=vlm, detector_client=detector)
+        solver = AEQASolver(
+            cfg, sim, vlm=vlm, detector_client=detector,
+            use_wm_imagination=args.use_wm_imagination,
+            use_lowlevel_planner=args.use_lowlevel_planner,
+        )
         return solver.run_episode(datum, save_dir)
     if args.task == "IGNav":
         from wiw_tpu.agents.datasets import IGDataset
