@@ -170,7 +170,9 @@ class TestVlmInputMedia:
         frames = np.random.randint(0, 255, (3, 16, 16, 3), np.uint8)
         p = s.save_vlm_input_media(frames, str(tmp_path / "vlm_in.png"),
                                    vlm_input_format="video")
-        assert p.endswith(".mp4")
+        import os.path as osp
+
+        assert p.endswith((".mp4", ".gif")) and osp.exists(p)
 
     def test_set_vlm_input_format(self):
         assert Solver.set_vlm_input_format("InternVL-8B", "gpt") == "image"
@@ -323,3 +325,92 @@ class TestBboxProjectionHelpers:
         boxes, ids, keep = ar.prepare_gt_bbox_coords_3d(
             mem, [i1], [np.eye(4)], img_width=64, img_height=32)
         assert boxes == [] and keep == []
+
+
+class TestEpisodeReplay:
+    """Offline replay parity (visualize.py:342-453): per-step artifacts
+    persisted by the solvers rebuild into a narrated episode video."""
+
+    def _run_ar_episode(self, tmp_path):
+        from wiw_tpu.agents.solver_ar import ARSolver
+
+        class _VLM:
+            def __init__(self):
+                self.calls = 0
+
+            def classify(self, messages, n):
+                self.calls += 1
+                return (0, 0.99) if self.calls >= 2 else (0, 0.3)
+
+            def sample_action_seqs(self, messages, space, seq_len, num):
+                return [[space[0]] * seq_len for _ in range(num)]
+
+        cfg = SolverConfig(task="AR", world_model_type="GTsim",
+                           igenex_n_frame=6, states_root=str(tmp_path))
+        ar = ARSolver(cfg, FakeSimulator(32, 64), vlm=_VLM(),
+                      object_set=["chair"], tts_ratio=0.0,
+                      max_action_num=4, save_obs=True)
+        datum = {"episode_id": 5, "scene_id": "scene",
+                 "target_category": "chair"}
+        ar.run_episode(datum, str(tmp_path / "wm"))
+        return ar.saver.get_datum_path_pref(datum)
+
+    def test_artifacts_persisted(self, tmp_path):
+        import json
+        import os.path as osp
+
+        datum_dir = self._run_ar_episode(tmp_path)
+        a0 = osp.join(datum_dir, "A000", "answerer.json")
+        p0 = osp.join(datum_dir, "A000", "planner.json")
+        assert osp.exists(a0) and osp.exists(p0)
+        with open(a0) as f:
+            ans = json.load(f)
+        assert ans == {"chair": 0.3}
+        # LABEL marker for the replay tool
+        assert any(f.startswith("LABEL=chair")
+                   for f in __import__("os").listdir(datum_dir))
+
+    def test_replay_builds_video(self, tmp_path):
+        import os.path as osp
+
+        from wiw_tpu.agents.replay import visualize_episode
+
+        datum_dir = self._run_ar_episode(tmp_path)
+        out = visualize_episode(datum_dir, key="rgb_pano")
+        assert out is not None and osp.exists(out)
+        # mp4 with ffmpeg; animated-GIF fallback otherwise
+        assert osp.basename(out).startswith("chair.")
+
+    def test_replay_cli(self, tmp_path, capsys):
+        from wiw_tpu.agents.replay import main
+
+        datum_dir = self._run_ar_episode(tmp_path)
+        scene_dir = __import__("os.path", fromlist=["dirname"]).dirname(
+            datum_dir)
+        main(["--data_root", scene_dir, "--key", "rgb_pano"])
+        printed = capsys.readouterr().out
+        assert ".mp4" in printed or ".gif" in printed
+
+    def test_replay_vis_orders_and_aeqa_format(self, tmp_path):
+        import os
+        import os.path as osp
+
+        from wiw_tpu.agents.replay import visualize_episode
+        from wiw_tpu.agents.saver import save_image, save_json
+
+        datum_dir = tmp_path / "Q1"
+        step = datum_dir / "A000"
+        os.makedirs(step)
+        save_image(str(step / "rgb.png"),
+                   np.zeros((16, 16, 3), np.uint8))
+        save_json(str(step / "answerer.json"),
+                  [{"Action Plan": ["go"], "Chosen View": 1,
+                    "Chosen Landmark": 3}])
+        save_json(str(step / "planner.json"), [["forward 0.2m"]])
+        out = visualize_episode(str(datum_dir), key="rgb",
+                                vis_order="planner_first", label="q")
+        assert out and osp.basename(out).startswith("q.")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            visualize_episode(str(datum_dir), vis_order="nope")

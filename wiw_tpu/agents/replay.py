@@ -1,0 +1,179 @@
+"""Offline episode replay: rebuild a narrated video from a datum's state
+directory.
+
+Behavioral parity (no code copied) with
+downstream/visualize.py:342-453 (`visualize_ar_baseline` + __main__): walk
+the `A<step>/` dirs under a datum directory, pair each step's observation
+image with its persisted answerer.json / planner.json artifacts, annotate
+a banner frame per artifact in the requested order, and write
+`<label>.mp4` at 1 fps into the datum dir. Steps without a fresh image
+reuse the previous frame; the episode label comes from the `LABEL=<x>`
+marker when not given.
+
+Formats understood (matching what the solvers persist):
+  * answerer.json as a dict  -> AR: first (answer, prob) item
+  * answerer.json as a list  -> AEQA: [{'Action Plan', 'Chosen View',
+    'Chosen Landmark', ...}]
+  * planner.json as a dict   -> AR: first (action, prob) item
+  * planner.json as a list   -> AEQA: [actions] (first record shown)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+from typing import List, Optional
+
+import numpy as np
+
+VIS_ORDERS = ("answer_first", "planner_first", "answer_only",
+              "planner_only")
+
+
+def _load_json(path: str):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _answer_banner(step: str, data) -> Optional[str]:
+    if isinstance(data, list) and data and isinstance(data[0], dict):
+        rec = data[0]
+        plan = rec.get("Action Plan")
+        lm = rec.get("Chosen Landmark")
+        view = rec.get("Chosen View")
+        return (f"{step}: Chosen Landmark: <{lm}> | Chosen View: {view} "
+                f"| {plan}")
+    if isinstance(data, dict) and data:
+        ans, score = next(iter(data.items()))
+        try:
+            return f"{step}: {float(score):.1%}: {ans}"
+        except (TypeError, ValueError):
+            return f"{step}: {ans}"
+    return None
+
+
+def _planner_banner(step: str, data) -> Optional[str]:
+    if isinstance(data, dict) and data:
+        action, score = next(iter(data.items()))
+        try:
+            return f"{step}: {float(score):.1%}: {action}"
+        except (TypeError, ValueError):
+            return f"{step}: {action}"
+    if isinstance(data, list) and data:
+        rec = data[0]
+        if isinstance(rec, dict) and rec:
+            rec = next(iter(rec.values()))
+        return f"{step}: {rec}"
+    return None
+
+
+def _find_label(datum_dir: str) -> str:
+    for f in os.listdir(datum_dir):
+        if f.startswith("LABEL="):
+            return f.split("=", 1)[1].split(".")[0]
+    return "episode"
+
+
+def visualize_episode(
+    datum_dir: str,
+    key: str = "rgb_bbox",
+    label: Optional[str] = None,
+    answer_file_name: str = "answerer.json",
+    planner_file_name: str = "planner.json",
+    vis_order: str = "answer_first",
+    fps: int = 1,
+) -> Optional[str]:
+    """Rebuild `<label>.mp4` for one datum directory; returns the video
+    path (None when no frames could be assembled)."""
+    if vis_order not in VIS_ORDERS:
+        raise ValueError(
+            f"Unknown vis_order: {vis_order}. Must be one of {VIS_ORDERS}")
+    if isinstance(key, (list, tuple)):
+        key = key[0]
+    if label is None:
+        label = _find_label(datum_dir)
+
+    from wiw_tpu.agents.saver import load_image, save_video
+    from wiw_tpu.agents.visualize import annotate_text
+
+    frames: List[np.ndarray] = []
+    for step in sorted(os.listdir(datum_dir)):
+        if not step.startswith("A"):
+            continue
+        action_dir = osp.join(datum_dir, step)
+        if not osp.isdir(action_dir):
+            continue
+        answer_path = osp.join(action_dir, answer_file_name)
+        planner_path = osp.join(action_dir, planner_file_name)
+        image_path = osp.join(action_dir, f"{key}.png")
+        image: Optional[np.ndarray] = None
+        if osp.exists(image_path):
+            image = load_image(image_path)
+            # an image with no artifacts still joins the replay (:366-370)
+            if not osp.exists(answer_path) and not osp.exists(planner_path):
+                frames.append(image)
+        elif frames:
+            image = frames[-1]  # reuse the previous frame (:371-373)
+        if image is None:
+            continue
+
+        def add_answer():
+            banner = _answer_banner(step, _load_json(answer_path))
+            if banner is not None:
+                frames.append(annotate_text(image.copy(), banner,
+                                            color=(0, 200, 0)))
+
+        def add_planner():
+            banner = _planner_banner(step, _load_json(planner_path))
+            if banner is not None:
+                frames.append(annotate_text(image.copy(), banner,
+                                            color=(255, 60, 60)))
+
+        if vis_order == "answer_first":
+            add_answer(), add_planner()
+        elif vis_order == "planner_first":
+            add_planner(), add_answer()
+        elif vis_order == "answer_only":
+            add_answer()
+        else:
+            add_planner()
+
+    if not frames:
+        return None
+    out = osp.join(datum_dir, f"{label}.mp4")
+    return save_video(out,
+                      np.stack([np.asarray(f, np.uint8) for f in frames]),
+                      fps=fps)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Rebuild narrated episode videos from solver state "
+                    "dirs (visualize.py:445-453 __main__ role)")
+    ap.add_argument("--data_root", required=True,
+                    help="scene dir containing E*/Q* datum dirs, or one "
+                         "datum dir")
+    ap.add_argument("--key", default="rgb_bbox")
+    ap.add_argument("--vis_order", default="answer_first",
+                    choices=list(VIS_ORDERS))
+    ap.add_argument("--fps", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    root = args.data_root
+    subdirs = [d for d in sorted(os.listdir(root))
+               if d[:1] in ("E", "Q") and osp.isdir(osp.join(root, d))]
+    targets = [osp.join(root, d) for d in subdirs] or [root]
+    for datum_dir in targets:
+        out = visualize_episode(datum_dir, key=args.key,
+                                vis_order=args.vis_order, fps=args.fps)
+        print(f"{datum_dir}: {out or 'no frames'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,23 @@ class Saver:
     def get_metric_path(self, datum) -> str:
         return osp.join(self.get_datum_path_pref(datum), "metrics.jsonl")
 
+    def get_answerer_output_path(self, datum, ith_action) -> str:
+        """Per-step answerer artifact (saver.py answerer.json scheme) —
+        consumed by the episode replay tool (visualize.py:342-443)."""
+        return osp.join(self.get_action_path_pref(datum, ith_action),
+                        "answerer.json")
+
+    def get_planner_output_path(self, datum, ith_action) -> str:
+        """Per-step planner artifact (saver.py planner.json scheme)."""
+        return osp.join(self.get_action_path_pref(datum, ith_action),
+                        "planner.json")
+
+    def get_category_path(self, datum, category: str) -> str:
+        """LABEL=<target>.txt marker in the datum dir
+        (save_target_category, solver_base.py:107-115)."""
+        return osp.join(self.get_datum_path_pref(datum),
+                        f"LABEL={category}.txt")
+
     # -- sharding -------------------------------------------------------
     def shard_dataset(self, data: List) -> List:
         """Slice the dataset for this parallel process (saver.py:85-135)."""
@@ -95,8 +112,10 @@ def load_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"))
 
 
-def save_video(path: str, frames: np.ndarray, fps: int = 7) -> None:
-    """uint8 [T, H, W, C] -> mp4 (falls back to per-frame PNGs if no codec)."""
+def save_video(path: str, frames: np.ndarray, fps: int = 7) -> str:
+    """uint8 [T, H, W, C] -> mp4; falls back to an animated GIF (PIL,
+    always available) when no ffmpeg codec is installed. Returns the path
+    actually written."""
     import imageio
 
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
@@ -104,10 +123,15 @@ def save_video(path: str, frames: np.ndarray, fps: int = 7) -> None:
         frames = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
     try:
         imageio.mimwrite(path, list(frames), fps=fps)
+        return path
     except Exception:
-        base = path.rsplit(".", 1)[0]
-        for i, f in enumerate(frames):
-            save_image(f"{base}_frame{i:03d}.png", f)
+        from PIL import Image
+
+        gif = path.rsplit(".", 1)[0] + ".gif"
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(gif, save_all=True, append_images=imgs[1:],
+                     duration=max(1, int(1000 / fps)), loop=0)
+        return gif
 
 
 def load_video_frames(path: str) -> np.ndarray:
@@ -115,6 +139,15 @@ def load_video_frames(path: str) -> np.ndarray:
     import imageio
 
     return np.stack(list(imageio.get_reader(path)), axis=0)
+
+
+def save_json(path: str, obj) -> str:
+    import json
+
+    os.makedirs(osp.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2, ensure_ascii=False, default=str)
+    return path
 
 
 def log_metric(path: str, metric: dict) -> None:

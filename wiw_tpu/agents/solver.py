@@ -535,8 +535,8 @@ class Solver:
 
         frames = np.asarray(frames)
         if vlm_input_format == "video":
-            save_path = save_path.replace(".png", ".mp4")
-            save_video(save_path, frames.astype(np.uint8), fps=2)
+            save_path = save_video(save_path.replace(".png", ".mp4"),
+                                   frames.astype(np.uint8), fps=2)
         else:
             save_image(save_path, hstack_frames(list(frames)))
         return save_path

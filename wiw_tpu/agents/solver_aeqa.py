@@ -431,6 +431,12 @@ class AEQASolver(Solver):
                                        imagine_plans)
             if plan is None:
                 break
+            # per-step high-level artifact (AEQA list format the replay
+            # tool reads, visualize.py:380-396)
+            from wiw_tpu.agents.saver import save_json
+
+            save_json(self.saver.get_answerer_output_path(datum, steps),
+                      [plan])
             ans = str(plan.get("Answer") or "")
             if ans.strip():
                 # answer confirmation: the first non-empty answer triggers a
@@ -467,6 +473,8 @@ class AEQASolver(Solver):
             stalled_highlevel = 0
             active_plan = plan
             lowlevel_rounds = 1
+            save_json(self.saver.get_planner_output_path(datum, steps),
+                      [acts])
             st.add_pending_actions(acts)
             st.add_new_state({"step": steps})
         if not answer and first_answer:

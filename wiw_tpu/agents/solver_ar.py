@@ -474,7 +474,14 @@ class ARSolver(Solver):
                        "reason": "invalid target bbox at start"}
             log_metric(self.saver.get_metric_path(datum), metrics)
             return metrics
+        from wiw_tpu.agents.saver import save_json
+
         target = datum.get("target_category", "")
+        if target:
+            # LABEL=<target> marker (save_target_category,
+            # solver_base.py:107-115) — the replay tool reads it
+            save_json(self.saver.get_category_path(datum, target),
+                      {"target": target})
         answer, prob = "", 0.0
         steps = 0
         while steps < self.max_action_num:
@@ -483,9 +490,15 @@ class ARSolver(Solver):
                 extra = self.forward_with_WM(datum, st, save_dir)
             answer, prob = self.recognize(st, extra)
             st.add_answer(answer, prob)
+            # per-step artifacts for offline replay (saver answerer.json /
+            # planner.json scheme; visualize.py:342-443 consumes them)
+            save_json(self.saver.get_answerer_output_path(datum, steps),
+                      {answer: prob})
             if prob >= self.recog_thres:
                 break
             action_text = self.pick_next_action(st)
+            save_json(self.saver.get_planner_output_path(datum, steps),
+                      {action_text: 1.0})
             self.sim.step(text_to_action_name(action_text))
             st.record_past_action(action_text)
             self.clean_cache(st)
