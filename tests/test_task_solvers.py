@@ -181,8 +181,46 @@ class TestObjectMemory:
         assert i1 == i2 and len(mem) == 1
         i3 = mem.add_detection("chair", cloud + 10.0)  # far -> new entity
         assert i3 == 1 and len(mem) == 2
-        i4 = mem.add_detection("table", cloud)  # other label -> new entity
-        assert i4 == 2
+        # association is GEOMETRIC, label-agnostic (state_obj.py:169-233):
+        # an overlapping 'table' detection merges into the chair entity
+        i4 = mem.add_detection("table", cloud)
+        assert i4 == 0 and len(mem) == 2
+
+    def test_label_takeover_by_larger_cloud(self):
+        """A merged entity smaller than the new detection takes the new
+        label (state_obj.py:227-231)."""
+        mem = DetectedObjects()
+        rng = np.random.default_rng(1)
+        small = rng.uniform(0, 0.4, (20, 3))
+        mem.add_detection("vase", small)
+        big = rng.uniform(0, 0.45, (500, 3))
+        idx = mem.add_detection("plant", big)
+        assert idx == 0
+        assert mem.entities[0].label == "plant"
+
+    def test_merge_dedups_overlapping_points(self):
+        """Only the NON-overlapping remainder of a detection merges in
+        (progressive stripping, state_obj.py:194-207)."""
+        mem = DetectedObjects()
+        rng = np.random.default_rng(2)
+        cloud = rng.uniform(0, 1, (300, 3))
+        mem.add_detection("chair", cloud)
+        n_before = len(mem.entities[0].points)
+        mem.add_detection("chair", cloud)  # identical -> nothing new
+        assert len(mem.entities[0].points) == n_before
+
+    def test_largest_cluster_filter(self):
+        from wiw_tpu.agents.object_memory import largest_cluster_filter
+
+        rng = np.random.default_rng(3)
+        main = rng.uniform(0, 0.5, (100, 3))
+        noise = np.array([[50.0, 50, 50], [51, 51, 51]])
+        pts = np.concatenate([main, noise])
+        kept = largest_cluster_filter(pts, eps=0.3, min_points=20)
+        assert len(kept) == 100
+        # too-sparse clouds pass through unchanged
+        sparse = rng.uniform(0, 10, (5, 3))
+        assert len(largest_cluster_filter(sparse)) == 5
 
     def test_visited_and_nearest(self):
         mem = DetectedObjects()

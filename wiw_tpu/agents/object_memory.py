@@ -1,14 +1,21 @@
 """3D object memory for AEQA: accumulate detected objects as point clouds.
 
-Behavioral parity (no code copied) with downstream/utils/state_obj.py:19-409:
+Behavioral parity (no code copied) with downstream/utils/state_obj.py:19-409
+and downstream/utils/pcd_util.py:6-135:
   * each detection contributes a point cloud (depth backprojection via
-    wiw_tpu/geo/pointcloud.depth_to_points) with a class label + confidence
-  * new detections merge into existing entities when their clouds overlap
-    (fraction of points within a merge radius)
+    wiw_tpu/geo/pointcloud.depth_to_points) with a class label + confidence,
+    optionally noise-filtered to its largest cluster (gpu_cluster_filter)
+  * association is GEOMETRIC and label-agnostic: overlap = fraction of the
+    new points near an existing entity, scanned entity-by-entity with the
+    overlapping points progressively stripped (associate_object_entities,
+    state_obj.py:169-233); only the non-overlapping remainder merges in
+  * when the merged entity's cloud is smaller than the new detection's,
+    the NEW class label takes over (:227-231)
   * entities track visited state, centroid, radius, and 3D bbox corners
 
-open3d is replaced by a numpy voxel-hash: overlap = fraction of new points
-whose voxel (at `merge_voxel` resolution) already belongs to the entity.
+open3d is replaced by a numpy voxel-hash: overlap = membership of a point's
+voxel (at `merge_voxel` resolution) in the entity's voxel set, playing the
+role of the reference's 0.1 m nearest-distance test.
 """
 
 from __future__ import annotations
@@ -17,6 +24,45 @@ import dataclasses
 from typing import Dict, List, Optional
 
 import numpy as np
+
+
+def largest_cluster_filter(points: np.ndarray, eps: float = 0.3,
+                           min_points: int = 20) -> np.ndarray:
+    """Keep only the largest spatial cluster of a detection cloud
+    (gpu_cluster_filter, pcd_util.py:102-117 role — DBSCAN there). Points
+    are binned at `eps` resolution and clusters are connected components
+    over the 3x3x3 cell neighborhood; a largest cluster smaller than
+    `min_points` returns the cloud unchanged (too sparse to judge)."""
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    if len(pts) == 0:
+        return pts
+    cells = np.floor(pts / eps).astype(np.int64)
+    cell_to_pts: Dict[tuple, list] = {}
+    for i, c in enumerate(map(tuple, cells)):
+        cell_to_pts.setdefault(c, []).append(i)
+    seen = set()
+    best: list = []
+    for start in cell_to_pts:
+        if start in seen:
+            continue
+        comp_pts: list = []
+        stack = [start]
+        seen.add(start)
+        while stack:
+            c = stack.pop()
+            comp_pts.extend(cell_to_pts[c])
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        n = (c[0] + dx, c[1] + dy, c[2] + dz)
+                        if n in cell_to_pts and n not in seen:
+                            seen.add(n)
+                            stack.append(n)
+        if len(comp_pts) > len(best):
+            best = comp_pts
+    if len(best) < min_points:
+        return pts
+    return pts[np.asarray(sorted(best))]
 
 
 @dataclasses.dataclass
@@ -58,23 +104,59 @@ class DetectedObjects:
         return set(map(tuple, np.floor(pts / self.merge_voxel).astype(np.int64)))
 
     def add_detection(self, label: str, points: np.ndarray,
-                      confidence: float = 1.0) -> int:
-        """Merge into an overlapping same-label entity or create a new one;
-        returns the entity index."""
+                      confidence: float = 1.0,
+                      cluster_eps: Optional[float] = None,
+                      cluster_min_points: int = 20) -> int:
+        """Associate a detection with the memory and return its entity
+        index (associate_object_entities, state_obj.py:169-233):
+
+        1. optional largest-cluster noise filtering (`cluster_eps`)
+        2. scan entities in order; per entity, the overlap score is the
+           fraction of the REMAINING new points inside the entity's voxel
+           set, and those overlapping points are stripped before the next
+           entity is scored
+        3. best score < merge_overlap -> the remainder registers as a new
+           entity; otherwise the remainder merges into the best entity —
+           and when that entity's cloud is smaller than the new detection,
+           the new label takes over
+        """
         points = np.asarray(points, np.float32).reshape(-1, 3)
+        if cluster_eps is not None:
+            points = largest_cluster_filter(points, cluster_eps,
+                                            cluster_min_points)
         if len(points) == 0:
             return -1
-        new_vox = self._voxels(points)
-        for i, ent in enumerate(self.entities):
-            if ent.label != label:
+        if not self.entities:
+            self.entities.append(DetectedObject(label, points, confidence))
+            return 0
+        remaining = points
+        scores = []
+        for ent in self.entities:
+            if len(remaining) == 0:
+                scores.append(0.0)
                 continue
-            overlap = len(new_vox & self._voxels(ent.points)) / max(len(new_vox), 1)
-            if overlap >= self.merge_overlap:
-                ent.points = np.concatenate([ent.points, points])
-                ent.confidence = max(ent.confidence, confidence)
-                return i
-        self.entities.append(DetectedObject(label, points, confidence))
-        return len(self.entities) - 1
+            ent_vox = self._voxels(ent.points)
+            vox = np.floor(remaining / self.merge_voxel).astype(np.int64)
+            overlap_mask = np.fromiter(
+                (tuple(v) in ent_vox for v in vox), bool, len(vox)
+            )
+            scores.append(float(overlap_mask.sum())
+                          / (len(remaining) + 1e-6))
+            remaining = remaining[~overlap_mask]
+        best = int(np.argmax(scores))
+        if scores[best] < self.merge_overlap:
+            if len(remaining) == 0:
+                return best  # fully absorbed by existing entities
+            self.entities.append(
+                DetectedObject(label, remaining, confidence))
+            return len(self.entities) - 1
+        ent = self.entities[best]
+        if len(remaining):
+            ent.points = np.concatenate([ent.points, remaining])
+        ent.confidence = max(ent.confidence, confidence)
+        if len(ent.points) < len(points):
+            ent.label = label  # larger new cloud renames (:227-231)
+        return best
 
     def mark_visited(self, index: int) -> None:
         self.entities[index].visited = True

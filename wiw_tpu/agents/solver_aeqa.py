@@ -103,6 +103,9 @@ class AEQASolver(Solver):
                 self.objects.add_detection(
                     str(det.get("label", "object")), pts[sel],
                     float(det.get("score", 1.0)),
+                    # largest-cluster noise filtering before association
+                    # (state_obj.py:161 gpu_cluster_filter)
+                    cluster_eps=0.3, cluster_min_points=20,
                 )
 
     def highlevel_plan(self, question: str, st: State,
