@@ -209,6 +209,32 @@ class TestObjectMemory:
         mem.add_detection("chair", cloud)  # identical -> nothing new
         assert len(mem.entities[0].points) == n_before
 
+    def test_merge_existing(self):
+        """Periodic entity consolidation (merge_existing_objs,
+        state_obj.py:235-290): overlapping registered entities fold
+        together, far pairs pre-filter out."""
+        mem = DetectedObjects()
+        rng = np.random.default_rng(4)
+        cloud = rng.uniform(0, 1, (100, 3))
+        # force two separate entities despite overlap by registering the
+        # second while the memory is empty of overlaps
+        mem.entities.append(
+            __import__("wiw_tpu.agents.object_memory",
+                       fromlist=["DetectedObject"]).DetectedObject(
+                "chair", cloud.astype(np.float32), 0.5))
+        mem.entities.append(
+            __import__("wiw_tpu.agents.object_memory",
+                       fromlist=["DetectedObject"]).DetectedObject(
+                "stool", (cloud + 0.01).astype(np.float32)[:40], 0.9))
+        mem.entities.append(
+            __import__("wiw_tpu.agents.object_memory",
+                       fromlist=["DetectedObject"]).DetectedObject(
+                "lamp", (cloud + 100.0).astype(np.float32), 1.0))
+        n = mem.merge_existing()
+        assert n == 1 and len(mem) == 2
+        assert mem.entities[0].label == "chair"  # larger cloud keeps label
+        assert mem.entities[0].confidence == 0.9
+
     def test_largest_cluster_filter(self):
         from wiw_tpu.agents.object_memory import largest_cluster_filter
 

@@ -178,6 +178,40 @@ class DetectedObjects:
             return None
         return min(candidates, key=lambda t: t[1])[0]
 
+    def merge_existing(self, center_threshold: float = 2.5) -> int:
+        """Merge already-registered entities whose clouds overlap above
+        merge_overlap (merge_existing_objs, state_obj.py:235-290): pairs
+        farther apart than `center_threshold` are pre-filtered by centroid
+        distance; the smaller cloud folds into the larger, which keeps its
+        label and the max confidence. Returns the number of merges."""
+        merged = 0
+        i = 0
+        while i < len(self.entities):
+            j = i + 1
+            while j < len(self.entities):
+                a, b = self.entities[i], self.entities[j]
+                if np.linalg.norm(a.centroid - b.centroid) > center_threshold:
+                    j += 1
+                    continue
+                vox_a = self._voxels(a.points)
+                vox_b = np.floor(b.points / self.merge_voxel).astype(np.int64)
+                inside = np.fromiter(
+                    (tuple(v) in vox_a for v in vox_b), bool, len(vox_b))
+                score = float(inside.sum()) / (len(b.points) + 1e-6)
+                if score >= self.merge_overlap:
+                    big, small = (a, b) if len(a.points) >= len(b.points) \
+                        else (b, a)
+                    big.points = np.concatenate([big.points, small.points])
+                    big.confidence = max(a.confidence, b.confidence)
+                    big.visited = a.visited or b.visited
+                    self.entities[i] = big
+                    del self.entities[j]
+                    merged += 1
+                else:
+                    j += 1
+            i += 1
+        return merged
+
     def get_object_3d_bbox_corners(self, indices: List[int]
                                    ) -> List[np.ndarray]:
         """Per-entity [8, 3] world-frame bbox corners
