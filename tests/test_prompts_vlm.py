@@ -135,3 +135,62 @@ class TestClassifyRobustness:
         client = VLMClient(transport)
         out = client.plan_json([], ["Reason"], use_response_format=True)
         assert out["Reason"] == "r"
+
+
+class TestAssembleMessages:
+    """History-threaded chat assembly (PromptMixin.assemble_messages,
+    prompts.py:232-283)."""
+
+    def test_history_turn_pairs(self):
+        import numpy as np
+
+        from wiw_tpu.agents.vlm import assemble_messages
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        msgs = assemble_messages(
+            "TASK", [[img], [img], [img, "note"]], ["go", "turn"],
+            enable_history=True, enable_system_prompt=True,
+        )
+        # 1 task msg + 2x(user, assistant) + 1 current user
+        assert len(msgs) == 6
+        assert msgs[0]["content"][0]["text"] == "TASK"
+        assert msgs[2] == {"role": "assistant", "content": "go"}
+        assert msgs[4]["content"] == "turn"
+        assert msgs[5]["role"] == "user"
+        texts = [c["text"] for c in msgs[5]["content"]
+                 if c.get("type") == "text"]
+        assert texts == ["note"]
+
+    def test_task_prompt_prefixed_without_system(self):
+        from wiw_tpu.agents.vlm import assemble_messages
+
+        msgs = assemble_messages("TASK", [["obs"]], [],
+                                 enable_history=False,
+                                 enable_system_prompt=False)
+        assert len(msgs) == 1
+        assert msgs[0]["content"][0]["text"] == "TASK"
+        assert msgs[0]["content"][1]["text"] == "obs"
+
+    def test_imagined_rollouts_with_plans(self):
+        import numpy as np
+
+        from wiw_tpu.agents.vlm import assemble_messages
+
+        img = np.zeros((8, 8, 3), np.uint8)
+        msgs = assemble_messages(
+            "T", [["cur"]], [], aux_prompt="AUX",
+            imagine_traj=[img, img],
+            imagine_action_traj=["plan A", "plan B"],
+        )
+        assert msgs[1]["content"][0]["text"] == "AUX"
+        assert msgs[2]["content"][0]["text"] == "plan A"
+        assert msgs[3]["content"][0]["text"] == "plan B"
+        assert msgs[2]["content"][1]["type"] == "image_url"
+
+    def test_length_mismatch_raises(self):
+        import pytest
+
+        from wiw_tpu.agents.vlm import assemble_messages
+
+        with pytest.raises(ValueError):
+            assemble_messages("T", [["a"]], ["x"])

@@ -333,23 +333,42 @@ class AEQASolver(Solver):
             return hl_actions, not hl_actions
         from wiw_tpu.agents.prompts import render_prompt, sequence_format_note
         from wiw_tpu.agents.surround import annotated_surround_views
-        from wiw_tpu.agents.vlm import build_messages
+        from wiw_tpu.agents.vlm import assemble_messages
 
         keep = {k: high_plan.get(k)
                 for k in ("Action Plan", "Chosen Landmark") if k in high_plan}
         space = list(ACTION_TEXT.values())  # includes 'stop'
         view = annotated_surround_views(self.sim.get_pano(), size=256)[0]
-        msgs = build_messages(
+        # history-threaded chat: past (view, emitted seq) turn pairs under
+        # the same plan precede the current view (fetch_action_decision_vlm
+        # enable_history path, solver_AEQA.py:753-800)
+        def _unwrap(v):
+            # State.add_to_recent_state normalizes values to 1-lists
+            return v[0] if isinstance(v, list) and len(v) == 1 else v
+
+        obs_hist = [_unwrap(o) for o in
+                    (st.get_from_history("low_level_obs") if st.rows else [])]
+        act_hist = [_unwrap(a) for a in
+                    (st.get_from_history("low_level_plan") if st.rows else [])]
+        n = min(len(obs_hist), len(act_hist))
+        msgs = assemble_messages(
             render_prompt(
                 "task/aeqa_planner", high_level_plan=keep,
                 obs_key="perspective RGB views",
                 look_ahead_action_num=self.cfg.look_ahead_action_num,
             ),
-            [view, sequence_format_note(self.cfg.look_ahead_action_num, 1)],
+            [[o] for o in obs_hist[:n]]
+            + [[view, sequence_format_note(self.cfg.look_ahead_action_num,
+                                           1)]],
+            act_hist[:n],
+            enable_history=True, enable_system_prompt=True,
         )
         seq = self.vlm.sample_action_seqs(
             msgs, space, self.cfg.look_ahead_action_num, 1
         )[0]
+        if st.rows:
+            st.add_to_recent_state(view, "low_level_obs")
+            st.add_to_recent_state(str(seq), "low_level_plan")
         if seq and text_to_action_name(seq[0]) == "stop":
             return [], True
         # a mid-sequence stop truncates the executed prefix
@@ -452,6 +471,10 @@ class AEQASolver(Solver):
                 first_answer = ans
                 continue
             first_answer = None
+            # a fresh high-level plan resets the low-level chat history
+            # (init_history=True, solver_AEQA.py:714-721)
+            st.clear_key("low_level_obs")
+            st.clear_key("low_level_plan")
             # landmark navigation beats the raw action plan when the
             # planner chose one (method 1, solver_AEQA.py:683-710)
             lm = self.resolve_landmark(plan)

@@ -103,6 +103,13 @@ class State:
         for r in self.rows[:-1]:
             r.pop(key, None)
 
+    def clear_key(self, key: str) -> None:
+        """Drop a key from EVERY row (the reference's full-column clear,
+        state_traj.py:173-181 — used when a new high-level plan resets the
+        low-level history, solver_AEQA.py:714-716)."""
+        for r in self.rows:
+            r.pop(key, None)
+
     def get_all_recorded_keys(self) -> List[str]:
         return list(self.columns)
 

@@ -121,6 +121,71 @@ def build_messages(system: str, user_parts: Sequence) -> List[dict]:
     return msgs
 
 
+def _user_message(text: str, parts: Sequence) -> dict:
+    content = []
+    if text:
+        content.append({"type": "text", "text": text})
+    for part in parts or []:
+        if isinstance(part, str):
+            content.append({"type": "text", "text": part})
+        elif isinstance(part, dict):
+            content.append(part)
+        elif getattr(part, "ndim", 3) == 4:
+            content.append(video_content(part))
+        else:
+            content.append(image_content(part))
+    return {"role": "user", "content": content}
+
+
+def assemble_messages(
+    task_prompt: str,
+    obs_traj: Sequence[Sequence],
+    action_traj: Sequence[str],
+    enable_history: bool = True,
+    imagine_traj: Sequence = (),
+    imagine_action_traj: Sequence = (),
+    aux_prompt: str = "",
+    enable_system_prompt: bool = False,
+) -> List[dict]:
+    """History-threaded multi-turn chat assembly (PromptMixin.
+    assemble_messages, prompts.py:232-283 behavior):
+
+    1. the task prompt leads — as its own message when
+       `enable_system_prompt`, else prefixed onto the first user turn
+    2. with history, each past step becomes a (user obs, assistant action)
+       turn pair
+    3. the CURRENT observation is the final user turn
+    4. imagined rollouts follow under `aux_prompt`, one user message per
+       imagined obs, labeled with its plan when `imagine_action_traj`
+       is given
+
+    obs_traj must be one longer than action_traj (the trailing entry is
+    the current observation); each obs entry is a list of parts (strings /
+    images / content dicts).
+    """
+    if len(obs_traj) != len(action_traj) + 1:
+        raise ValueError("obs_traj must be one longer than action_traj")
+    messages: List[dict] = []
+    if enable_system_prompt:
+        messages.append(_user_message(task_prompt, []))
+    if enable_history:
+        for obs, action in zip(obs_traj[:-1], action_traj):
+            head = "" if enable_system_prompt else task_prompt
+            messages.append(_user_message(head, obs))
+            messages.append({"role": "assistant", "content": str(action)})
+    current_head = "" if enable_system_prompt else task_prompt
+    messages.append(_user_message(current_head, obs_traj[-1]))
+    if len(imagine_traj):
+        messages.append(_user_message(aux_prompt, []))
+        if len(imagine_action_traj):
+            for plan, obs in zip(imagine_action_traj, imagine_traj):
+                messages.append(_user_message(str(plan), [obs]))
+        else:
+            for obs in imagine_traj:
+                messages.append(_user_message("", [obs]))
+    return messages
+
+
 # -- context accounting (vlm.py:418-446 pruning is length-aware) ------------
 
 def count_message_tokens(messages: List[dict]) -> int:
