@@ -231,3 +231,101 @@ class TestDemoGenerator:
         with open(os.path.join(d, "variation_descriptions.pkl"), "rb") as f:
             desc = pickle.load(f)
         assert "push buttons" in desc[0]
+
+
+class TestActionCodec:
+    """Discrete voxel/euler action codec (eb_man_utils.py:87-160)."""
+
+    def test_voxel_roundtrip(self):
+        import numpy as np
+
+        from wiw_tpu.manip.action_codec import (
+            SCENE_BOUNDS,
+            point_to_voxel_index,
+            voxel_index_to_point,
+        )
+
+        rng = np.random.default_rng(0)
+        lo, hi = SCENE_BOUNDS[:3], SCENE_BOUNDS[3:]
+        pts = rng.uniform(lo, hi, (50, 3))
+        idx = point_to_voxel_index(pts)
+        assert idx.min() >= 0 and idx.max() <= 99
+        centers = voxel_index_to_point(idx)
+        res = (hi - lo) / 100
+        assert np.all(np.abs(centers - pts) <= res / 2 + 1e-9)
+        # out-of-bounds points clamp
+        assert point_to_voxel_index(hi + 1.0).max() == 99
+        assert point_to_voxel_index(lo - 1.0).min() == 0
+
+    def test_euler_roundtrip(self):
+        import numpy as np
+
+        from wiw_tpu.manip.action_codec import (
+            discrete_euler_to_quaternion,
+            quaternion_to_discrete_euler,
+        )
+
+        bins = np.array([10, 45, 100])
+        quat = discrete_euler_to_quaternion(bins)
+        back = quaternion_to_discrete_euler(quat)
+        np.testing.assert_array_equal(back, bins)
+
+    def test_continuous_from_discrete_forms(self):
+        import numpy as np
+
+        from wiw_tpu.manip.action_codec import continuous_from_discrete
+
+        full = continuous_from_discrete([50, 50, 50, 60, 60, 60, 1])
+        assert full.shape == (8,) and full[-1] == 1
+        # bin 60 = 0 degrees -> identity-ish quaternion
+        assert abs(abs(full[6]) - 1.0) < 1e-6
+        pos_only = continuous_from_discrete([0, 0, 0, 0])
+        assert pos_only.shape == (4,)
+        passthrough = continuous_from_discrete(list(range(8)))
+        np.testing.assert_allclose(passthrough, np.arange(8))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            continuous_from_discrete([1, 2, 3, 4, 5])
+        with _pytest.raises(ValueError):
+            continuous_from_discrete([0.5, 2, 3, 1])
+
+    def test_discrete_from_continuous_roundtrip(self):
+        import numpy as np
+
+        from wiw_tpu.manip.action_codec import (
+            continuous_from_discrete,
+            discrete_from_continuous,
+        )
+
+        # pitch bin 90 would be +90 deg = gimbal lock (euler not unique);
+        # use a non-degenerate rotation
+        disc = [30, 70, 20, 15, 40, 110, 1]
+        pose = continuous_from_discrete(disc)
+        back = discrete_from_continuous(pose)
+        assert back == disc
+
+    def test_planner_accepts_discrete_plans(self):
+        import numpy as np
+
+        from wiw_tpu.manip.planner import VLMKeyposePlanner
+
+        class _VLM:
+            def plan_json(self, messages, required):
+                return {"plans": [
+                    [[50, 50, 50, 60, 60, 60, 1],
+                     [55, 50, 40, 60, 60, 60, 0]],
+                ]}
+
+        planner = VLMKeyposePlanner(vlm=_VLM(), num_candidates=1,
+                                    discrete=True)
+        plans = planner.propose(np.zeros((8, 8, 3), np.uint8), "pick", 
+                                [0, 0, 1, 0, 0, 0, 1, 1])
+        assert len(plans) == 1 and len(plans[0]) == 2
+        assert all(len(kp) == 8 for kp in plans[0])
+        # decoded positions land at voxel centers inside the workspace
+        from wiw_tpu.manip.action_codec import SCENE_BOUNDS
+
+        xyz = np.asarray(plans[0][0][:3])
+        assert np.all(xyz >= SCENE_BOUNDS[:3]) and np.all(
+            xyz <= SCENE_BOUNDS[3:])

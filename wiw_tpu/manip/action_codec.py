@@ -1,0 +1,111 @@
+"""Discrete <-> continuous end-effector action codec for manipulation.
+
+Behavioral parity (no code copied) with
+downstream/world-in-world-manip/wiw_manip/envs/eb_man_utils.py:13-160: the
+VLM planner emits DISCRETE actions — translation as indices into a
+VOXEL_SIZE^3 grid over SCENE_BOUNDS, rotation as euler-angle bins of
+ROTATION_RESOLUTION degrees, plus a gripper open/close bit — which convert
+to continuous (xyz, quaternion, grip) gripper poses for execution. The
+constants are the EB-Manipulation benchmark's standard workspace values
+(identical values are required for output parity with the reference's
+planners and demos).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+# workspace bounds [x0, y0, z0, x1, y1, z1] meters (eb_man_utils.py:13-15)
+SCENE_BOUNDS = np.array([-0.3, -0.5, 0.6, 0.7, 0.5, 1.6])
+ROTATION_RESOLUTION = 3  # degrees per euler bin
+VOXEL_SIZE = 100         # cells per axis
+
+
+def point_to_voxel_index(point: np.ndarray) -> np.ndarray:
+    """Continuous xyz (meters, [..., 3]) -> integer voxel indices in
+    [0, VOXEL_SIZE-1] (eb_man_utils.py:87-98)."""
+    point = np.asarray(point, np.float64)
+    lo, hi = SCENE_BOUNDS[:3], SCENE_BOUNDS[3:]
+    res = (hi - lo) / (VOXEL_SIZE + 1e-12)
+    idx = np.floor((point - lo) / (res + 1e-12)).astype(np.int32)
+    return np.minimum(np.maximum(idx, 0), VOXEL_SIZE - 1)
+
+
+def voxel_index_to_point(idx: np.ndarray) -> np.ndarray:
+    """Voxel indices -> cell-CENTER xyz (the reference's
+    attention_coordinate = lo + res*idx + res/2, :127-133)."""
+    idx = np.asarray(idx, np.float64)
+    lo, hi = SCENE_BOUNDS[:3], SCENE_BOUNDS[3:]
+    res = (hi - lo) / VOXEL_SIZE
+    return lo + res * idx + res / 2
+
+
+def discrete_euler_to_quaternion(discrete_euler: Sequence[int]) -> np.ndarray:
+    """Euler bins -> quaternion (xyzw): angle = bin*RESOLUTION - 180
+    (eb_man_utils.py:100-103)."""
+    from scipy.spatial.transform import Rotation
+
+    euler = np.asarray(discrete_euler, np.float64) * ROTATION_RESOLUTION - 180
+    return Rotation.from_euler("xyz", euler, degrees=True).as_quat()
+
+
+def quaternion_to_discrete_euler(quat: Sequence[float]) -> np.ndarray:
+    """Inverse codec: quaternion (xyzw) -> euler bins in
+    [0, 360/RESOLUTION)."""
+    from scipy.spatial.transform import Rotation
+
+    euler = Rotation.from_quat(np.asarray(quat, np.float64)).as_euler(
+        "xyz", degrees=True)
+    bins = np.round((euler + 180.0) / ROTATION_RESOLUTION).astype(np.int32)
+    return bins % int(360 / ROTATION_RESOLUTION)  # wrap the 360-deg bin to 0
+
+
+def continuous_from_discrete(discrete_action: Sequence[int]) -> np.ndarray:
+    """Discrete action -> continuous gripper pose
+    (get_continous_action_from_discrete, eb_man_utils.py:108-160):
+      * 7 ints [x, y, z, r, p, y, grip] -> [xyz, qx, qy, qz, qw, grip]
+      * 4 ints [x, y, z, grip]          -> [xyz, grip]
+      * 8 values pass through (debug form)
+    """
+    a = list(discrete_action)
+    if len(a) == 8:
+        return np.asarray(a, np.float64)
+    if not all(float(x) == int(x) for x in a):
+        raise ValueError(f"discrete action must be integers: {a}")
+    xyz = voxel_index_to_point(np.asarray(a[:3], np.int64))
+    grip = float(a[-1])
+    if len(a) == 7:
+        quat = discrete_euler_to_quaternion(a[3:6])
+        return np.concatenate([xyz, quat, [grip]])
+    if len(a) == 4:
+        return np.concatenate([xyz, [grip]])
+    raise ValueError(f"Wrong length of discrete action: {len(a)}")
+
+
+def continuous_from_discrete_batch(actions: Sequence[Sequence[int]]
+                                   ) -> List[np.ndarray]:
+    return [continuous_from_discrete(a) for a in actions]
+
+
+def discrete_from_continuous(pose: Sequence[float]) -> List[int]:
+    """Continuous [xyz, qxyzw, grip] -> 7-int discrete action (the demo /
+    GT side of the codec)."""
+    pose = np.asarray(pose, np.float64)
+    idx = point_to_voxel_index(pose[:3])
+    bins = quaternion_to_discrete_euler(pose[3:7])
+    return [*map(int, idx), *map(int, bins), int(round(pose[7]))]
+
+
+def is_discrete_plan(plan: Sequence[Sequence[float]]) -> bool:
+    """A keypose plan is discrete when every keypose is a 4/7-length
+    all-integer vector (the reference planners emit exactly this form)."""
+    if not plan:
+        return False
+    for kp in plan:
+        if len(kp) not in (4, 7):
+            return False
+        if not all(float(x) == int(x) for x in kp):
+            return False
+    return True

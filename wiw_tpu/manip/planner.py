@@ -123,10 +123,36 @@ class VLMKeyposePlanner:
     """Propose candidate keypose plans via the VLM (vlm_planner.py parity);
     falls back to jittered straight-line plans without a VLM."""
 
-    def __init__(self, vlm=None, num_candidates: int = 3, seed: int = 0):
+    def __init__(self, vlm=None, num_candidates: int = 3, seed: int = 0,
+                 discrete: bool = False):
         self.vlm = vlm
         self.num_candidates = num_candidates
         self.rng = np.random.default_rng(seed)
+        # discrete prompting: the reference's planners ask for voxel-grid
+        # + euler-bin actions (vlm_planner.py:164-178 formats the system
+        # prompt with VOXEL_SIZE / 360/ROTATION_RESOLUTION)
+        self.discrete = discrete
+
+    @staticmethod
+    def _normalize_plan(plan) -> List[List[float]]:
+        """Accept either continuous 8-float keyposes or the reference's
+        discrete 4/7-int actions; discrete plans decode through the
+        voxel/euler codec (eb_man_utils.py:108-160)."""
+        from wiw_tpu.manip.action_codec import (
+            continuous_from_discrete_batch,
+            is_discrete_plan,
+        )
+
+        if is_discrete_plan(plan):
+            out = []
+            for p in continuous_from_discrete_batch(plan):
+                if len(p) == 4:
+                    # position-only discrete form: keep the identity
+                    # orientation so the 8-float keypose contract holds
+                    p = np.concatenate([p[:3], [0, 0, 0, 1], p[3:]])
+                out.append(p.tolist())
+            return out
+        return [list(map(float, kp)) for kp in plan]
 
     def propose(self, obs_image: np.ndarray, instruction: str,
                 init_pose: Sequence[float],
@@ -134,20 +160,37 @@ class VLMKeyposePlanner:
                 ) -> List[List[List[float]]]:
         if self.vlm is not None:
             from wiw_tpu.agents.vlm import build_messages
+            from wiw_tpu.manip.action_codec import (
+                ROTATION_RESOLUTION,
+                VOXEL_SIZE,
+            )
 
+            if self.discrete:
+                ask = (
+                    'Return JSON {"plans": [<keypose plan>, ...]} with '
+                    f"{self.num_candidates} candidate plans; each plan is a "
+                    "list of DISCRETE actions [x, y, z, roll, pitch, yaw, "
+                    f"grip]: x/y/z are voxel indices in [0, {VOXEL_SIZE}) "
+                    "over the workspace, roll/pitch/yaw are euler bins in "
+                    f"[0, {int(360 / ROTATION_RESOLUTION)}) of "
+                    f"{ROTATION_RESOLUTION} degrees each, grip is 1 (open) "
+                    "or 0 (closed)."
+                )
+            else:
+                ask = ('Return JSON {"plans": [<keypose plan>, ...]} with '
+                       f"{self.num_candidates} candidate keypose plans; "
+                       "each plan is a list of [x,y,z,qx,qy,qz,qw,grip] "
+                       "keyposes.")
             js = self.vlm.plan_json(
                 build_messages(
                     MP.MANIP_SYSTEM_PROMPT,
-                    [f"Instruction: {instruction}",
-                     obs_image,
-                     'Return JSON {"plans": [<keypose plan>, ...]} with '
-                     f"{self.num_candidates} candidate keypose plans; each "
-                     "plan is a list of [x,y,z,qx,qy,qz,qw,grip] keyposes."],
+                    [f"Instruction: {instruction}", obs_image, ask],
                 ),
                 ["plans"],
             )
             if js and js.get("plans"):
-                return js["plans"][: self.num_candidates]
+                return [self._normalize_plan(p)
+                        for p in js["plans"][: self.num_candidates]]
         # fallback: move toward target_hint (or forward) with jitter
         init = np.asarray(init_pose, np.float32)
         target = (np.asarray(target_hint, np.float32) if target_hint is not None
