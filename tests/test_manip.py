@@ -329,3 +329,61 @@ class TestActionCodec:
         xyz = np.asarray(plans[0][0][:3])
         assert np.all(xyz >= SCENE_BOUNDS[:3]) and np.all(
             xyz <= SCENE_BOUNDS[3:])
+
+
+class TestManipVisualPrompting:
+    """World-frame overlays for VLM grounding (eb_man_utils.py:162-616)."""
+
+    def _camera(self):
+        import numpy as np
+
+        # camera 1.5m above origin looking straight down (+z world up,
+        # camera +z forward = -z world)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], float)
+        T[:3, 3] = [0, 0, 1.5]
+        K = np.array([[200.0, 0, 64], [0, 200.0, 64], [0, 0, 1]])
+        return T, K
+
+    def test_projection_center(self):
+        import numpy as np
+
+        from wiw_tpu.manip.visualize import project_world_points_to_image
+
+        T, K = self._camera()
+        px = project_world_points_to_image([[0, 0, 0]], T, K)
+        np.testing.assert_allclose(px[0], [64, 64], atol=1e-6)
+        # a point offset +x in world moves right in the image
+        px2 = project_world_points_to_image([[0.3, 0, 0]], T, K)
+        assert px2[0, 0] > 64
+
+    def test_axes_overlay_changes_image(self):
+        import numpy as np
+
+        from wiw_tpu.manip.visualize import draw_world_axes
+
+        T, K = self._camera()
+        img = np.zeros((128, 128, 3), np.uint8)
+        out = draw_world_axes(img, T, K, origin=(0, 0, 0.0),
+                              axis_length=0.3)
+        assert out.shape == img.shape and out.sum() > 0
+
+    def test_boxes_near_points(self):
+        import numpy as np
+
+        from wiw_tpu.manip.visualize import (
+            annotate_boxes_near_points,
+            draw_points_on_image,
+            increase_bbox,
+        )
+
+        img = np.zeros((128, 128, 3), np.uint8)
+        pts = [[40, 40], [100, 100]]
+        boxes = [[35, 35, 45, 45], [10, 10, 14, 14]]
+        out = annotate_boxes_near_points(img, pts, boxes, max_dist_px=15)
+        assert out.sum() > 0
+        # far point matched no box; grown box stays centered
+        grown = increase_bbox([10, 10, 20, 20], 2.0)
+        assert grown == [5, 5, 25, 25]
+        dotted = draw_points_on_image(img, pts, labels=["a", "b"])
+        assert dotted.sum() > 0

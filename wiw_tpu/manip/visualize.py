@@ -115,6 +115,109 @@ def save_trajectory_json(save_dir: str, plan, trajectory,
     return path
 
 
+def project_world_points_to_image(world_points, cam_to_world,
+                                  intrinsics) -> np.ndarray:
+    """World xyz [N, 3] -> pixel (u, v) [N, 2] through a pinhole camera
+    (project_world_points_to_image, eb_man_utils.py:355-364: points go
+    through inv(extrinsics) then the intrinsic matrix; OpenCV convention,
+    +z forward)."""
+    pts = np.asarray(world_points, np.float64).reshape(-1, 3)
+    T = np.linalg.inv(np.asarray(cam_to_world, np.float64))
+    cam = pts @ T[:3, :3].T + T[:3, 3]
+    K = np.asarray(intrinsics, np.float64)
+    z = np.where(np.abs(cam[:, 2]) < 1e-9, 1e-9, cam[:, 2])
+    u = K[0, 0] * cam[:, 0] / z + K[0, 2]
+    v = K[1, 1] * cam[:, 1] / z + K[1, 2]
+    return np.stack([u, v], axis=-1)
+
+
+def increase_bbox(box, scale_factor: float = 1.2):
+    """Scale an (x0, y0, x1, y1) box about its center
+    (eb_man_utils.py:325-353 role)."""
+    x0, y0, x1, y1 = (float(v) for v in box)
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    hw, hh = (x1 - x0) / 2 * scale_factor, (y1 - y0) / 2 * scale_factor
+    return [cx - hw, cy - hh, cx + hw, cy + hh]
+
+
+def draw_world_axes(img: np.ndarray, cam_to_world, intrinsics,
+                    origin=(0.0, 0.0, 0.752), axis_length: float = 0.2
+                    ) -> np.ndarray:
+    """Overlay the workspace coordinate frame on a manip observation so
+    the VLM can ground voxel-grid actions (draw_xyz_coordinate,
+    eb_man_utils.py:162-323 role — the reference hardcodes per-resolution
+    pixel anchors; we project the REAL axes through the camera). x red,
+    y green, z blue, plus an '(0, 0)' origin marker."""
+    from PIL import Image, ImageDraw
+
+    o = np.asarray(origin, np.float64)
+    ends = {
+        "x": o + [axis_length, 0, 0],
+        "y": o + [0, axis_length, 0],
+        "z": o + [0, 0, axis_length],
+    }
+    colors = {"x": (255, 0, 0), "y": (0, 200, 0), "z": (0, 80, 255)}
+    pts = project_world_points_to_image(
+        np.stack([o] + list(ends.values())), cam_to_world, intrinsics)
+    pil = Image.fromarray(np.asarray(img, np.uint8))
+    draw = ImageDraw.Draw(pil)
+    ou, ov = pts[0]
+    draw.ellipse([ou - 3, ov - 3, ou + 3, ov + 3], fill=(255, 0, 0))
+    draw.text((ou, ov + 10), "(0, 0)", fill=(255, 0, 0), anchor="mm")
+    for (name, _), (u, v) in zip(ends.items(), pts[1:]):
+        draw.line([(ou, ov), (u, v)], fill=colors[name], width=2)
+        draw.text((u, v - 8), name, fill=colors[name], anchor="mm")
+    return np.asarray(pil)
+
+
+def draw_points_on_image(img: np.ndarray, pixel_points,
+                         labels=None) -> np.ndarray:
+    """Numbered markers at projected object points
+    (draw_points_on_image, eb_man_utils.py:529-616 role)."""
+    from PIL import Image, ImageDraw
+
+    pil = Image.fromarray(np.asarray(img, np.uint8))
+    draw = ImageDraw.Draw(pil)
+    labels = (list(labels) if labels is not None
+              else [str(i + 1) for i in range(len(pixel_points))])
+    for (u, v), label in zip(np.asarray(pixel_points).reshape(-1, 2),
+                             labels):
+        draw.ellipse([u - 4, v - 4, u + 4, v + 4], outline=(255, 0, 0),
+                     width=2)
+        draw.text((u + 8, v - 8), str(label), fill=(255, 0, 0))
+    return np.asarray(pil)
+
+
+def annotate_boxes_near_points(img: np.ndarray, pixel_points, boxes,
+                               max_dist_px: float = 20.0,
+                               scale_factor: float = 1.2) -> np.ndarray:
+    """Match each projected object point to its nearest detector box
+    (center distance <= max_dist_px), enlarge it, and draw it numbered
+    (annotate_image_with_boxes, eb_man_utils.py:365-425 behavior).
+    `boxes` is [[x0, y0, x1, y1], ...] from any detector."""
+    from PIL import Image, ImageDraw
+
+    pil = Image.fromarray(np.asarray(img, np.uint8))
+    draw = ImageDraw.Draw(pil)
+    boxes = [list(map(float, b)) for b in boxes]
+    box_id = 0
+    for u, v in np.asarray(pixel_points).reshape(-1, 2):
+        best, best_d = None, float("inf")
+        for b in boxes:
+            cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+            d = (cx - u) ** 2 + (cy - v) ** 2
+            if d < best_d:
+                best_d, best = d, b
+        if best is None or best_d > max_dist_px**2:
+            continue
+        grown = increase_bbox(best, scale_factor)
+        draw.rectangle(grown, outline=(255, 0, 0), width=1)
+        draw.text((grown[0] + 12, max(0, grown[1] - 10)),
+                  str(box_id + 1), fill=(255, 0, 0))
+        box_id += 1
+    return np.asarray(pil)
+
+
 def average_json_values(json_dir: str, target_file: str = "*.json",
                         output_file: Optional[str] = "summary_all.json",
                         selected_key: Optional[List[str]] = None) -> dict:
