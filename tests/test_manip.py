@@ -387,3 +387,53 @@ class TestManipVisualPrompting:
         assert grown == [5, 5, 25, 25]
         dotted = draw_points_on_image(img, pts, labels=["a", "b"])
         assert dotted.sum() > 0
+
+
+class TestAggregateRuns:
+    """Cross-run summary merging (aggregate_results.py:29-159)."""
+
+    def _write_run(self, root, name, sr, n, steps, missing=()):
+        import json
+
+        d = root / name
+        d.mkdir(parents=True)
+        with open(d / "summary.json", "w") as f:
+            json.dump({
+                "total_num_tasks": n, "num_success": int(sr * n),
+                "success_rate": sr, "avg_planner_steps": steps,
+                "output_format_error": 1,
+                "details": {f"{name}_ep{i}": {"ok": True} for i in range(n)},
+                "missing_ep_paths": list(missing),
+            }, f)
+
+    def test_merge_and_stats(self, tmp_path, capsys):
+        import os.path as osp
+
+        from wiw_tpu.manip.evaluator import (
+            aggregate_runs,
+            print_run_report,
+        )
+
+        self._write_run(tmp_path, "runA", 0.5, 4, 6.0, ["m1", "m2"])
+        self._write_run(tmp_path, "runB", 1.0, 2, 3.0, ["m2"])
+        overall = aggregate_runs(str(tmp_path))
+        s = overall["summary"]
+        assert s["total_num_tasks"] == 6 and s["num_success"] == 4
+        assert abs(s["success_rate"] - 4 / 6) < 1e-9
+        # steps weighted by task counts: (6*4 + 3*2)/6 = 5.0
+        assert abs(s["avg_planner_steps"] - 5.0) < 1e-9
+        assert s["output_format_error"] == 2
+        assert overall["missing_ep_paths"] == ["m1", "m2"]  # dedup + sort
+        assert len(overall["details"]) == 6
+        assert osp.exists(tmp_path / "summary_overall.json")
+        print_run_report(overall)
+        out = capsys.readouterr().out
+        assert "Success rate" in out and "m1" in out
+
+    def test_no_summaries_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from wiw_tpu.manip.evaluator import aggregate_runs
+
+        with _pytest.raises(FileNotFoundError):
+            aggregate_runs(str(tmp_path))

@@ -168,8 +168,9 @@ class ManipEvaluator:
 
 
 def aggregate_results(out_dir: str) -> Dict:
-    """Walk result jsons -> per-task + overall success rates."""
-    per_task: Dict[str, List[bool]] = {}
+    """Walk result jsons -> per-task + overall success rates, mean step
+    counts, and format-error totals."""
+    per_task: Dict[str, List[dict]] = {}
     for root, _dirs, files in os.walk(out_dir):
         for f in files:
             if f.endswith(".json"):
@@ -179,14 +180,119 @@ def aggregate_results(out_dir: str) -> Dict:
                 except (json.JSONDecodeError, OSError):
                     continue
                 if isinstance(r, dict) and "success" in r and "task" in r:
-                    per_task.setdefault(r["task"], []).append(bool(r["success"]))
-    summary = {
-        task: {"success_rate": float(np.mean(v)), "episodes": len(v)}
-        for task, v in per_task.items()
-    }
-    allv = [s for v in per_task.values() for s in v]
+                    per_task.setdefault(r["task"], []).append(r)
+    summary = {}
+    for task, rs in per_task.items():
+        summary[task] = {
+            "success_rate": float(np.mean([bool(r["success"]) for r in rs])),
+            "episodes": len(rs),
+            "avg_planner_steps": float(np.mean(
+                [r.get("num_steps", 0) for r in rs])),
+        }
+    allr = [r for rs in per_task.values() for r in rs]
     summary["overall"] = {
-        "success_rate": float(np.mean(allv)) if allv else 0.0,
-        "episodes": len(allv),
+        "success_rate": float(np.mean([bool(r["success"]) for r in allr]))
+        if allr else 0.0,
+        "episodes": len(allr),
+        "avg_planner_steps": float(np.mean(
+            [r.get("num_steps", 0) for r in allr])) if allr else 0.0,
+        "output_format_error": int(sum(
+            r.get("output_format_error", 0) for r in allr)),
     }
     return summary
+
+
+def aggregate_runs(result_path: str,
+                   output_file: str = "summary_overall.json") -> Dict:
+    """Merge every (possibly nested) summary.json under `result_path` into
+    one overall report (aggregate_results.py:29-159 behavior): episode
+    details merge (later runs overwrite duplicate ids), missing-episode
+    paths concatenate + de-duplicate, totals weight per-run means by task
+    counts, and per-run mean/median statistics are kept. Writes
+    `summary_overall.json` and returns the merged object."""
+    import glob
+    import statistics
+
+    files = sorted(glob.glob(osp.join(result_path, "**", "summary.json"),
+                             recursive=True))
+    if not files:
+        raise FileNotFoundError(f"No summary.json found under: {result_path}")
+    summaries = []
+    for path in files:
+        with open(path, encoding="utf-8") as fh:
+            summaries.append(json.load(fh))
+
+    merged_details: Dict = {}
+    merged_missing: List[str] = []
+    for run in summaries:
+        merged_missing.extend(run.get("missing_ep_paths", []))
+        merged_details.update(run.get("details", {}))
+    merged_missing = sorted(set(merged_missing))
+
+    total_tasks = sum(r.get("total_num_tasks", 0) for r in summaries)
+    total_success = sum(r.get("num_success", 0) for r in summaries)
+    total_steps = sum(r.get("avg_planner_steps", 0.0)
+                      * r.get("total_num_tasks", 0) for r in summaries)
+    per_run_sr = [r.get("success_rate", 0.0) for r in summaries]
+    per_run_eps = [r.get("avg_planner_steps", 0.0) for r in summaries]
+    summary = {
+        "num_runs": len(summaries),
+        "total_num_tasks": total_tasks,
+        "num_success": total_success,
+        "success_rate": total_success / total_tasks if total_tasks
+        else float("nan"),
+        "avg_planner_steps": total_steps / total_tasks if total_tasks
+        else float("nan"),
+        "output_format_error": sum(
+            r.get("output_format_error", 0) for r in summaries),
+        "mean_success_rate_per_run": statistics.mean(per_run_sr),
+        "median_success_rate_per_run": statistics.median(per_run_sr),
+        "mean_avg_planner_steps_per_run": statistics.mean(per_run_eps),
+        "missing_ep_count": len(merged_missing),
+    }
+    overall = {"details": merged_details, "summary": summary,
+               "missing_ep_paths": merged_missing}
+    with open(osp.join(result_path, output_file), "w", encoding="utf-8") as f:
+        json.dump(overall, f, indent=2, ensure_ascii=False)
+    return overall
+
+
+def print_run_report(overall: Dict) -> None:
+    """Tidy tabulated report of an aggregate_runs result
+    (aggregate_results.py:97-126)."""
+    s = overall["summary"]
+    rows = [
+        ("Total tasks", s["total_num_tasks"]),
+        ("Total successes", s["num_success"]),
+        ("Success rate", f"{s['success_rate']:.3%}"),
+        ("Avg planner steps", f"{s['avg_planner_steps']:.3f}"),
+        ("Output-format errors", s["output_format_error"]),
+        ("Missing episodes (count)", s["missing_ep_count"]),
+    ]
+    try:
+        from tabulate import tabulate
+
+        print(tabulate(rows, headers=["Metric", "Value"],
+                       tablefmt="github"))
+    except ImportError:  # pragma: no cover
+        for k, v in rows:
+            print(f"{k}: {v}")
+    if overall["missing_ep_paths"]:
+        print(f"\nMissing episode paths "
+              f"({len(overall['missing_ep_paths'])}):")
+        for path in overall["missing_ep_paths"]:
+            print(path)
+
+
+def aggregate_runs_main(argv=None) -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Merge nested summary.json files into "
+                    "summary_overall.json")
+    ap.add_argument("result_path")
+    args = ap.parse_args(argv)
+    overall = aggregate_runs(args.result_path)
+    print_run_report(overall)
+    print(f"\nSaved merged results -> "
+          f"{osp.join(args.result_path, 'summary_overall.json')}\n")
