@@ -437,3 +437,36 @@ class TestAggregateRuns:
 
         with _pytest.raises(FileNotFoundError):
             aggregate_runs(str(tmp_path))
+
+
+class TestTaskHandlers:
+    """Per-task sim-object -> human name vocabulary
+    (eb_man_utils.py:618-790 benchmark definitions)."""
+
+    def test_benchmark_tables(self):
+        from wiw_tpu.manip.task_handlers import (
+            TASK_HANDLERS,
+            real_name,
+            rename_objects,
+        )
+
+        assert real_name("push_buttons",
+                         "push_buttons_target0") == "first button"
+        assert real_name("stack_cups", "cup2") == "second cup"
+        assert real_name("slide_block_to_color_target",
+                         "target3") == "third plane"
+        assert real_name("insert_onto_square_peg",
+                         "pillar1") == "second square peg"
+        assert real_name("pick", "moon_normal_visual1") == "second moon"
+        assert real_name("stack", "cube_basic3") == "fourth cube"
+        assert real_name("place", "shape_sorter_visual") == "shape sorter"
+        assert real_name("wipe", "round0") == "second round area"
+        # unknown handles pass through (or take the default)
+        assert real_name("push_buttons", "mystery") == "mystery"
+        assert real_name("push_buttons", "mystery", default="?") == "?"
+        assert rename_objects("stack_cups", ["cup1", "cup3"]) == [
+            "first cup", "third cup"]
+        # all four benchmark tasks present (envs/eb_man_utils.py:20-30)
+        for t in ("slide_block_to_color_target", "insert_onto_square_peg",
+                  "push_buttons", "stack_cups"):
+            assert t in TASK_HANDLERS

@@ -1,0 +1,96 @@
+"""Per-task simulator-object -> human-readable name tables.
+
+Behavioral parity with
+downstream/world-in-world-manip/wiw_manip/envs/eb_man_utils.py:618-790:
+the VLM prompts refer to scene objects by ordinal human names ("first
+star", "second cube") while the simulator exposes internal handles
+("star_normal_visual0"). These dictionaries are EB-Manipulation benchmark
+definitions — the exact strings are required for prompt parity — so they
+are reproduced as data, not re-derived.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+_ORDINALS = ("first", "second", "third", "fourth", "fifth", "sixth")
+
+
+def _ordinal_map(prefix: str, noun: str, count: int,
+                 start: int = 0) -> Dict[str, str]:
+    return {f"{prefix}{i}": f"{_ORDINALS[i - start]} {noun}"
+            for i in range(start, start + count)}
+
+
+TASK_HANDLERS: Dict[str, Dict[str, str]] = {
+    "pick": {
+        **_ordinal_map("small_container", "container", 2),
+        **_ordinal_map("star_normal_visual", "star", 2),
+        **_ordinal_map("cylinder_normal", "cylinder", 2),
+        **_ordinal_map("triangular_normal", "triangular", 2),
+        **_ordinal_map("cube_basic", "cube", 2),
+        **_ordinal_map("moon_normal_visual", "moon", 2),
+    },
+    "stack": {
+        **_ordinal_map("star_normal_visual", "star", 4),
+        **_ordinal_map("cylinder_normal", "cylinder", 4),
+        **_ordinal_map("triangular_normal", "triangular", 4),
+        **_ordinal_map("cube_basic", "cube", 4),
+        **_ordinal_map("moon_normal_visual", "moon", 4),
+    },
+    "slide_block_to_color_target": {
+        **_ordinal_map("target", "plane", 4, start=1),
+        "block": "block",
+    },
+    "place_shape_in_shape_sorter": {
+        "shape_sorter": "shape sorter",
+        "star": "star", "moon": "moon",
+        "triangular_prism": "triangular",
+        "cube": "cube", "cylinder": "cylinder",
+        "star_visual": "star visual", "moon_visual": "moon visual",
+        "triangular_prism_visual": "triangular visual",
+        "cube_visual": "cube visual", "cylinder_visual": "cylinder visual",
+    },
+    "place": {
+        **_ordinal_map("star_normal_visual", "star", 4),
+        **_ordinal_map("cylinder_normal", "cylinder", 4),
+        **_ordinal_map("triangular_normal", "triangular", 4),
+        **_ordinal_map("cube_basic", "cube", 4),
+        **_ordinal_map("moon_normal_visual", "moon", 4),
+        "shape_sorter_visual": "shape sorter",
+    },
+    "wipe": {
+        "rectangle": "first rectangle area",
+        "rectangle0": "second rectangle area",
+        "round": "first round area", "round0": "second round area",
+        "triangle": "first triangle area",
+        "triangle0": "second triangle area",
+        "star": "first star area", "star0": "second star area",
+        "sponge_visual0": "sponge",
+    },
+    "push_buttons": _ordinal_map("push_buttons_target", "button", 3),
+    "stack_cups": {
+        **{f"cup{i}_visual": f"{_ORDINALS[i - 1]} cup visual"
+           for i in (1, 2, 3)},
+        **{f"cup{i}": f"{_ORDINALS[i - 1]} cup" for i in (1, 2, 3)},
+    },
+    "insert_onto_square_peg": {
+        "square_ring": "square ring",
+        **_ordinal_map("pillar", "square peg", 3),
+    },
+}
+
+
+def real_name(task: str, sim_name: str,
+              default: Optional[str] = None) -> str:
+    """Simulator handle -> human name for the task's prompt vocabulary;
+    unknown handles fall back to `default` (or the handle itself)."""
+    table = TASK_HANDLERS.get(task, {})
+    return table.get(sim_name, default if default is not None else sim_name)
+
+
+def rename_objects(task: str, sim_names) -> list:
+    """Map a list of simulator object handles through the task table
+    (get_interactive_objects_name + extract_obs naming role,
+    eb_man_utils.py:32-85)."""
+    return [real_name(task, n) for n in sim_names]
