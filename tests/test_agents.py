@@ -446,3 +446,45 @@ class TestImaginationModes:
         ds = AEQADataset(str(dp), demo_lens_path=str(lp))
         assert ds[0]["demo_len"] == 3.5
         assert "demo_len" not in ds[1]
+
+
+class TestLoggingUtils:
+    """Logger aux parity (utils/logger.py:92-160, utils/util.py:245-266)."""
+
+    def test_log_args_and_env(self, capsys):
+        import argparse
+
+        from wiw_tpu.utils.logging import log_args_and_env
+
+        ns = argparse.Namespace(exp_id="e1", lr=0.1)
+        log_args_and_env(ns)
+        out = capsys.readouterr().out
+        assert '"exp_id": "e1"' in out and out.startswith("[args]")
+
+    def test_worker_identity(self, capsys):
+        from wiw_tpu.utils.logging import log_worker_identity
+
+        log_worker_identity()
+        assert "devices=[" in capsys.readouterr().out
+
+    def test_become_deterministic(self):
+        import random
+
+        import numpy as np
+
+        from wiw_tpu.utils.logging import become_deterministic
+
+        key = become_deterministic(7)
+        a = (random.random(), float(np.random.rand()))
+        become_deterministic(7)
+        b = (random.random(), float(np.random.rand()))
+        assert a == b and key is not None
+
+    def test_capture_warnings_routed_to_stderr(self, capsys):
+        import warnings
+
+        from wiw_tpu.utils.logging import capture_warnings
+
+        capture_warnings()
+        warnings.warn("wiw test warning", UserWarning)
+        assert "wiw test warning" in capsys.readouterr().err

@@ -44,6 +44,64 @@ def setup_logger(exp_id: str, role: str, log_root: str = "logs") -> str:
     f = open(path, "a", buffering=1)
     sys.stdout = _Tee(sys.__stdout__, f)
     sys.stderr = _Tee(sys.__stderr__, f)
-    warnings.simplefilter("default")
+    capture_warnings()
     print(f"[logger] {role} pid={os.getpid()} -> {path}")
     return path
+
+
+def capture_warnings() -> None:
+    """Route `warnings` through the (teed) stderr stream so they land in
+    the per-process log (setup_warning_and_package_logging role,
+    utils/logger.py:92-110)."""
+    warnings.simplefilter("default")
+
+    def _handler(message, category, filename, lineno, file=None, line=None):
+        sys.stderr.write(
+            warnings.formatwarning(message, category, filename, lineno, line)
+        )
+
+    warnings.showwarning = _handler
+
+
+def log_args_and_env(args) -> None:
+    """Dump the run's arguments plus the environment facts that change
+    results (log_args_and_env role, utils/logger.py:113-120)."""
+    import json
+
+    cfg = vars(args) if hasattr(args, "__dict__") else dict(args)
+    print("[args] " + json.dumps(cfg, default=str, sort_keys=True))
+    keys = ("JAX_PLATFORMS", "XLA_FLAGS", "WIW_FLASH_BQ",
+            "WIW_FLASH_LAYOUT", "WIW_TEMPORAL_ATTN")
+    env = {k: os.environ.get(k) for k in keys if os.environ.get(k)}
+    print("[env] " + json.dumps(env, sort_keys=True))
+
+
+def log_worker_identity() -> None:
+    """Print the process's device placement (log_worker_identity role,
+    utils/logger.py:148 — nvidia-smi there; jax.devices here)."""
+    try:
+        import jax
+
+        devs = ", ".join(f"{d.platform}:{d.id}" for d in jax.devices())
+    except Exception as e:  # pragma: no cover - no backend
+        devs = f"unavailable ({e})"
+    print(f"[worker] pid={os.getpid()} devices=[{devs}]")
+
+
+def become_deterministic(seed: int = 0) -> "object":
+    """Seed every host-side RNG and return a jax PRNG key (the reference
+    seeds python/numpy/torch+cuda, utils/util.py:245-266; device-side
+    randomness in JAX is explicit via the returned key)."""
+    import random as _random
+
+    import numpy as _np
+
+    _random.seed(seed)
+    _np.random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    try:
+        import jax
+
+        return jax.random.PRNGKey(seed)
+    except Exception:  # pragma: no cover
+        return None
