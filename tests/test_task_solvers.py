@@ -871,3 +871,39 @@ class TestAEQAHierarchical:
                  for c in (msg["content"] if isinstance(msg["content"], list)
                            else []) if isinstance(c, dict)]
         assert any("Proposed High-Level Plan" in t for t in texts), texts
+
+
+class TestIGNavVLMEvaluatorStrips:
+    def test_evaluator_sees_rollout_strips(self, tmp_path):
+        """The VLM-evaluator arm receives each candidate's WHOLE labeled
+        rollout strip (solver_IGNav.py:732-769 compose role)."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        class _RecVLM(ScriptedVLM):
+            def __init__(self):
+                super().__init__(classify_script=[(1, 0.9)])
+                self.messages = None
+
+            def classify(self, messages, n):
+                self.messages = messages
+                return super().classify(messages, n)
+
+        vlm = _RecVLM()
+        solver = IGNavSolver(
+            gtsim_config(states_root=str(tmp_path)), FakeSimulator(),
+            vlm=vlm, rank_mode="vlm", success_checker=lambda s, g: False,
+        )
+        frames = np.random.randint(0, 255, (2, 4, 3, 16, 16), np.uint8)
+        goal = np.zeros((16, 16, 3), np.uint8)
+        best = solver.pick_by_vlm(goal, frames, [["a"], ["b"]], "non_pano")
+        assert best == 1
+        user = next(m for m in vlm.messages if m["role"] == "user")
+        imgs = [c for c in user["content"] if c.get("type") == "image_url"]
+        # 2 candidate strips + the goal image
+        assert len(imgs) == 3
+        raw = imgs[0]["image_url"]["url"].split(",", 1)[1]
+        strip = Image.open(io.BytesIO(base64.b64decode(raw)))
+        assert strip.size[0] >= 4 * 16  # 4 frames hstacked

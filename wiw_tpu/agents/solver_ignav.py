@@ -185,11 +185,20 @@ class IGNavSolver(Solver):
         from wiw_tpu.agents.prompts import render_prompt
         from wiw_tpu.agents.vlm import build_messages
 
-        finals = self.final_views(pred_frames, coord_type)
+        from wiw_tpu.agents.visualize import annotate_text, hstack_frames
+
+        # the evaluator sees each candidate's WHOLE imagined rollout as a
+        # labeled strip, not just the final frame (compose_action_results
+        # role, solver_IGNav.py:732-769)
+        views = self.candidate_views(pred_frames, coord_type)
         parts: list = [render_prompt("aux/ignav_evaluator_N_action")]
         for i, cand in enumerate(candidates):
             parts.append(f"Action Plan {chr(65 + i)}: {list(cand)}")
-            parts.append(finals[i])
+            strip = hstack_frames([
+                annotate_text(np.asarray(f, np.uint8), f"t={t}")
+                for t, f in enumerate(views[i])
+            ])
+            parts.append(strip)
         parts.append("Goal image:")
         parts.append(goal_img)
         parts.append(
