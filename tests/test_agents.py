@@ -488,3 +488,87 @@ class TestLoggingUtils:
         capture_warnings()
         warnings.warn("wiw test warning", UserWarning)
         assert "wiw test warning" in capsys.readouterr().err
+
+
+class TestNavGeometryUtils:
+    """Nav/geometry utility parity (downstream/utils/util.py:120-439)."""
+
+    def test_distance_and_traj(self):
+        from wiw_tpu.agents.nav import calc_traj_distance, get_distance
+
+        d, pts = get_distance([0, 0, 0], [3, 4, 0])
+        assert d == 5.0 and pts is None
+        assert abs(calc_traj_distance([[0, 0, 0], [3, 4, 0],
+                                       [3, 4, 12]]) - 17.0) < 1e-6
+
+    def test_rot_difference_and_yaw(self):
+        from scipy.spatial.transform import Rotation
+
+        from wiw_tpu.agents.nav import compute_rot_difference, rotate_yaw_quat
+
+        q0 = Rotation.identity().as_quat()
+        q90 = Rotation.from_euler("y", 90, degrees=True).as_quat()
+        assert abs(compute_rot_difference(q0, q90) - np.pi / 2) < 1e-6
+        q = rotate_yaw_quat(q0, np.pi / 2)
+        assert abs(compute_rot_difference(q, q90)) < 1e-6
+
+    def test_local_global_roundtrip(self):
+        from scipy.spatial.transform import Rotation
+
+        from wiw_tpu.agents.nav import global_to_local, local_to_global
+
+        pos = np.array([1.0, 2.0, 3.0])
+        q = Rotation.from_euler("y", 45, degrees=True).as_quat()
+        p = np.array([0.5, 0.0, -1.0])
+        g = local_to_global(pos, q, p)
+        back = global_to_local(pos, q, g)
+        np.testing.assert_allclose(back, p, atol=1e-9)
+
+    def test_cam_extrinsics_feed_bbox_projection(self):
+        from scipy.spatial.transform import Rotation
+
+        from wiw_tpu.agents.nav import get_cam_extrinsic_from_rotate
+
+        q0 = Rotation.identity().as_quat()
+        RTs = get_cam_extrinsic_from_rotate([0, 0, 0], q0,
+                                            {0: 0.0, 1: 90.0})
+        assert len(RTs) == 2 and RTs[0].shape == (4, 4)
+        np.testing.assert_allclose(RTs[0], np.eye(4), atol=1e-9)
+        # 90-deg yaw rotates camera -z toward -x (habitat turns left)
+        fwd = RTs[1][:3, :3] @ np.array([0, 0, -1.0])
+        np.testing.assert_allclose(fwd, [-1, 0, 0], atol=1e-9)
+
+    def test_action_number_to_polar(self):
+        from wiw_tpu.agents.nav import action_number_to_polar_angle
+
+        choices = {0: ["1", "2"], 1: ["3"]}
+        polar = {0: [(1.0, 0.2), (1.0, -0.4)], 1: [(2.0, 0.9)]}
+        assert action_number_to_polar_angle("3", choices, polar) == -0.9
+
+    def test_format_time(self):
+        from wiw_tpu.agents.nav import format_time
+
+        assert format_time(3723) == "1h 2m 3s"
+
+    def test_semantic_and_rgba_utils(self):
+        from wiw_tpu.agents.visualize import (
+            mask_semantic_by_target,
+            rgba2rgb,
+            visualize_semantic_img,
+        )
+
+        sem = np.array([[1, 2], [7, 0]])
+        vis = visualize_semantic_img(sem)
+        assert vis.shape == (2, 2, 3)
+        assert not np.array_equal(vis[0, 0], vis[0, 1])
+        obs = {"semantic_front": np.array([[7, 3]]),
+               "semantic_back": np.array([[7, 7]]),
+               "rgb_front": np.array([[1]])}
+        out = mask_semantic_by_target(7, obs)
+        np.testing.assert_array_equal(out["semantic_front"], [[7, 0]])
+        np.testing.assert_array_equal(out["semantic_back"], [[0, 0]])
+        rgba = np.zeros((2, 2, 4), np.uint8)
+        rgba[..., 3] = 0  # fully transparent -> background
+        np.testing.assert_array_equal(rgba2rgb(rgba)[0, 0], [255, 255, 255])
+        rgb = np.full((2, 2, 3), 9, np.uint8)
+        np.testing.assert_array_equal(rgba2rgb(rgb), rgb)

@@ -105,6 +105,113 @@ class ActionFinder:
         return acts + [None]
 
 
+def get_distance(p1, p2, pathfinder=None):
+    """(distance, waypoints|None) between two positions: geodesic when a
+    navmesh pathfinder is given (inf when unreachable), euclidean
+    otherwise (util.py:120-131)."""
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    if pathfinder is not None:
+        try:
+            import habitat_sim
+
+            path = habitat_sim.ShortestPath()
+            path.requested_start = p1
+            path.requested_end = p2
+            if pathfinder.find_path(path):
+                return float(path.geodesic_distance), list(path.points)
+            return float("inf"), None
+        except ImportError:
+            pass
+    return float(np.linalg.norm(p2 - p1)), None
+
+
+def calc_traj_distance(traj, pathfinder=None) -> float:
+    """Sum of pairwise (geodesic when possible) distances along a
+    position trajectory (util.py:132-138)."""
+    total = 0.0
+    for a, b in zip(traj, traj[1:]):
+        d, _ = get_distance(a, b, pathfinder)
+        total += d
+    return total
+
+
+def compute_rot_difference(q_curr_xyzw, q_goal_xyzw) -> float:
+    """Angular error between two orientations, radians in [0, pi]
+    (util.py:140-152)."""
+    from scipy.spatial.transform import Rotation
+
+    r = (Rotation.from_quat(q_goal_xyzw)
+         * Rotation.from_quat(q_curr_xyzw).inv())
+    return float(r.magnitude())
+
+
+def rotate_yaw_quat(q_xyzw, magnitude_rad: float) -> np.ndarray:
+    """Rotate an orientation about the world up axis (+y, habitat
+    convention) by `magnitude_rad` CCW (util.py:188-202)."""
+    from scipy.spatial.transform import Rotation
+
+    extra = Rotation.from_rotvec([0.0, magnitude_rad, 0.0])
+    return (extra * Rotation.from_quat(q_xyzw)).as_quat()
+
+
+def local_to_global(position, q_xyzw, local_point) -> np.ndarray:
+    """Agent-frame point -> world frame (util.py:334-348)."""
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_quat(q_xyzw).apply(
+        np.asarray(local_point, np.float64)
+    ) + np.asarray(position, np.float64)
+
+
+def global_to_local(position, q_xyzw, global_point) -> np.ndarray:
+    """World point -> agent frame (util.py:351-367)."""
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_quat(q_xyzw).inv().apply(
+        np.asarray(global_point, np.float64)
+        - np.asarray(position, np.float64)
+    )
+
+
+def get_cam_extrinsic_from_rotate(position, q_xyzw, theta_dict) -> list:
+    """Per-candidate camera->world 4x4 poses: the agent pose yawed by each
+    candidate's initial degrees (util.py:154-174) — these RTs feed the
+    multi-object pano bbox projection (ARSolver.prepare_gt_bbox_coords_3d)."""
+    from scipy.spatial.transform import Rotation
+
+    RTs = []
+    for theta_deg in (theta_dict.values() if isinstance(theta_dict, dict)
+                      else theta_dict):
+        q = rotate_yaw_quat(q_xyzw, np.deg2rad(float(theta_deg)))
+        RT = np.eye(4)
+        RT[:3, :3] = Rotation.from_quat(q).as_matrix()
+        RT[:3, 3] = np.asarray(position, np.float64)
+        RTs.append(RT)
+    return RTs
+
+
+def action_number_to_polar_angle(chosen_action_id, action_choices,
+                                 polar_actions) -> float:
+    """Chosen action id -> the NEGATED polar angle of its candidate path
+    (util.py:176-186): action_choices maps view_id -> [action ids],
+    polar_actions maps view_id -> [(r, theta), ...]."""
+    theta = 0.0
+    for view_id, ids in action_choices.items():
+        for i, action_id in enumerate(ids):
+            if action_id == chosen_action_id:
+                _r, theta = polar_actions[view_id][i]
+    return -theta
+
+
+def format_time(seconds: float) -> str:
+    """'1h 02m 03s'-style ETA string (util.py:434-439)."""
+    h = int(seconds // 3600)
+    m = int((seconds % 3600) // 60)
+    s = int(seconds % 60)
+    return f"{h}h {m}m {s}s"
+
+
 def compute_theta_deviation_from_depth(depth: np.ndarray, hfov_deg: float,
                                        dist_thr: float = 2.4,
                                        area_ratio: float = 0.02

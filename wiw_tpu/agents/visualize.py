@@ -84,6 +84,62 @@ def save_montage(path: str, montage: np.ndarray) -> None:
     save_image(path, montage)
 
 
+# -- semantic / image utilities (util.py:384-432) ---------------------------
+
+def semantic_palette(n: int = 40) -> np.ndarray:
+    """Deterministic distinct-color palette [n, 3] uint8 (the role of
+    habitat's d3_40_colors_rgb table)."""
+    hues = (np.arange(n) * 0.61803398875) % 1.0  # golden-ratio spacing
+    out = np.empty((n, 3), np.uint8)
+    for i, h in enumerate(hues):
+        import colorsys
+
+        r, g, b = colorsys.hsv_to_rgb(h, 0.65 if i % 2 else 0.95,
+                                      0.95 if i % 3 else 0.6)
+        out[i] = (int(r * 255), int(g * 255), int(b * 255))
+    return out
+
+
+def visualize_semantic_img(sem: np.ndarray) -> np.ndarray:
+    """Instance-id map -> RGB visualization via a 40-color palette
+    (util.py:402-411)."""
+    sem = np.asarray(sem)
+    if sem.ndim == 3:
+        sem = sem[..., 0]
+    return semantic_palette()[sem.astype(np.int64) % 40]
+
+
+def mask_semantic_by_target(target_id: int, obs: dict) -> dict:
+    """Zero every semantic channel except the target id; semantic sensors
+    outside the horizontal ring (e.g. *_back/_down) zero entirely
+    (util.py:384-400)."""
+    keep = {"semantic_front", "semantic_sensor", "semantic_right",
+            "semantic_left", "semantic_up"}
+    for key in obs:
+        if not key.startswith("semantic"):
+            continue
+        if key in keep:
+            arr = np.asarray(obs[key]).copy()
+            arr[arr != target_id] = 0
+            obs[key] = arr
+        else:
+            obs[key] = np.zeros_like(obs[key])
+    return obs
+
+
+def rgba2rgb(rgba: np.ndarray, background=(255, 255, 255)) -> np.ndarray:
+    """Alpha-composite an RGBA image over a solid background
+    (util.py:413-432)."""
+    rgba = np.asarray(rgba)
+    if rgba.shape[-1] == 3:
+        return rgba
+    assert rgba.shape[-1] == 4, "RGBA image has 4 channels."
+    a = rgba[..., 3:4].astype(np.float32) / 255.0
+    bg = np.asarray(background, np.float32)
+    rgb = rgba[..., :3].astype(np.float32) * a + (1.0 - a) * bg
+    return rgb.astype(np.uint8)
+
+
 # -- candidate nav-path overlays (visualize.py:89-154, util.py:251-330) ------
 
 def project_camera_point(point_xyz, height: int, width: int,
