@@ -907,3 +907,40 @@ class TestIGNavVLMEvaluatorStrips:
         raw = imgs[0]["image_url"]["url"].split(",", 1)[1]
         strip = Image.open(io.BytesIO(base64.b64decode(raw)))
         assert strip.size[0] >= 4 * 16  # 4 frames hstacked
+
+
+class TestARMultiObjectLookahead:
+    def test_3d_multi_object_seeds_lookahead(self, tmp_path):
+        """A datum carrying several objects' 3D corners drives the
+        per-candidate yawed-camera projection path (solver_AR.py:713-788):
+        crops join the context without any semantic bbox."""
+        vlm = ScriptedVLM(classify_script=[(0, 0.99)])
+        solver = ARSolver(
+            gtsim_config(states_root=str(tmp_path)), FakeSimulator(),
+            vlm=vlm, object_set=["chair"], tts_ratio=1.0,
+            max_action_num=2, lookahead=3, pred_obs_size=(32, 32),
+            select_start_idx=0,
+        )
+        box = lambda cx, cz: [[cx + dx, dy, cz + dz]
+                              for dx in (-0.2, 0.2) for dy in (-0.2, 0.2)
+                              for dz in (-0.2, 0.2)]
+        datum = {
+            "episode_id": 20, "scene_id": "s", "target_category": "chair",
+            # two objects ahead of the camera (habitat looks along -z)
+            "bbox_corners_world_multi": [box(0.0, -1.0), box(0.4, -1.5)],
+            "cam_to_world": np.eye(4).tolist(),
+        }
+        m = solver.run_episode(datum, str(tmp_path / "wm"))
+        assert m["is_correct"]
+        # the 3D path produced candidate seeds directly
+        from wiw_tpu.agents.state import State
+
+        st = State()
+        solver.interact(datum, st, 0)
+        coords = solver.candidate_gt_bboxes_3d(
+            datum, {0: 0.0, 1: 180.0}, (64, 128))
+        assert coords is not None and len(coords) == 2
+        c0 = coords[0]
+        assert c0["x_max"] > c0["x_min"]  # objects visible ahead
+        # rotated-away candidate may wrap -> empty or shifted seed
+        assert set(c0) == {"x_min", "y_min", "x_max", "y_max"}

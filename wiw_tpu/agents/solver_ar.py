@@ -185,6 +185,53 @@ class ARSolver(Solver):
                 keep_idxs.append(i)
         return bbox_coords, bbox_ids, keep_idxs
 
+    def candidate_gt_bboxes_3d(self, datum: dict, init_turn_degrees: dict,
+                               pano_hw: tuple) -> Optional[List[dict]]:
+        """Multi-object arm (solver_AR.py:713-788 via prepare_gt_bbox_coord):
+        when the datum carries SEVERAL objects' 3D corners
+        ('bbox_corners_world_multi') plus a camera pose, every object is
+        projected through each candidate's yawed camera (wrap-seam boxes
+        skipped) and the per-candidate boxes UNION into one seed rect for
+        mask propagation. Returns None when the datum lacks the 3D data
+        (the single-bbox semantic path then rules)."""
+        corners_multi = datum.get("bbox_corners_world_multi")
+        T = getattr(self.sim, "get_cam_to_world", lambda: None)()
+        if T is None:
+            T = datum.get("cam_to_world")
+        if not corners_multi or T is None:
+            return None
+        from scipy.spatial.transform import Rotation
+
+        from wiw_tpu.agents.nav import get_cam_extrinsic_from_rotate
+        from wiw_tpu.agents.object_memory import (
+            DetectedObject,
+            DetectedObjects,
+        )
+
+        T = np.asarray(T, np.float64)
+        quat = Rotation.from_matrix(T[:3, :3]).as_quat()
+        RTs = get_cam_extrinsic_from_rotate(T[:3, 3], quat, init_turn_degrees)
+        mem = DetectedObjects()
+        for i, corners in enumerate(corners_multi):
+            mem.entities.append(DetectedObject(
+                str(i), np.asarray(corners, np.float32), 1.0))
+        H, W = pano_hw
+        boxes, _ids, keep = self.prepare_gt_bbox_coords_3d(
+            mem, list(range(len(mem))), RTs, img_width=W, img_height=H)
+        out: List[dict] = []
+        ki = 0
+        for i in range(len(RTs)):
+            if ki < len(keep) and keep[ki] == i:
+                arr = np.asarray(boxes[ki])
+                out.append({"x_min": int(arr[:, 0].min()),
+                            "y_min": int(arr[:, 1].min()),
+                            "x_max": int(arr[:, 2].max()),
+                            "y_max": int(arr[:, 3].max())})
+                ki += 1
+            else:  # every box wrapped for this candidate: empty seed
+                out.append({"x_min": 0, "y_min": 0, "x_max": 0, "y_max": 0})
+        return out
+
     def prepare_gt_bbox_coords(self, bbox: dict, init_turn_degrees: dict,
                                img_width: int) -> List[dict]:
         """Rotate the current-pose bbox into each candidate's rolled pano
@@ -318,13 +365,17 @@ class ARSolver(Solver):
         pano = self.sim.get_pano()
         pano_W = pano.shape[1]
 
-        bbox = self.current_gt_bbox(datum, st)
-        if bbox is None:
-            return []
-        # bbox rotation happens in PANO coordinates either way; non-pano
-        # clips then warp the seed rect into the front view so both the
-        # SAM2 prompt and the fallback masks live in FRAME coordinates
-        bbox_coords = self.prepare_gt_bbox_coords(bbox, init_deg, pano_W)
+        bbox_coords = self.candidate_gt_bboxes_3d(datum, init_deg,
+                                                  pano.shape[:2])
+        if bbox_coords is None:
+            bbox = self.current_gt_bbox(datum, st)
+            if bbox is None:
+                return []
+            # bbox rotation happens in PANO coordinates either way;
+            # non-pano clips then warp the seed rect into the front view so
+            # both the SAM2 prompt and the fallback masks live in FRAME
+            # coordinates
+            bbox_coords = self.prepare_gt_bbox_coords(bbox, init_deg, pano_W)
         non_pano = out.get("coord_type") == "non_pano"
         if non_pano:
             from wiw_tpu.workers.detection_utils import mask_to_bbox
