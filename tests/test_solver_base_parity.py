@@ -414,3 +414,28 @@ class TestEpisodeReplay:
 
         with _pytest.raises(ValueError):
             visualize_episode(str(datum_dir), vis_order="nope")
+
+
+class TestCameraPathGtTargets:
+    def test_camera_wm_saves_candidate_targets(self, tmp_path):
+        """The camera-WM path saves each candidate's navigable GT target
+        pano next to its PredA dir (solver_base.py:550-559)."""
+        import os
+        import os.path as osp
+
+        s = make_solver(task="AR", wm="camera", tmp_path=tmp_path)
+
+        def fake_send(b_action, save_dirs, b_image=None, **kw):
+            return {"save_dirs": save_dirs,
+                    "pred_frames": np.zeros(
+                        (len(save_dirs), s.cfg.igenex_n_frame, 3, 4, 8),
+                        np.uint8)}
+
+        s.send_batch_to_server = fake_send
+        out = s.imagine_by_model_type(
+            [["turn_left 22.5\N{DEGREE SIGN}", "forward 0.2m"],
+             ["forward 0.2m"]], str(tmp_path))
+        assert out["coord_type"] == "pano"
+        for d in out["save_dirs"]:
+            assert osp.exists(osp.join(d, "target_pano_rgb.png")), \
+                os.listdir(d)

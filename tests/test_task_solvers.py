@@ -944,3 +944,27 @@ class TestARMultiObjectLookahead:
         assert c0["x_max"] > c0["x_min"]  # objects visible ahead
         # rotated-away candidate may wrap -> empty or shifted seed
         assert set(c0) == {"x_min", "y_min", "x_max", "y_max"}
+
+
+class TestIGNavRolloutPersistence:
+    def test_strips_written_and_recorded(self, tmp_path):
+        """Imagined rollouts persist per candidate (origin_imagine) and the
+        plans record in state (solver_IGNav.py:649-769 artifacts)."""
+        import os.path as osp
+
+        from wiw_tpu.agents.state import State
+
+        solver = IGNavSolver(
+            gtsim_config(states_root=str(tmp_path)), FakeSimulator(),
+            reward_fn=mse_reward, success_checker=lambda s, g: False,
+            max_action_num=1,
+        )
+        st = State()
+        st.add_new_state({"step": 0})
+        candidates = [["forward 0.2m"] * 2, ["turn_left 22.5\N{DEGREE SIGN}"] * 2]
+        out = solver.imagine_by_model_type(candidates, str(tmp_path / "wm"))
+        paths = solver.persist_imagined_rollouts(out, candidates, st)
+        assert len(paths) == 2 and all(osp.exists(p) for p in paths)
+        assert st.get_from_recent_state("origin_imagine") == paths
+        plans = st.get_from_recent_state("origin_action_plan")
+        assert plans == [list(c) for c in candidates]

@@ -338,12 +338,15 @@ class Solver:
             poses.append((x, z, yaw))
         return np.asarray(poses, np.float64)
 
-    def look_ahead_explore_camera(self, pano, all_action_ids, save_dir) -> dict:
+    def look_ahead_explore_camera(self, pano, all_action_ids, save_dir,
+                                  init_turn_degrees=None) -> dict:
         """Camera-pose WMs (se3ds/pathdreamer): the wire contract carries
         padded ACTION IDS like every other path — the worker converts ids to
         camera poses itself (se3ds_model.py:379-424 splits yaw rolls from
         forward rollouts). Keeps drop-in compatibility with reference
-        clients/workers."""
+        clients/workers. When the simulator is attached, each candidate's
+        GT target pano (2.4 m ahead of its initial yaw, navigability-gated)
+        is saved alongside (solver_base.py:550-559)."""
         action_ids_list = list(range(len(all_action_ids)))
         batch_actions = np.stack([
             np.asarray(self._pad_action_seq(all_action_ids[i]), np.int64)
@@ -351,6 +354,10 @@ class Solver:
         ])
         images = np.repeat(pano[None], len(action_ids_list), axis=0)
         save_dirs = Saver.get_igenex_save_dirs(save_dir, action_ids_list)
+        if self.sim is not None and init_turn_degrees is not None:
+            for i in action_ids_list:
+                self.save_gt_rgb(init_turn_degrees.get(i, 0.0),
+                                 save_dirs[i], forward_dist=2.4)
         return self.send_batch_to_server(batch_actions, save_dirs, images)
 
     def imagine_by_model_type(self, prior_actions, save_dir) -> dict:
@@ -391,7 +398,8 @@ class Solver:
             out["coord_type"] = "non_pano"
         elif wm == "camera":
             pano = self.sim.get_pano() if self.sim is not None else None
-            out = self.look_ahead_explore_camera(pano, all_ids, save_dir)
+            out = self.look_ahead_explore_camera(pano, all_ids, save_dir,
+                                                 init_turn_degrees=init_deg)
             out["coord_type"] = "pano"
         else:
             raise NotImplementedError(f"world_model_type {wm}")

@@ -258,7 +258,14 @@ class AEQASolver(Solver):
 
         pos_h = self.sim.get_agent_state()
         pos = np.atleast_1d(np.asarray(pos_h[0], float))
-        heading = float(pos_h[1]) if np.ndim(pos_h[1]) == 0 else 0.0
+        rot = pos_h[1]
+        if np.ndim(rot) == 0:  # FakeSimulator: heading degrees
+            heading = float(rot)
+        else:  # habitat: orientation quaternion (xyzw) -> yaw degrees
+            from scipy.spatial.transform import Rotation
+
+            heading = float(Rotation.from_quat(
+                np.asarray(rot, float)).as_euler("yxz")[0] * 180.0 / np.pi)
         degrees: List[float] = []
         for plan in plans or []:
             if not isinstance(plan, dict):
@@ -469,6 +476,10 @@ class AEQASolver(Solver):
                     st.set_best_answer(answer)
                     break
                 first_answer = ans
+                # the confirmation fetch happens IMMEDIATELY (the
+                # reference's two-attempt loop, solver_AEQA.py:541-574) —
+                # drop any active plan so low-level rounds can't defer it
+                active_plan = None
                 continue
             first_answer = None
             # a fresh high-level plan resets the low-level chat history

@@ -230,6 +230,36 @@ class IGNavSolver(Solver):
         return self.pick_by_reward(goal_img, pred_frames, candidates,
                                    coord_type, init_views, remain_ids)
 
+    def persist_imagined_rollouts(self, out: dict, candidates, st: State
+                                  ) -> List[str]:
+        """Write each candidate's labeled rollout strip into its PredA dir
+        and record (frames, plans) in state under origin_imagine /
+        origin_action_plan — the artifacts the reference's LPIPS arm and
+        debugging read back (solver_IGNav.py:649-769)."""
+        save_dirs = out.get("save_dirs") or []
+        if not save_dirs:
+            return []
+        from wiw_tpu.agents.saver import save_image
+        from wiw_tpu.agents.visualize import annotate_text, hstack_frames
+
+        views = self.candidate_views(
+            np.asarray(out["pred_frames"]), out.get("coord_type", "non_pano"))
+        paths = []
+        for i, d in enumerate(save_dirs[: len(views)]):
+            label = list(candidates[i]) if i < len(candidates) else []
+            strip = hstack_frames([
+                annotate_text(np.asarray(f, np.uint8), f"t={t}")
+                for t, f in enumerate(views[i])
+            ])
+            p = f"{d}/origin_imagine.png"
+            save_image(p, annotate_text(strip, str(label)))
+            paths.append(p)
+        if st.rows:
+            st.add_to_recent_state(paths, key="origin_imagine")
+            st.add_to_recent_state([list(c) for c in candidates],
+                                   key="origin_action_plan")
+        return paths
+
     def check_stop(self, st: State, goal_img: np.ndarray) -> bool:
         if self.success_checker is not None:
             return bool(self.success_checker(self.sim, goal_img))
@@ -288,6 +318,7 @@ class IGNavSolver(Solver):
                 break
             candidates = self.propose_candidates(st, goal_img)
             out = self.imagine_by_model_type(candidates, save_dir)
+            self.persist_imagined_rollouts(out, candidates, st)
             best = self.pick_candidate(goal_img, out["pred_frames"],
                                        candidates,
                                        out.get("coord_type", "non_pano"))
