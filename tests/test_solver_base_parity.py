@@ -439,3 +439,43 @@ class TestCameraPathGtTargets:
         for d in out["save_dirs"]:
             assert osp.exists(osp.join(d, "target_pano_rgb.png")), \
                 os.listdir(d)
+
+
+class TestARStepArtifactResume:
+    def test_saved_steps_replay_without_vlm(self, tmp_path):
+        """A rerun of a partially-completed episode replays saved
+        answerer/planner artifacts instead of re-querying (use_saved_file
+        arm, solver_AR.py:339-346, :454-457)."""
+        from wiw_tpu.agents.solver_ar import ARSolver
+
+        class _CountingVLM:
+            def __init__(self, script):
+                self.script = list(script)
+                self.calls = 0
+
+            def classify(self, messages, n):
+                self.calls += 1
+                return self.script.pop(0)
+
+            def sample_action_seqs(self, messages, space, seq_len, num):
+                return [[space[0]] * seq_len for _ in range(num)]
+
+        def build(vlm):
+            cfg = SolverConfig(task="AR", world_model_type="GTsim",
+                               igenex_n_frame=6,
+                               states_root=str(tmp_path))
+            return ARSolver(cfg, FakeSimulator(32, 64), vlm=vlm,
+                            object_set=["chair", "bed"], tts_ratio=0.0,
+                            max_action_num=4, use_saved_artifacts=True)
+
+        datum = {"episode_id": 30, "scene_id": "s",
+                 "target_category": "chair"}
+        v1 = _CountingVLM([(0, 0.4), (0, 0.5), (0, 0.99)])
+        m1 = build(v1).run_episode(datum, str(tmp_path / "wm"))
+        assert m1["is_correct"] and v1.calls == 3
+        # second run: every step replays from artifacts -> zero VLM calls
+        v2 = _CountingVLM([])
+        m2 = build(v2).run_episode(datum, str(tmp_path / "wm"))
+        assert v2.calls == 0
+        assert m2["answer"] == m1["answer"]
+        assert m2["traj_len"] == m1["traj_len"]

@@ -47,7 +47,8 @@ class ARSolver(Solver):
                  save_obs: bool = False, obs_hfov: float = 90.0,
                  pred_obs_size: tuple = (384, 512),
                  select_interval: int = 2, select_start_idx: int = 3,
-                 use_igenex_planner: bool = True):
+                 use_igenex_planner: bool = True,
+                 use_saved_artifacts: bool = False):
         config.look_ahead_action_num = lookahead
         config.query_num = query_num
         config.task = "AR"
@@ -69,6 +70,11 @@ class ARSolver(Solver):
         self.imagine_obs_key = "pred_bbox_front"
         self.imagine_action_key = "pred_bbox_action_seq"
         self.use_igenex_planner = use_igenex_planner
+        # per-step artifact reuse: a re-run of a partially-completed
+        # episode replays saved answerer/planner outputs instead of
+        # re-querying the VLM (use_saved_file arm, solver_AR.py:339-346,
+        # :454-457)
+        self.use_saved_artifacts = use_saved_artifacts
 
     # ------------------------------------------------------------------
     def recognize(self, st: State, extra_images: List[np.ndarray]) -> tuple:
@@ -533,23 +539,46 @@ class ARSolver(Solver):
             # solver_base.py:107-115) — the replay tool reads it
             save_json(self.saver.get_category_path(datum, target),
                       {"target": target})
+        import json
+        import os.path as osp
+
+        def _load_saved(path):
+            if not (self.use_saved_artifacts and osp.exists(path)):
+                return None
+            try:
+                with open(path) as f:
+                    saved = json.load(f)
+                return next(iter(saved.items())) if saved else None
+            except (json.JSONDecodeError, OSError):
+                return None
+
         answer, prob = "", 0.0
         steps = 0
         while steps < self.max_action_num:
-            extra = []
-            if self.rng.random() < self.tts_ratio:
-                extra = self.forward_with_WM(datum, st, save_dir)
-            answer, prob = self.recognize(st, extra)
+            answer_path = self.saver.get_answerer_output_path(datum, steps)
+            saved = _load_saved(answer_path)
+            if saved is not None:
+                # replayed step: no WM query, no VLM call
+                # (use_saved_file, solver_AR.py:343-346)
+                answer, prob = saved[0], float(saved[1])
+            else:
+                extra = []
+                if self.rng.random() < self.tts_ratio:
+                    extra = self.forward_with_WM(datum, st, save_dir)
+                answer, prob = self.recognize(st, extra)
+                # per-step artifacts for offline replay + resume (saver
+                # answerer.json / planner.json scheme)
+                save_json(answer_path, {answer: prob})
             st.add_answer(answer, prob)
-            # per-step artifacts for offline replay (saver answerer.json /
-            # planner.json scheme; visualize.py:342-443 consumes them)
-            save_json(self.saver.get_answerer_output_path(datum, steps),
-                      {answer: prob})
             if prob >= self.recog_thres:
                 break
-            action_text = self.pick_next_action(st)
-            save_json(self.saver.get_planner_output_path(datum, steps),
-                      {action_text: 1.0})
+            planner_path = self.saver.get_planner_output_path(datum, steps)
+            saved_action = _load_saved(planner_path)
+            if saved_action is not None:
+                action_text = saved_action[0]
+            else:
+                action_text = self.pick_next_action(st)
+                save_json(planner_path, {action_text: 1.0})
             self.sim.step(text_to_action_name(action_text))
             st.record_past_action(action_text)
             self.clean_cache(st)
