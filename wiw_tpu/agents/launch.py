@@ -45,6 +45,9 @@ def build_common_arg_parser(defaults: dict | None = None) -> argparse.ArgumentPa
     ap.add_argument("--look_ahead_action_num", type=int,
                     default=d.get("look_ahead_action_num", 4))
     ap.add_argument("--use_heur", action="store_true")
+    ap.add_argument("--use_saved_artifacts", action="store_true",
+                    help="AR: replay saved per-step answerer/planner "
+                         "artifacts on rerun instead of re-querying")
     # AEQA hierarchical arms (reference use_WM runs enable both)
     ap.add_argument("--use_wm_imagination", action="store_true",
                     help="AEQA: imagine candidate high-level directions "

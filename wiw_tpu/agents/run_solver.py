@@ -63,7 +63,8 @@ def run_one_episode(datum, args, shard_idx):
         solver = ARSolver(cfg, sim, vlm=vlm,
                           object_set=args.object_set or ["object"],
                           tts_ratio=args.TTS_ratio,
-                          use_heuristic_policy=args.use_heur)
+                          use_heuristic_policy=args.use_heur,
+                          use_saved_artifacts=args.use_saved_artifacts)
         return solver.run_episode(datum, save_dir)
     if args.task == "AEQA":
         from wiw_tpu.agents.solver_aeqa import AEQASolver
