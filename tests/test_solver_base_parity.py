@@ -479,3 +479,28 @@ class TestARStepArtifactResume:
         assert v2.calls == 0
         assert m2["answer"] == m1["answer"]
         assert m2["traj_len"] == m1["traj_len"]
+
+
+class TestObsSensorPersistence:
+    def test_depth_and_semantic_saved_when_available(self, tmp_path):
+        """All available sensors persist per step (solver_base.py:129-138
+        writer loop)."""
+        import os.path as osp
+
+        from wiw_tpu.agents.solver import FakeSemanticSimulator
+        from wiw_tpu.agents.solver_ar import ARSolver
+        from wiw_tpu.agents.state import State
+
+        class DepthSemSim(FakeSemanticSimulator):
+            def get_depth(self):
+                return np.full((self.H, self.W), 2.0, np.float32)
+
+        cfg = SolverConfig(task="AR", states_root=str(tmp_path))
+        ar = ARSolver(cfg, DepthSemSim(32, 64), save_obs=True)
+        datum = {"episode_id": 40, "scene_id": "s",
+                 "target_semantic_ids": [7]}
+        st = State()
+        row = ar.interact(datum, st, 0)
+        assert osp.exists(row["depth_pano"])
+        assert osp.exists(row["semantic_pano"])
+        assert np.load(row["semantic_pano"]).max() == 7

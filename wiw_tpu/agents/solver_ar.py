@@ -514,6 +514,20 @@ class ARSolver(Solver):
                 bbox_path = self.saver.get_image_path(datum, step, "rgb_bbox")
                 save_image(bbox_path, annotated)
                 row["rgb_bbox"] = bbox_path
+            # every available sensor persists per step, like the
+            # reference's (rgb, depth, semantic) writer loop
+            # (solver_base.py:129-138)
+            depth = getattr(self.sim, "get_depth", lambda: None)()
+            if depth is not None:
+                depth_path = self.saver.get_image_path(
+                    datum, step, "depth_pano").replace(".png", ".npy")
+                np.save(depth_path, np.asarray(depth, np.float32))
+                row["depth_pano"] = depth_path
+            if semantic is not None:
+                sem_path = self.saver.get_image_path(
+                    datum, step, "semantic_pano").replace(".png", ".npy")
+                np.save(sem_path, np.asarray(semantic, np.int32))
+                row["semantic_pano"] = sem_path
         st.add_new_state(row)
         return row
 
