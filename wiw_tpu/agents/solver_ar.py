@@ -448,7 +448,8 @@ class ARSolver(Solver):
                                    key=self.imagine_obs_key)
         return crops
 
-    def pick_next_action(self, st: State) -> str:
+    def pick_next_action(self, st: State, datum: Optional[dict] = None,
+                         step: int = 0) -> str:
         if self.vlm is not None and not self.use_heuristic_policy:
             from wiw_tpu.agents.prompts import (
                 render_prompt,
@@ -466,15 +467,22 @@ class ARSolver(Solver):
             if recent_preds:
                 parts.insert(0, render_prompt("aux/ar_planner"))
             parts.append(sequence_format_note(1, 1))
-            seqs = self.vlm.sample_action_seqs(
-                build_messages(
-                    render_prompt("task/ar_planner",
-                                  obs_key="equirectangular panorama",
-                                  look_ahead_action_num=1),
-                    parts,
-                ),
-                space, 1, 1,
+            msgs = build_messages(
+                render_prompt("task/ar_planner",
+                              obs_key="equirectangular panorama",
+                              look_ahead_action_num=1),
+                parts,
             )
+            seqs = self.vlm.sample_action_seqs(msgs, space, 1, 1)
+            if datum is not None:
+                # planner chat-log artifact (format_chat_dialog +
+                # chat_log.json, solver_AR.py:470-480)
+                from wiw_tpu.manip.visualize import save_chat_log
+
+                save_chat_log(
+                    self.saver.get_action_path_pref(datum, step),
+                    msgs, seqs, stem="chat_log",
+                )
             return seqs[0][0]
         act, _ = self.heur_sample_next_action(list(st.action_traj),
                                               self.rng.randrange(1 << 30))
@@ -591,7 +599,7 @@ class ARSolver(Solver):
             if saved_action is not None:
                 action_text = saved_action[0]
             else:
-                action_text = self.pick_next_action(st)
+                action_text = self.pick_next_action(st, datum, steps)
                 save_json(planner_path, {action_text: 1.0})
             self.sim.step(text_to_action_name(action_text))
             st.record_past_action(action_text)
