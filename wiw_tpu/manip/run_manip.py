@@ -1,0 +1,121 @@
+"""Manipulation benchmark CLI — the reference's Hydra entry
+(downstream/world-in-world-manip/wiw_manip/main.py:16-66) as argparse:
+pick a solver_env arm, build the environment (RLBench/AMSolver when the
+host has CoppeliaSim, the deterministic fake otherwise), run the episode
+grid, and print the aggregated summary.
+
+Usage:
+  python -m wiw_tpu.manip.run_manip --solver_env vlm-igenex \
+      --tasks push_buttons stack_cups --variations 2 --episodes 3 \
+      --WM_host 127.0.0.1 --WM_port 7000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_env(args):
+    if args.env == "rlbench":
+        from wiw_tpu.manip.env import RLBenchManipEnv
+
+        return RLBenchManipEnv(dataset_root=args.dataset_root,
+                               img_size=tuple(args.img_size))
+    if args.env == "fake":
+        from wiw_tpu.manip.env import FakeManipEnv
+
+        return FakeManipEnv(tol=args.fake_tol)
+    # auto: RLBench when importable, else the fake with a clear notice
+    try:
+        import amsolver  # noqa: F401
+
+        from wiw_tpu.manip.env import RLBenchManipEnv
+
+        return RLBenchManipEnv(dataset_root=args.dataset_root,
+                               img_size=tuple(args.img_size))
+    except ImportError:
+        print("[run_manip] amsolver/CoppeliaSim not installed -> "
+              "FakeManipEnv (use --env rlbench on a simulator host)")
+        from wiw_tpu.manip.env import FakeManipEnv
+
+        return FakeManipEnv(tol=args.fake_tol)
+
+
+def build_wm_client(args):
+    if args.solver_env in ("vlm-igenex", "diff-igenex"):
+        from wiw_tpu.serve.manager import WMClient
+
+        return WMClient(args.WM_host, args.WM_port)
+    return None
+
+
+def build_vlm(args):
+    if not args.vllm_hosts:
+        return None
+    from wiw_tpu.agents.providers import make_transport
+    from wiw_tpu.agents.vlm import VLMClient
+
+    host = args.vllm_hosts[0]
+    base = host if host.startswith("http") else f"http://{host}/v1"
+    transport = make_transport(args.vlm_provider, base_url=base,
+                               model=args.vlm_model)
+    return VLMClient(transport)
+
+
+def build_proposer(args):
+    if not args.solver_env.startswith("diff"):
+        return None
+    from wiw_tpu.manip.policy import RemotePolicyProposer
+    from wiw_tpu.serve.manager import WMClient
+
+    return RemotePolicyProposer(
+        WMClient(args.policy_host, args.policy_port))
+
+
+def main(argv=None):
+    from wiw_tpu.manip.env import MANIP_TASKS
+    from wiw_tpu.manip.evaluator import SOLVER_ENVS, ManipEvaluator
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--solver_env", default="vlm-base",
+                    choices=list(SOLVER_ENVS))
+    ap.add_argument("--tasks", nargs="*", default=list(MANIP_TASKS))
+    ap.add_argument("--variations", type=int, default=1)
+    ap.add_argument("--episodes", type=int, default=1)
+    ap.add_argument("--env", default="auto",
+                    choices=["auto", "rlbench", "fake"])
+    ap.add_argument("--dataset_root", default="")
+    ap.add_argument("--img_size", type=int, nargs=2, default=[500, 500])
+    ap.add_argument("--fake_tol", type=float, default=0.2)
+    ap.add_argument("--out_dir", default="manip_results")
+    ap.add_argument("--WM_host", default="127.0.0.1")
+    ap.add_argument("--WM_port", type=int, default=7000)
+    ap.add_argument("--policy_host", default="127.0.0.1")
+    ap.add_argument("--policy_port", type=int, default=7100)
+    ap.add_argument("--vllm_hosts", nargs="*", default=[])
+    ap.add_argument("--vlm_provider", default="openai")
+    ap.add_argument("--vlm_model", default="")
+    ap.add_argument("--mpc_mode", default="ranking",
+                    choices=["ranking", "iterative"])
+    ap.add_argument("--max_plan_rounds", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    env = build_env(args)
+    ev = ManipEvaluator(
+        env, args.solver_env,
+        wm_client=build_wm_client(args),
+        vlm=build_vlm(args),
+        policy_proposer=build_proposer(args),
+        out_dir=args.out_dir,
+        max_plan_rounds=args.max_plan_rounds,
+        mpc_mode=args.mpc_mode,
+    )
+    summary = ev.evaluate(tasks=args.tasks, variations=args.variations,
+                          episodes=args.episodes)
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    main()
