@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Manipulation benchmark launcher (reference scripts/run_manip.sh role).
+# Usage: scripts/run_manip.sh <solver_env> [extra run_manip args...]
+#   scripts/run_manip.sh vlm-igenex --tasks push_buttons stack_cups \
+#       --variations 2 --episodes 3 --WM_host 127.0.0.1 --WM_port 7000
+set -euo pipefail
+SOLVER_ENV="${1:?usage: run_manip.sh <vlm-base|vlm-igenex|diff-base|diff-igenex> [args]}"
+shift
+exec python -m wiw_tpu.manip.run_manip --solver_env "$SOLVER_ENV" "$@"
