@@ -968,3 +968,37 @@ class TestIGNavRolloutPersistence:
         assert st.get_from_recent_state("origin_imagine") == paths
         plans = st.get_from_recent_state("origin_action_plan")
         assert plans == [list(c) for c in candidates]
+
+
+class TestAEQAViewDepth:
+    def test_pano_depth_crops_to_chosen_view(self, tmp_path):
+        """The open-space deviation reads the CHOSEN VIEW's depth slice of
+        the pano, not the global map (solver_AEQA.py:604-608)."""
+
+        class PanoDepthSim(FakeSimulator):
+            def get_depth(self):
+                # open space only in the LEFT view: the pano center shows
+                # lon = -heading (FakeSimulator convention), so turning
+                # left by 90 centers lon -90 -> pano col W/4
+                d = np.full((self.H, self.W), 0.5, np.float32)
+                c = self.W // 4
+                d[:, c - 6:c + 6] = 5.0
+                return d
+
+        solver = AEQASolver(gtsim_config(states_root=str(tmp_path)),
+                            PanoDepthSim(32, 128))
+        left = solver._view_depth(90.0)
+        front = solver._view_depth(0.0)
+        assert left is not None and front is not None
+        assert left.shape[1] == 32  # 90-deg slice of W=128
+        assert (left > 2).any() and not (front > 2).any()
+
+    def test_perspective_depth_passthrough(self, tmp_path):
+        class PerspDepthSim(FakeSimulator):
+            def get_depth(self):
+                return np.full((16, 16), 3.0, np.float32)
+
+        solver = AEQASolver(gtsim_config(states_root=str(tmp_path)),
+                            PerspDepthSim(32, 64))
+        d = solver._view_depth(90.0)
+        assert d.shape == (16, 16)

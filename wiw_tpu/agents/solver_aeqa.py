@@ -223,13 +223,13 @@ class AEQASolver(Solver):
             yaw = choose_view_yaw(int(view))
         except (TypeError, ValueError):
             return 0
-        get_depth = getattr(self.sim, "get_depth", None)
-        if get_depth is not None:
+        depth = self._view_depth(yaw)
+        if depth is not None:
             from wiw_tpu.agents.nav import compute_theta_deviation_from_depth
 
             try:
                 dev = compute_theta_deviation_from_depth(
-                    get_depth(), getattr(self, "obs_hfov", 90.0))
+                    depth, getattr(self, "obs_hfov", 90.0))
             except Exception:
                 dev = None
             if dev is not None:
@@ -240,6 +240,26 @@ class AEQASolver(Solver):
         for _ in range(turns):
             self.sim.step(action)
         return turns
+
+    def _view_depth(self, view_yaw_deg: float):
+        """The chosen view's depth crop: the pano depth rolled to the
+        view's yaw, front 90-deg slice (the reference reads the per-view
+        depth_surround_<view> sensor, solver_AEQA.py:604-608)."""
+        depth = getattr(self.sim, "get_depth", lambda: None)()
+        if depth is None:
+            return None
+        depth = np.asarray(depth)
+        if depth.ndim == 3:
+            depth = depth[..., 0]
+        H, W = depth.shape[:2]
+        if W < 2 * H:  # already a perspective depth map
+            return depth
+        from wiw_tpu.agents.solver import roll_pano_np
+
+        rolled = roll_pano_np(depth[..., None], view_yaw_deg)[..., 0]
+        hfov = getattr(self, "obs_hfov", 90.0)
+        half = int(round(W * hfov / 360.0 / 2))
+        return rolled[:, W // 2 - half: W // 2 + half]
 
     # -- high-level pre-imagination (solver_AEQA.py:585-672) -------------
     def parser_highlevel_plan_imagine(self, plans: List[dict]):
@@ -283,7 +303,7 @@ class AEQASolver(Solver):
                     deg = choose_view_yaw(int(view))
                 except (TypeError, ValueError):
                     continue
-                depth = getattr(self.sim, "get_depth", lambda: None)()
+                depth = self._view_depth(deg)
                 if depth is not None:
                     dev = compute_theta_deviation_from_depth(
                         depth, getattr(self, "obs_hfov", 90.0))
