@@ -572,3 +572,22 @@ class TestNavGeometryUtils:
         np.testing.assert_array_equal(rgba2rgb(rgba)[0, 0], [255, 255, 255])
         rgb = np.full((2, 2, 3), 9, np.uint8)
         np.testing.assert_array_equal(rgba2rgb(rgb), rgb)
+
+
+class TestWorldModelTypeMapping:
+    def test_model_family_to_category(self):
+        """WORLD_MODEL_TYPES role (vlm.py:27-33): zero-shot text models are
+        'text', post-trained FT* are 'FTtext' (pano path), igenex is
+        'action', pose engines 'camera'."""
+        from wiw_tpu.utils.config import solver_world_model_type as f
+
+        assert f("igenex") == "action"
+        assert f("igenex_manip") == "action"
+        assert f("ltx") == "text"
+        assert f("cosmos25") == "text"
+        assert f("svd") == "text"  # image-conditioned zero-shot
+        assert f("FTltx") == "FTtext"
+        assert f("FTwan22-14B") == "FTtext"
+        assert f("se3ds") == "camera"
+        assert f("GTsim") == "GTsim"
+        assert f("unknown-model") == ""

@@ -109,6 +109,13 @@ def main(argv=None):
 
         args.wm_type = (detect_wm_type_from_exp_id(args.exp_id)
                         or "igenex")
+    if not args.world_model_type:
+        # the imagination category follows the model family
+        # (set_world_model_type, solver_base.py:86-104): zero-shot text
+        # models take the perspective path, FT* the pano path, etc.
+        from wiw_tpu.utils.config import solver_world_model_type
+
+        args.world_model_type = solver_world_model_type(args.wm_type)
 
     from wiw_tpu.agents.datasets import AEQADataset, ARDataset, IGDataset
 

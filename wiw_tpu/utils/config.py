@@ -66,6 +66,26 @@ OUT_WIDTH_DEFAULT = 480  # workers_cfg.py:14-16
 OUT_HEIGHT_DEFAULT = 480
 
 
+# post-trained text-WM family: pano-path imagination like 'action'
+# (WORLD_MODEL_TYPES['FTtext'], vlm.py:27-33; imagine_by_model_type puts
+# 'FTtext' on the pano branch, solver_base.py:703)
+FTTEXT_MODELS = frozenset(
+    {"FTcosmos", "FTltx", "FTwan21", "FTwan22", "FTwan22-14B"})
+
+
+def solver_world_model_type(wm_name: str) -> str:
+    """Model name -> the solver's imagination category
+    ('action' | 'FTtext' | 'text' | 'camera' | 'GTsim'), the
+    WORLD_MODEL_TYPES table's role (vlm.py:27-33). '' when unknown."""
+    if wm_name in FTTEXT_MODELS:
+        return "FTtext"
+    entry = WM_REGISTRY.get(wm_name)
+    if not entry:
+        return ""
+    return {"action": "action", "text": "text", "image": "text",
+            "camera": "camera", "GTsim": "GTsim"}.get(entry["mode"], "")
+
+
 def detect_wm_type_from_exp_id(exp_id: str) -> str:
     """Auto-detect the world-model name from `_<model>` tokens in the
     experiment id (solver_base.py:84-103 set_world_model_type parity):
