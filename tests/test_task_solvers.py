@@ -1002,3 +1002,33 @@ class TestAEQAViewDepth:
                             PerspDepthSim(32, 64))
         d = solver._view_depth(90.0)
         assert d.shape == (16, 16)
+
+
+class TestAEQAImagineArtifacts:
+    def test_pre_imagination_persists(self, tmp_path):
+        """Simulated outcomes persist per candidate dir and record under
+        the imagine state keys (solver_AEQA.py:664-671, :1060-1071)."""
+        import os.path as osp
+
+        from wiw_tpu.agents.state import State
+
+        vlm = ScriptedVLM(plans=[
+            {"Reason": "a", "Action Plan": [], "Chosen View": 1,
+             "Chosen Landmark": "", "Answer": ""},
+            {"Reason": "b", "Action Plan": [], "Chosen View": 2,
+             "Chosen Landmark": "", "Answer": ""},
+            {"Reason": "c", "Action Plan": [], "Chosen View": 2,
+             "Chosen Landmark": "", "Answer": ""},
+        ])
+        solver = AEQASolver(gtsim_config(states_root=str(tmp_path)),
+                            FakeSimulator(), vlm=vlm)
+        st = State()
+        st.add_new_state({"step": 0})
+        frames, plans = solver.highlevel_imagine("q?", st,
+                                                 str(tmp_path / "wm"))
+        assert len(frames) == 2
+        paths = st.get_from_recent_state(solver.imagine_obs_key)
+        assert paths and all(osp.exists(p) for p in paths)
+        recorded = st.get_from_recent_state(solver.imagine_action_key)
+        assert recorded and len(recorded) == 3
+        assert all("Answer" not in p for p in recorded)

@@ -341,6 +341,22 @@ class AEQASolver(Solver):
                 for i in range(frames.shape[0])]
         keep = ("Reason", "Action Plan", "Chosen View", "Chosen Landmark")
         filtered = [{k: p.get(k) for k in keep if k in p} for p in plans]
+        # persist the simulated outcomes + record them under the imagine
+        # state keys (select_and_save_preds + imagine_obs/action_key,
+        # solver_AEQA.py:664-671, :1060-1071)
+        paths = []
+        for i, d in enumerate(out.get("save_dirs") or []):
+            if i >= len(last):
+                break
+            from wiw_tpu.agents.saver import save_image
+
+            p = f"{d}/{self.imagine_obs_key}.png"
+            save_image(p, last[i].astype(np.uint8))
+            paths.append(p)
+        if st.rows:
+            if paths:
+                st.add_to_recent_state(paths, key=self.imagine_obs_key)
+            st.add_to_recent_state(filtered, key=self.imagine_action_key)
         return last, filtered
 
     # -- low-level planner (solver_AEQA.py:674-752) ----------------------
