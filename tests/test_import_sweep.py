@@ -1,0 +1,21 @@
+"""Every wiw_tpu module imports cleanly — guards CLI/glue modules that no
+other test exercises (a syntax or import error in an entry point would
+otherwise only surface for an operator)."""
+
+import importlib
+import pkgutil
+
+import pytest
+
+import wiw_tpu
+
+MODULES = sorted(
+    m.name for m in pkgutil.walk_packages(wiw_tpu.__path__, "wiw_tpu.")
+    # native build helpers may require compiled artifacts; zoo workers
+    # import vendor SDKs lazily inside functions, so they sweep fine
+)
+
+
+@pytest.mark.parametrize("name", MODULES)
+def test_module_imports(name):
+    importlib.import_module(name)
