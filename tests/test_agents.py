@@ -591,3 +591,16 @@ class TestWorldModelTypeMapping:
         assert f("se3ds") == "camera"
         assert f("GTsim") == "GTsim"
         assert f("unknown-model") == ""
+
+
+class TestTopdownHeightColors:
+    def test_height_colored_points(self):
+        from wiw_tpu.agents.topdown import TopdownMap
+
+        m = TopdownMap([0, 0], [10, 10], resolution=64)
+        m.draw_points_by_height([[2, 2, 0.0], [8, 8, 3.0]])
+        low = m.canvas[m._to_px([2, 2])]
+        high = m.canvas[m._to_px([8, 8])]
+        assert low[2] > low[0]   # low floor -> blue-dominant
+        assert high[0] > high[2]  # high floor -> red-dominant
+        m.draw_points_by_height([])  # empty is a no-op

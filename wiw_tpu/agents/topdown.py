@@ -42,6 +42,22 @@ class TopdownMap:
                 j = j0 + (j1 - j0) * t // n
                 self.canvas[i, j] = color
 
+    def draw_points_by_height(self, points3d: Sequence,
+                              radius: int = 2) -> None:
+        """Draw 3-D trajectory points colored by their height — low floors
+        blue, high floors red (get_color_byheight / get_color_from_height,
+        recoder.py:146-165 role) so multi-floor trajectories separate
+        visually."""
+        pts = [np.asarray(p, float) for p in points3d]
+        if not pts:
+            return
+        heights = np.array([p[2] if len(p) > 2 else 0.0 for p in pts])
+        span = max(float(heights.max() - heights.min()), 1e-6)
+        for p, h in zip(pts, heights):
+            t = (float(h) - float(heights.min())) / span
+            color = (int(60 + 195 * t), 60, int(255 - 195 * t))
+            self.draw_point(p[:2], color=color, radius=radius)
+
     def save(self, path: str):
         from wiw_tpu.agents.saver import save_image
 
