@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# VLM policy server launcher (reference downstream/scripts/vllm_dsai.sh
+# role — behavior parity, original script): serve an OpenAI-compatible
+# multimodal VLM the solvers talk to over HTTP. The WM framework itself
+# is VLM-agnostic (agents/providers.py also speaks Anthropic/Gemini wire
+# formats); this launches the self-hosted default.
+#
+# Usage: scripts/init_vllm.sh <port> [model] [extra vllm args...]
+set -euo pipefail
+PORT="${1:?usage: init_vllm.sh <port> [model] [extra args]}"
+MODEL="${2:-Qwen/Qwen2.5-VL-72B-Instruct-AWQ}"
+shift $(( $# > 1 ? 2 : 1 ))
+
+if ! python3 -c "import vllm" 2>/dev/null; then
+  echo "[init_vllm] vllm is not installed on this host." >&2
+  echo "The solvers only need an OpenAI-compatible endpoint: point" >&2
+  echo "  --vllm_hosts <host:port>  (or --vlm_provider anthropic|gemini)" >&2
+  echo "at any existing server." >&2
+  exit 1
+fi
+
+# tensor parallelism follows the visible accelerator count
+TP=1
+if [[ -n "${CUDA_VISIBLE_DEVICES:-}" ]]; then
+  TP=$(echo "$CUDA_VISIBLE_DEVICES" | tr ',' '\n' | wc -l)
+fi
+CONTEXT_LEN="${VLLM_CONTEXT_LEN:-16384}"
+
+ARGS=("$MODEL" --trust-remote-code -tp "$TP"
+      --max-model-len "$CONTEXT_LEN"
+      --max-num-batched-tokens "$CONTEXT_LEN"
+      --port "$PORT"
+      --limit-mm-per-prompt image=48
+      --allowed-local-media-path /
+      --enable-chunked-prefill --enforce-eager
+      --max-num-seqs 12 --gpu-memory-utilization 0.95)
+if [[ "$MODEL" == *AWQ* ]]; then
+  ARGS+=(-q awq_marlin)
+fi
+
+LOG_DIR="logs/others"
+mkdir -p "$LOG_DIR"
+exec python3 -m vllm.entrypoints.openai.api_server --model "${ARGS[@]}" "$@" \
+  2>&1 | tee "$LOG_DIR/vllm_${PORT}.log"
