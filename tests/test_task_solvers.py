@@ -1032,3 +1032,48 @@ class TestAEQAImagineArtifacts:
         recorded = st.get_from_recent_state(solver.imagine_action_key)
         assert recorded and len(recorded) == 3
         assert all("Answer" not in p for p in recorded)
+
+
+class TestAEQAHierarchicalOverWire:
+    def test_pre_imagination_queries_wm_server(self, tmp_path):
+        """The hierarchical AEQA loop drives the REAL serving protocol:
+        candidate directions go to the WM manager as [stop]+all-forward
+        padded sequences with rolled panos (empty-prior seeds)."""
+        from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
+
+        seen = []
+
+        def fake_wm(input_dict):
+            acts = np.asarray(input_dict["b_action"])
+            seen.append(acts)
+            b, t = acts.shape[:2]
+            return {"save_dirs": list(input_dict["save_dirs"]),
+                    "pred_frames": np.zeros((b, t, 3, 8, 16), np.uint8)}
+
+        server = ManagerServer([InProcessExecutor(fake_wm)], port=17910)
+        port = server.start()
+        try:
+            plans = (
+                [{"Reason": "r", "Action Plan": [], "Chosen View": 1,
+                  "Chosen Landmark": "", "Answer": ""}] * 3
+                + [{"Reason": "d", "Action Plan": [], "Chosen View": 0,
+                    "Chosen Landmark": "", "Answer": "teal"}] * 2
+                + [{"Reason": "d", "Action Plan": [], "Chosen View": 0,
+                    "Chosen Landmark": "", "Answer": "teal"}] * 6
+            )
+            cfg = SolverConfig(task="AEQA", world_model_type="action",
+                               igenex_n_frame=6, wm_port=port,
+                               states_root=str(tmp_path))
+            solver = AEQASolver(cfg, FakeSimulator(), vlm=ScriptedVLM(
+                plans=plans), max_action_num=10, use_wm_imagination=True)
+            m = solver.run_episode(
+                {"question_id": "qw", "scene_id": "s", "question": "?",
+                 "answer": "teal"}, str(tmp_path / "wm"))
+            assert m["answer"] == "teal"
+        finally:
+            server.stop()
+        assert seen, "WM server never queried"
+        acts = seen[0]
+        # [stop] + all-forward padding for empty-prior direction seeds
+        assert acts.shape[1] == 6
+        assert (acts[:, 0] == 4).all() and (acts[:, 1:] == 1).all()
