@@ -1,0 +1,27 @@
+"""Test worker that dies once (before answering) when the payload asks it
+to — exercises the manager's restart-and-resubmit recovery path."""
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+from wiw_tpu.serve.worker import main_from_argv
+
+MARKER = os.environ.get("FLAKY_MARKER", "/tmp/flaky_worker_died")
+
+
+def task(input_dict):
+    extra = input_dict.get("extra") or {}
+    if extra.get("die") and not os.path.exists(MARKER):
+        open(MARKER, "w").write("died")
+        os._exit(17)  # crash mid-task, result never written
+    acts = np.asarray(input_dict["b_action"])
+    b = acts.shape[0]
+    frames = np.full((b, 2, 3, 4, 4), 9, np.uint8)
+    return {"save_dirs": list(input_dict["save_dirs"]),
+            "pred_frames": frames}
+
+
+if __name__ == "__main__":
+    main_from_argv(task)

@@ -305,3 +305,55 @@ class TestSubprocessExecutor:
             c.close()
         finally:
             server.stop()
+
+
+class TestWorkerRestart:
+    def test_dead_worker_restarts_and_replays_inflight(self, tmp_path):
+        """A crashed worker relaunches and its in-flight task is resubmitted
+        so the client still gets an answer (elastic-recovery extension of
+        the reference's log-and-skip, worker_manager.py:369-379)."""
+        import os
+        import sys
+
+        import numpy as np
+
+        from wiw_tpu.serve.manager import (
+            ManagerServer,
+            SubprocessExecutor,
+            WMClient,
+        )
+
+        marker = str(tmp_path / "died")
+        env = dict(os.environ)
+        env["FLAKY_MARKER"] = marker
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        ex = SubprocessExecutor(
+            [sys.executable, "tests/assets/flaky_worker.py"],
+            env=env, restart_on_death=True, max_restarts=2,
+        )
+        server = ManagerServer([ex], port=17930)
+        port = server.start()
+        try:
+            client = WMClient(port=port).connect()
+            ok = client.send_batch({
+                "b_action": np.ones((1, 2), np.int64),
+                "save_dirs": ["/tmp/a"],
+                "request_model_name": "flaky",
+                "return_objects": [True],
+            })
+            assert ok["pred_frames"].shape[0] == 1
+            # this one kills the worker BEFORE it answers; the manager
+            # restarts it and replays the task
+            out = client.send_batch({
+                "b_action": np.ones((1, 2), np.int64),
+                "save_dirs": ["/tmp/b"],
+                "request_model_name": "flaky",
+                "return_objects": [True],
+                "extra": {"die": True},
+            })
+            assert out["pred_frames"].shape[0] == 1
+            assert os.path.exists(marker)  # it really died once
+            assert ex._restarts == 1 and ex.alive
+        finally:
+            server.stop()

@@ -266,11 +266,21 @@ class SubprocessExecutor(Executor):
     results come back on the pipe (worker_manager.py:303-346).
     """
 
-    def __init__(self, cmd: List[str], env: Optional[dict] = None):
+    def __init__(self, cmd: List[str], env: Optional[dict] = None,
+                 restart_on_death: bool = False, max_restarts: int = 2):
         self.cmd = cmd
         self.env = env
         self.pending = 0
         self._lock = threading.Lock()
+        # elastic recovery (beyond the reference, which logs + removes the
+        # dead fd and tells the operator to restart manually,
+        # worker_manager.py:369-379 / docs/09:36): relaunch the subprocess
+        # and RESUBMIT its in-flight tasks so no client hangs
+        self.restart_on_death = restart_on_death
+        self.max_restarts = max_restarts
+        self._restarts = 0
+        self._stopping = False
+        self._inflight: Dict[tuple, dict] = {}
 
     def start(self, result_queue):
         self._results = result_queue
@@ -290,6 +300,7 @@ class SubprocessExecutor(Executor):
     def submit(self, client_id, task_id, payload):
         with self._lock:
             self.pending += 1
+            self._inflight[(client_id, task_id)] = payload
             write_pickled_fd(self.proc.stdin.fileno(), (client_id, task_id, payload))
             self.proc.stdin.flush()
 
@@ -298,6 +309,10 @@ class SubprocessExecutor(Executor):
             try:
                 cid, tid, result = read_pickled_fd(self.r_fd, watchdog_secs=1e9)
             except (EOFError, OSError):
+                if (self.restart_on_death and not self._stopping
+                        and self._restarts < self.max_restarts):
+                    self._restart()
+                    return  # the relaunch spawned a fresh reader thread
                 # dead worker: mark unavailable so dispatch skips it
                 # (the reference logs + removes the fd,
                 # worker_manager.py:369-379); the manager keeps serving on
@@ -307,12 +322,36 @@ class SubprocessExecutor(Executor):
                 break
             with self._lock:
                 self.pending -= 1
+                self._inflight.pop((cid, tid), None)
             self._results.put((cid, tid, result))
+
+    def _restart(self):
+        """Relaunch the worker and replay its in-flight tasks."""
+        with self._lock:
+            self._restarts += 1
+            print(f"[manager] worker died, restarting "
+                  f"({self._restarts}/{self.max_restarts}): {self.cmd}",
+                  flush=True)
+            try:
+                os.close(self.r_fd)
+            except OSError:
+                pass
+            try:
+                self.proc.kill()
+                self.proc.wait(timeout=5)
+            except Exception:
+                pass
+            self.start(self._results)
+            for (cid, tid), payload in list(self._inflight.items()):
+                write_pickled_fd(self.proc.stdin.fileno(),
+                                 (cid, tid, payload))
+            self.proc.stdin.flush()
 
     def stop(self):
         # Reap hard: a lingering child holds the inherited stdout/stderr
         # pipes open, which blocks pytest's output-capture teardown (the
         # round-1 suite hang). terminate -> wait -> kill -> wait.
+        self._stopping = True  # shutdown EOF must not trigger a restart
         try:
             self.proc.stdin.close()
         except Exception:
