@@ -26,7 +26,11 @@ from wiw_tpu.utils.config import WM_REGISTRY, parse_extra_cli
 def build_executors(args, extra):
     if args.external_cmd:
         return [
-            SubprocessExecutor(args.external_cmd.split())
+            SubprocessExecutor(
+                args.external_cmd.split(),
+                restart_on_death=not args.no_restart_workers,
+                max_restarts=args.max_worker_restarts,
+            )
             for _ in range(args.num_workers)
         ]
     spec = WM_REGISTRY.get(args.wm_type, {})
@@ -119,6 +123,10 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=1)
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--num_workers", type=int, default=1)
+    ap.add_argument("--no_restart_workers", action="store_true",
+                    help="disable the crashed-worker restart+replay "
+                         "(the reference's log-and-skip behavior)")
+    ap.add_argument("--max_worker_restarts", type=int, default=2)
     ap.add_argument("--unet_path", default="")
     ap.add_argument("--svd_path", default="")
     ap.add_argument("--out_width", type=int, default=480)
