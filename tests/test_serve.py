@@ -184,6 +184,8 @@ class TestStatsAndWorkerBase:
             stats = read_framed(c._sock)
             assert stats["requests"] == 1 and stats["items"] == 2
             assert stats["latency_avg"] > 0
+            assert stats["workers_alive"] >= 1
+            assert stats["worker_restarts"] == 0
             c.close()
         finally:
             server.stop()

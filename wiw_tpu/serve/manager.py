@@ -416,6 +416,9 @@ class ManagerServer:
             s = dict(self.stats)
         s["latency_avg"] = s["latency_sum"] / max(s["requests"], 1)
         s["pending"] = sum(e.pending for e in self.executors)
+        s["workers_alive"] = sum(1 for e in self.executors if e.alive)
+        s["worker_restarts"] = sum(
+            getattr(e, "_restarts", 0) for e in self.executors)
         return s
 
     # ------------------------------------------------------------------
