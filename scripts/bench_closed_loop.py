@@ -1,0 +1,132 @@
+"""On-chip CLOSED-LOOP benchmark: the production ARSolver drives the real
+SVD-dagger pipeline through the full product path —
+
+  solver -> framed-pickle wire -> manager -> continuous executor ->
+  compiled denoise (real 1.5B UNet, random-init) -> VAE decode ->
+  bbox-mask postprocess -> aligned crops -> next step
+
+on the real TPU chip. This is the end-to-end arrangement the reference
+runs on GPU hosts (init_solvers.sh + init_worldmodel_manager.sh); numbers
+quantify per-step imagination latency as the AGENT experiences it
+(candidates x denoise + wire + postprocess overheads), complementing
+bench.py (raw denoise) and bench_serving.py (server-side throughput).
+
+Run: python scripts/bench_closed_loop.py [--steps 2] [--candidates 2]
+     [--height 256 --width 256 --num_steps 25 --slots 4]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--candidates", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--num_steps", type=int, default=25)
+    ap.add_argument("--slots", type=int, default=4)
+    args = ap.parse_args()
+
+    from wiw_tpu.serve.manager import ManagerServer, WMClient
+    from wiw_tpu.serve.server_cli import make_continuous_executor
+    from wiw_tpu.workers.svd_action import SVDActionWorker
+
+    worker = SVDActionWorker(
+        width=args.width, height=args.height,
+        out_width=args.width, out_height=args.height,
+        num_inference_steps=args.num_steps,
+        num_frames=args.frames,
+    )
+    ex = make_continuous_executor(worker, args.slots)
+    server = ManagerServer([ex], port=17880)
+    port = server.start()
+    print(f"server on {port}", flush=True)
+
+    from wiw_tpu.agents.solver import FakeSemanticSimulator, SolverConfig
+    from wiw_tpu.agents.solver_ar import ARSolver
+
+    class _VLM:
+        """Never-confident answerer so the loop runs all steps."""
+
+        def classify(self, messages, n):
+            return 0, 0.5
+
+        def sample_action_seqs(self, messages, space, seq_len, num):
+            return [[space[i % len(space)]] * seq_len for i in range(num)]
+
+    # pano sized 2:1 around the generation height so the WM conditioning
+    # crop matches the engine bucket
+    sim = FakeSemanticSimulator(height=args.height, width=2 * args.height)
+    cfg = SolverConfig(
+        task="AR", world_model_type="action",
+        igenex_n_frame=args.frames, look_ahead_action_num=4,
+        query_num=args.candidates, wm_port=port,
+        states_root="/tmp/bench_closed_loop_states",
+    )
+    solver = ARSolver(
+        cfg, sim, vlm=_VLM(), object_set=["chair"], tts_ratio=1.0,
+        max_action_num=args.steps, query_num=args.candidates,
+        use_heuristic_policy=True, pred_obs_size=(256, 256),
+        use_igenex_planner=False, sam2_client=None,
+    )
+    datum = {"episode_id": 0, "scene_id": "bench",
+             "target_category": "chair", "target_semantic_ids": [7]}
+
+    from wiw_tpu.agents.state import State
+
+    st = State()
+    solver.interact(datum, st, 0)
+    # warmup: the first look-ahead compiles the engine
+    t0 = time.time()
+    crops = solver.forward_with_WM(datum, st, "/tmp/bench_closed_loop")
+    compile_s = time.time() - t0
+    print(f"warmup look-ahead (incl. compile): {compile_s:.1f}s, "
+          f"{len(crops)} crops", flush=True)
+
+    lat = []
+    for step in range(args.steps):
+        t0 = time.time()
+        crops = solver.forward_with_WM(datum, st, "/tmp/bench_closed_loop")
+        lat.append(time.time() - t0)
+        print(f"step {step}: look-ahead {lat[-1]:.2f}s "
+              f"({len(crops)} crops)", flush=True)
+        act = solver.pick_next_action(st)
+        from wiw_tpu.agents.solver import text_to_action_name
+
+        sim.step(text_to_action_name(act))
+        st.record_past_action(act)
+        solver.interact(datum, st, step + 1)
+
+    server.stop()
+    frames_per_lookahead = args.candidates * args.frames
+    mean_lat = sum(lat) / len(lat)
+    print(json.dumps({
+        "metric": "ar_closed_loop_lookahead_latency_s",
+        "value": round(mean_lat, 2),
+        "unit": "s per agent step "
+                f"({args.candidates} candidates x {args.frames}f "
+                f"@{args.width}x{args.height}, {args.num_steps} denoise)",
+        "frames_per_sec_through_full_loop": round(
+            frames_per_lookahead / mean_lat, 3),
+        "warmup_incl_compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

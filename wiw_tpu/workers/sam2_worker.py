@@ -47,20 +47,26 @@ class TemplateTracker:
         """Negative-SSD matching map of patch over window (valid mode).
 
         SSD is robust to zero-variance (flat) templates where NCC
-        degenerates.
+        degenerates. Vectorized: SSD = sum(p^2) - 2 p.w + sum(w^2) with
+        the cross term via FFT correlation and the window energies via a
+        box filter — the naive python double loop made the fallback
+        tracker the closed-loop hot spot (scripts/bench_closed_loop.py).
         """
         ph, pw = patch.shape[:2]
         wh, ww = window.shape[:2]
         out_h, out_w = wh - ph + 1, ww - pw + 1
         if out_h <= 0 or out_w <= 0:
             return np.full((1, 1), -np.inf, np.float32)
-        p = patch.astype(np.float32)
-        scores = np.empty((out_h, out_w), np.float32)
-        for i in range(out_h):
-            for j in range(out_w):
-                w = window[i:i + ph, j:j + pw].astype(np.float32)
-                scores[i, j] = -float(((p - w) ** 2).sum())
-        return scores
+        from scipy.signal import fftconvolve
+
+        p = patch.astype(np.float64)
+        w = window.astype(np.float64)
+        # cross-correlation p.w per offset = convolution with the flipped
+        # patch; 'valid' keeps exactly the (out_h, out_w) offsets
+        cross = fftconvolve(w, p[::-1, ::-1], mode="valid")
+        w2 = fftconvolve(w * w, np.ones((ph, pw)), mode="valid")
+        ssd = float((p * p).sum()) - 2.0 * cross + w2
+        return (-ssd).astype(np.float32)
 
     def track(self, frames: np.ndarray, bbox: np.ndarray):
         """frames [T, H, W, C]; bbox (x0, y0, x1, y1) on frame 0.
