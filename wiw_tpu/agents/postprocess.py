@@ -63,6 +63,24 @@ def front_crop(pano: np.ndarray, hfov_deg: float = 90.0,
     return np.clip(np.asarray(view), 0, 255).astype(pano.dtype)
 
 
+def front_crop_batch(panos: np.ndarray, hfov_deg: float = 90.0,
+                     size: Tuple[int, int] = (384, 512)) -> np.ndarray:
+    """Batched front crops [N, H, W, C] -> [N, h, w, C]: ONE warp dispatch
+    for the whole clip instead of a per-frame Python loop (the per-call
+    dispatch overhead dominated postprocess in the closed-loop bench)."""
+    import jax.numpy as jnp
+
+    from wiw_tpu.geo.equirect import equirect_to_perspective
+
+    panos = np.asarray(panos)
+    h, w = size
+    views = equirect_to_perspective(
+        jnp.asarray(panos.astype(np.float32)), fov_deg=hfov_deg,
+        height=h, width=w,
+    )
+    return np.clip(np.asarray(views), 0, 255).astype(panos.dtype)
+
+
 def generate_aligned_bbox_frames(
     rgb_frames: np.ndarray,
     mask_frames: np.ndarray,
@@ -88,10 +106,14 @@ def generate_aligned_bbox_frames(
         np.uint8
     ) * 255
     masks = roll_frames(mask_u8, shifts[:cut])
+    # one batched warp per clip (front_crop_batch) instead of 2*cut calls
+    crop_batch = front_crop_batch(rgbs, per_hfov, img_size)
+    mcrop_batch = front_crop_batch(masks.astype(np.uint8), per_hfov,
+                                   img_size)
     crops, bboxes = [], []
     for i in range(cut):
-        crop = front_crop(rgbs[i], per_hfov, img_size)
-        mcrop = front_crop(masks[i].astype(np.uint8), per_hfov, img_size)
+        crop = crop_batch[i]
+        mcrop = mcrop_batch[i]
         bb = mask_to_bbox(mcrop[..., 0] > 127)
         if bb["x_max"] > bb["x_min"] and bb["y_max"] > bb["y_min"]:
             if with_bbox:

@@ -141,15 +141,15 @@ class IGNavSolver(Solver):
                         ) -> List[List[np.ndarray]]:
         """ALL frames of each candidate as perspective views (the reward
         runs over the whole clip, solver_IGNav.py:546-596)."""
-        from wiw_tpu.agents.postprocess import front_crop
+        from wiw_tpu.agents.postprocess import front_crop_batch
 
         views = []
         for b in range(pred_frames.shape[0]):
-            frames = [np.transpose(f, (1, 2, 0)) for f in pred_frames[b]]
+            frames = np.transpose(pred_frames[b], (0, 2, 3, 1))
             if coord_type == "pano":
-                frames = [front_crop(f, 90.0, (f.shape[0], f.shape[0]))
-                          for f in frames]
-            views.append(frames)
+                H = frames.shape[1]
+                frames = front_crop_batch(frames, 90.0, (H, H))
+            views.append(list(frames))
         return views
 
     def pick_by_reward(self, goal_img: np.ndarray, pred_frames: np.ndarray,
