@@ -44,10 +44,20 @@ class _Slot:
 class ContinuousEngine:
     """Step-granular denoise engine over a fixed slot pool."""
 
-    def __init__(self, pipe, gen, num_slots: int = 4):
+    def __init__(self, pipe, gen, num_slots: int = 4, device=None):
+        """`device` pins this engine to one chip: params are replicated
+        onto it once and every compiled program (encode / step / decode)
+        runs there. One engine per chip + the manager's least-pending
+        dispatch = request-level serving parallelism across a pod slice
+        (the multi-chip analogue of the reference's one-GPU-per-worker
+        deployment, docs/03_run_commands.md:104-186). `device=None` keeps
+        the single-chip behavior (params read live from the pipeline)."""
         self.pipe = pipe
         self.gen = gen
         self.S = num_slots
+        self.device = device
+        self._params = (jax.device_put(pipe.params, device)
+                        if device is not None else None)
         cfg = pipe.unet_config
         scale = pipe.vae_config.spatial_scale
         self.F = gen.num_frames
@@ -57,6 +67,8 @@ class ContinuousEngine:
         self._slots = [_Slot() for _ in range(num_slots)]
         self._next_req = 0
         self._state = self._empty_state()
+        if device is not None:
+            self._state = jax.device_put(self._state, device)
         self._step_jit = jax.jit(self._step_once)
         self._encode_jit = jax.jit(self._encode_request)
         self._decode_jit = jax.jit(self._decode_slot)
@@ -64,6 +76,13 @@ class ContinuousEngine:
         # when the device result is ready: the host never blocks in-flight
         # Euler steps on a decode d2h transfer (VERDICT r2 weak #7)
         self._pending_decodes: List[tuple] = []
+
+    @property
+    def params(self):
+        """Pinned engines hold their own device-resident replica; unpinned
+        engines read live from the pipeline (so e.g. quantize_unet() after
+        construction still takes effect)."""
+        return self._params if self._params is not None else self.pipe.params
 
     # ---------------- device state ------------------------------------
     def _empty_state(self) -> Dict[str, jnp.ndarray]:
@@ -217,7 +236,7 @@ class ContinuousEngine:
             return None
         i = free[0]
         payload = self._encode_jit(
-            self.pipe.params, key, jnp.asarray(image),
+            self.params, key, jnp.asarray(image),
             jnp.asarray(actions) if actions is not None else None,
         )
         st = self._state
@@ -257,12 +276,12 @@ class ContinuousEngine:
         the decode's device->host transfer."""
         stepping = any(s.active for s in self._slots)
         if stepping:
-            self._state = self._step_jit(self.pipe.params, self._state)
+            self._state = self._step_jit(self.params, self._state)
             done_idx = np.asarray(self._state["sigma_idx"]) >= self.num_steps
             for i, slot in enumerate(self._slots):
                 if slot.active and done_idx[i]:
                     video = self._decode_jit(
-                        self.pipe.params, self._state["latents"][i][None]
+                        self.params, self._state["latents"][i][None]
                     )  # async dispatch — no host sync here
                     self._pending_decodes.append((slot.request_id, video))
                     self._slots[i] = _Slot()

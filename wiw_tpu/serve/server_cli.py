@@ -55,24 +55,35 @@ def build_executors(args, extra):
     if args.warmup_batches:
         worker.warmup(tuple(int(b) for b in args.warmup_batches.split(",")))
     if args.executor == "continuous":
-        execs = [make_continuous_executor(worker, args.num_slots)]
+        import jax
+
+        # --per_device: one pinned engine per local chip (params replicated
+        # onto each; least-pending dispatch spreads requests across chips) —
+        # the pod-slice analogue of the reference's one-GPU-per-worker
+        # deployment (docs/03_run_commands.md:104-186)
+        devices = jax.local_devices() if args.per_device else [None]
+        execs = [make_continuous_executor(worker, args.num_slots, device=d)
+                 for d in devices]
         execs[0].is_default = True
         # extra generation buckets share the resident params: one engine
         # (own compiled executables + slot pool) per (H, W); requests route
         # by extra['gen_size'] (manager.dispatch accepts-filter)
         for spec_str in filter(None, (args.buckets or "").split(",")):
-            h, w = (int(x) for x in spec_str.lower().split("x"))
-            execs.append(make_continuous_executor(
-                worker, args.num_slots, bucket=(h, w)))
+            for d in devices:
+                h, w = (int(x) for x in spec_str.lower().split("x"))
+                execs.append(make_continuous_executor(
+                    worker, args.num_slots, bucket=(h, w), device=d))
         return execs
     return [InProcessExecutor(worker, max_batch=args.max_batch)]
 
 
-def make_continuous_executor(worker, num_slots: int, bucket=None):
+def make_continuous_executor(worker, num_slots: int, bucket=None,
+                             device=None):
     """Step-level continuous batching over the worker's pipeline
     (serve/continuous.py): items join between Euler steps. `bucket`
     = (height, width) for a non-default generation size sharing the same
-    resident params."""
+    resident params; `device` pins the engine (and a params replica) to
+    one chip for per-device request parallelism."""
     import dataclasses
 
     import numpy as np
@@ -83,7 +94,8 @@ def make_continuous_executor(worker, num_slots: int, bucket=None):
     gen = worker.gen
     if bucket is not None:
         gen = dataclasses.replace(gen, height=bucket[0], width=bucket[1])
-    engine = ContinuousEngine(worker.pipe, gen, num_slots=num_slots)
+    engine = ContinuousEngine(worker.pipe, gen, num_slots=num_slots,
+                              device=device)
 
     def encode_item(payload, i):
         images = worker._load_cond_images(payload)  # [B, H, W, 3] in [-1,1]
@@ -139,6 +151,10 @@ def main(argv=None):
                          "claims a denoise slot and joins BETWEEN Euler "
                          "steps; 'batch' = whole-request micro-batching")
     ap.add_argument("--num_slots", type=int, default=4)
+    ap.add_argument("--per_device", action="store_true",
+                    help="one pinned continuous engine per local chip "
+                         "(params replicated; least-pending dispatch "
+                         "spreads requests across chips)")
     ap.add_argument("--buckets", default="",
                     help="extra continuous-engine generation buckets, "
                          "e.g. '256x256,320x576'; requests select one via "
