@@ -1,0 +1,310 @@
+"""Exactness anchors for the metric towers (I3D / LPIPS) vs torch goldens.
+
+Pattern follows tests/test_unet_exactness.py: build the torch reference
+architecture (the upstream pytorch-I3D used by the reference's FVD
+backends, evaluation/FVD/calculate_fvd.py:15-78, and the `lpips` package
+used by calculate_lpips.py) at RANDOM weights, convert the torch
+state-dict through our loaders, and diff the forward passes. A layout bug
+(padding alignment, transposed conv kernel, pooling off-by-one) in either
+tower would silently corrupt every future FVD/LPIPS parity number; this
+pins the architecture before real weights ever arrive.
+
+The torch models here are written from the published architecture
+descriptions (Inception-v1 I3D, Kinetics-400; torchvision AlexNet trunk +
+LPIPS linear heads) — no code is copied from the reference tree.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF  # noqa: E402
+from torch import nn  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# torch I3D golden: TF-SAME padding (pad_front = total // 2) like the
+# upstream pytorch_i3d's compute_pad + F.pad
+# --------------------------------------------------------------------------
+
+
+def _same_pad_3d(x, kernel, stride):
+    pads = []
+    for d in (4, 3, 2):  # W, H, T order for F.pad
+        i = d - 2
+        s = x.shape[d]
+        out = math.ceil(s / stride[i])
+        total = max(0, (out - 1) * stride[i] + kernel[i] - s)
+        pads += [total // 2, total - total // 2]
+    return TF.pad(x, pads)
+
+
+class TUnit3D(nn.Module):
+    def __init__(self, cin, cout, kernel=(1, 1, 1), stride=(1, 1, 1),
+                 use_bn=True, use_relu=True):
+        super().__init__()
+        self.kernel, self.stride = kernel, stride
+        self.use_bn, self.use_relu = use_bn, use_relu
+        self.conv3d = nn.Conv3d(cin, cout, kernel, stride, padding=0,
+                                bias=not use_bn)
+        if use_bn:
+            self.bn = nn.BatchNorm3d(cout, eps=1e-3, momentum=0.01)
+
+    def forward(self, x):
+        x = self.conv3d(_same_pad_3d(x, self.kernel, self.stride))
+        if self.use_bn:
+            x = self.bn(x)
+        if self.use_relu:
+            x = TF.relu(x)
+        return x
+
+
+class TMaxPoolSame(nn.Module):
+    def __init__(self, kernel, stride):
+        super().__init__()
+        self.kernel, self.stride = kernel, stride
+
+    def forward(self, x):
+        # upstream pads maxpool inputs with ZEROS; all its inputs are
+        # post-relu so this equals -inf padding
+        return TF.max_pool3d(_same_pad_3d(x, self.kernel, self.stride),
+                             self.kernel, self.stride)
+
+
+class TInception(nn.Module):
+    def __init__(self, cin, spec):
+        super().__init__()
+        self.b0 = TUnit3D(cin, spec[0])
+        self.b1a = TUnit3D(cin, spec[1])
+        self.b1b = TUnit3D(spec[1], spec[2], (3, 3, 3))
+        self.b2a = TUnit3D(cin, spec[3])
+        self.b2b = TUnit3D(spec[3], spec[4], (3, 3, 3))
+        self.pool = TMaxPoolSame((3, 3, 3), (1, 1, 1))
+        self.b3b = TUnit3D(cin, spec[5])
+
+    def forward(self, x):
+        return torch.cat([
+            self.b0(x), self.b1b(self.b1a(x)), self.b2b(self.b2a(x)),
+            self.b3b(self.pool(x)),
+        ], dim=1)
+
+
+_SPECS = {
+    "Mixed_3b": (64, 96, 128, 16, 32, 32),
+    "Mixed_3c": (128, 128, 192, 32, 96, 64),
+    "Mixed_4b": (192, 96, 208, 16, 48, 64),
+    "Mixed_4c": (160, 112, 224, 24, 64, 64),
+    "Mixed_4d": (128, 128, 256, 24, 64, 64),
+    "Mixed_4e": (112, 144, 288, 32, 64, 64),
+    "Mixed_4f": (256, 160, 320, 32, 128, 128),
+    "Mixed_5b": (256, 160, 320, 32, 128, 128),
+    "Mixed_5c": (384, 192, 384, 48, 128, 128),
+}
+
+
+def _cout(spec):
+    return spec[0] + spec[2] + spec[4] + spec[5]
+
+
+class TorchI3D(nn.Module):
+    """Inception-v1 I3D with the upstream checkpoint's module names, so
+    state_dict() round-trips through wiw_tpu.eval.fvd.load_i3d_weights."""
+
+    def __init__(self, num_classes=400):
+        super().__init__()
+        self.Conv3d_1a_7x7 = TUnit3D(3, 64, (7, 7, 7), (2, 2, 2))
+        self.pool_2a = TMaxPoolSame((1, 3, 3), (1, 2, 2))
+        self.Conv3d_2b_1x1 = TUnit3D(64, 64)
+        self.Conv3d_2c_3x3 = TUnit3D(64, 192, (3, 3, 3))
+        self.pool_3a = TMaxPoolSame((1, 3, 3), (1, 2, 2))
+        cin = 192
+        for name in ("Mixed_3b", "Mixed_3c"):
+            setattr(self, name, TInception(cin, _SPECS[name]))
+            cin = _cout(_SPECS[name])
+        self.pool_4a = TMaxPoolSame((3, 3, 3), (2, 2, 2))
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e",
+                     "Mixed_4f"):
+            setattr(self, name, TInception(cin, _SPECS[name]))
+            cin = _cout(_SPECS[name])
+        self.pool_5a = TMaxPoolSame((2, 2, 2), (2, 2, 2))
+        for name in ("Mixed_5b", "Mixed_5c"):
+            setattr(self, name, TInception(cin, _SPECS[name]))
+            cin = _cout(_SPECS[name])
+        self.logits = TUnit3D(cin, num_classes, use_bn=False, use_relu=False)
+
+    def forward(self, x):  # x: [B, 3, T, 224, 224] in [-1, 1]
+        x = self.Conv3d_1a_7x7(x)
+        x = self.pool_2a(x)
+        x = self.Conv3d_2c_3x3(self.Conv3d_2b_1x1(x))
+        x = self.pool_3a(x)
+        x = self.Mixed_3c(self.Mixed_3b(x))
+        x = self.pool_4a(x)
+        for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e",
+                     "Mixed_4f"):
+            x = getattr(self, name)(x)
+        x = self.pool_5a(x)
+        x = self.Mixed_5c(self.Mixed_5b(x))
+        # upstream head: AvgPool3d((2, 7, 7), stride 1) -> logits conv ->
+        # temporal mean
+        pooled = TF.avg_pool3d(x, (2, 7, 7), stride=1)  # [B,1024,T'-1,1,1]
+        logits = self.logits(pooled)[:, :, :, 0, 0].mean(dim=2)
+        return pooled[:, :, :, 0, 0].mean(dim=2), logits
+
+
+def _randomize_bn(model, gen):
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm3d):
+            with torch.no_grad():
+                m.running_mean.copy_(
+                    torch.randn(m.running_mean.shape, generator=gen) * 0.3)
+                m.running_var.copy_(
+                    torch.rand(m.running_var.shape, generator=gen) + 0.5)
+                m.weight.copy_(
+                    torch.rand(m.weight.shape, generator=gen) + 0.5)
+                m.bias.copy_(
+                    torch.randn(m.bias.shape, generator=gen) * 0.1)
+
+
+@pytest.mark.slow
+def test_i3d_exactness(tmp_path):
+    """Random-weight torch I3D -> load_i3d_weights -> identical features."""
+    gen = torch.Generator().manual_seed(0)
+    model = TorchI3D().eval()
+    # shrink conv init spread so 22 layers of relu don't blow up the scale
+    for m in model.modules():
+        if isinstance(m, nn.Conv3d):
+            with torch.no_grad():
+                m.weight.copy_(torch.randn(m.weight.shape, generator=gen)
+                               * (1.2 / math.sqrt(m.weight[0].numel())))
+                if m.bias is not None:
+                    m.bias.copy_(torch.randn(m.bias.shape, generator=gen)
+                                 * 0.05)
+    _randomize_bn(model, gen)
+
+    # state_dict keys must look like the published checkpoint's
+    keys = set(model.state_dict().keys())
+    assert "Conv3d_1a_7x7.conv3d.weight" in keys
+    assert "Mixed_3b.b0.bn.running_mean" in keys
+    assert "logits.conv3d.bias" in keys
+    path = tmp_path / "i3d_random.pt"
+    torch.save(model.state_dict(), path)
+
+    from wiw_tpu.eval.fvd import InceptionI3d, load_i3d_weights
+
+    variables = load_i3d_weights(str(path))
+
+    B, T = 1, 14
+    rng = np.random.default_rng(1)
+    video = rng.uniform(-1.0, 1.0, (B, T, 224, 224, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t_pooled, t_logits = model(
+            torch.from_numpy(video).permute(0, 4, 1, 2, 3))
+
+    j_pooled, j_logits = jax.jit(InceptionI3d().apply)(
+        variables, jnp.asarray(video))
+
+    np.testing.assert_allclose(np.asarray(j_pooled), t_pooled.numpy(),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# torch LPIPS golden: torchvision-AlexNet trunk + lpips lin heads
+# --------------------------------------------------------------------------
+
+_SHIFT = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+_SCALE = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+
+class TorchAlexFeats(nn.Module):
+    """torchvision alexnet.features trunk with the 5 LPIPS relu taps."""
+
+    def __init__(self):
+        super().__init__()
+        # indices match torchvision's nn.Sequential layout so the fake
+        # checkpoint uses the published key names net.features.N.*
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(),           # 0, 1
+            nn.MaxPool2d(3, 2),                               # 2
+            nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(),          # 3, 4
+            nn.MaxPool2d(3, 2),                               # 5
+            nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),         # 6, 7
+            nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),         # 8, 9
+            nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(),         # 10, 11
+        )
+
+    def forward(self, x):
+        taps, out = [], x
+        for i, layer in enumerate(self.features):
+            out = layer(out)
+            if i in (1, 4, 7, 9, 11):
+                taps.append(out)
+        return taps
+
+
+def _torch_lpips(net, lins, img1, img2):
+    """The lpips package's forward: scale -> features -> unit-normalize ->
+    squared diff -> 1x1 lin head -> spatial mean -> sum over layers."""
+
+    def norm(f):
+        return f / torch.sqrt((f ** 2).sum(dim=1, keepdim=True) + 1e-10)
+
+    x1 = (img1 * 2.0 - 1.0 - _SHIFT) / _SCALE
+    x2 = (img2 * 2.0 - 1.0 - _SHIFT) / _SCALE
+    total = 0.0
+    for f1, f2 in zip(net(x1), net(x2)):
+        d = (norm(f1) - norm(f2)) ** 2
+        w = lins.pop(0).view(1, -1, 1, 1)
+        total = total + (d * w).sum(dim=1).mean(dim=(1, 2))
+    return total
+
+
+@pytest.mark.fast
+def test_lpips_exactness(tmp_path):
+    gen = torch.Generator().manual_seed(0)
+    net = TorchAlexFeats().eval()
+    for m in net.modules():
+        if isinstance(m, nn.Conv2d):
+            with torch.no_grad():
+                m.weight.copy_(torch.randn(m.weight.shape, generator=gen)
+                               * (1.0 / math.sqrt(m.weight[0].numel())))
+                m.bias.copy_(torch.randn(m.bias.shape, generator=gen) * 0.05)
+
+    chans = (64, 192, 384, 256, 256)
+    lin_ws = [torch.rand(1, c, 1, 1, generator=gen) * 0.1 for c in chans]
+
+    # fake checkpoint in the published lpips + torchvision key layout
+    sd = {}
+    for i, w in enumerate(lin_ws):
+        sd[f"lin{i}.model.1.weight"] = w
+    for n, layer in enumerate(net.features):
+        if isinstance(layer, nn.Conv2d):
+            sd[f"net.features.{n}.weight"] = layer.weight.detach()
+            sd[f"net.features.{n}.bias"] = layer.bias.detach()
+    path = tmp_path / "lpips_random.pth"
+    torch.save(sd, path)
+
+    from wiw_tpu.eval.lpips import LPIPS, load_lpips_weights
+
+    params = load_lpips_weights(str(path))
+
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0.0, 1.0, (2, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(0.0, 1.0, (2, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        t = _torch_lpips(
+            net, [w.clone() for w in lin_ws],
+            torch.from_numpy(a).permute(0, 3, 1, 2),
+            torch.from_numpy(b).permute(0, 3, 1, 2))
+
+    j = jax.jit(LPIPS().apply)({"params": params}, jnp.asarray(a),
+                               jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(j), t.numpy(), rtol=1e-4,
+                               atol=1e-5)

@@ -38,7 +38,14 @@ _MIXED_SPECS = {
 
 
 class Unit3D(nn.Module):
-    """conv3d (no bias) + batchnorm (inference stats) + relu."""
+    """conv3d (no bias) + batchnorm (inference stats) + relu.
+
+    Padding is TF-style SAME (pad_before = total // 2), matching the
+    upstream pytorch I3D's dynamic `compute_pad` + F.pad — NOT the
+    symmetric k//2 torch default. For stride-2 stages the two conventions
+    shift the sampling grid by one pixel, which changes every downstream
+    feature; flax's "SAME" maps to the identical XLA padding rule.
+    """
 
     features: int
     kernel: tuple = (1, 1, 1)
@@ -48,9 +55,8 @@ class Unit3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad = tuple((k // 2, k // 2) for k in self.kernel)
         x = nn.Conv(
-            self.features, self.kernel, strides=self.strides, padding=pad,
+            self.features, self.kernel, strides=self.strides, padding="SAME",
             use_bias=not self.use_bn, name="conv3d",
         )(x)
         if self.use_bn:
@@ -72,9 +78,7 @@ class InceptionModule(nn.Module):
         b1 = Unit3D(self.spec[2], (3, 3, 3), name="b1b")(b1)
         b2 = Unit3D(self.spec[3], name="b2a")(x)
         b2 = Unit3D(self.spec[4], (3, 3, 3), name="b2b")(b2)
-        b3 = nn.max_pool(
-            x, (3, 3, 3), strides=(1, 1, 1), padding=((1, 1), (1, 1), (1, 1))
-        )
+        b3 = nn.max_pool(x, (3, 3, 3), strides=(1, 1, 1), padding="SAME")
         b3 = Unit3D(self.spec[5], name="b3b")(b3)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
@@ -87,19 +91,24 @@ class InceptionI3d(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a_7x7")(x)
-        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), ((0, 0), (1, 1), (1, 1)))
+        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), "SAME")
         x = Unit3D(64, name="Conv3d_2b_1x1")(x)
         x = Unit3D(192, (3, 3, 3), name="Conv3d_2c_3x3")(x)
-        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), ((0, 0), (1, 1), (1, 1)))
+        x = nn.max_pool(x, (1, 3, 3), (1, 2, 2), "SAME")
         x = InceptionModule(_MIXED_SPECS["Mixed_3b"], name="Mixed_3b")(x)
         x = InceptionModule(_MIXED_SPECS["Mixed_3c"], name="Mixed_3c")(x)
-        x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), ((1, 1), (1, 1), (1, 1)))
+        x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), "SAME")
         for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
             x = InceptionModule(_MIXED_SPECS[name], name=name)(x)
-        x = nn.max_pool(x, (2, 2, 2), (2, 2, 2), "VALID")
+        x = nn.max_pool(x, (2, 2, 2), (2, 2, 2), "SAME")
         x = InceptionModule(_MIXED_SPECS["Mixed_5b"], name="Mixed_5b")(x)
         x = InceptionModule(_MIXED_SPECS["Mixed_5c"], name="Mixed_5c")(x)
-        pooled = jnp.mean(x, axis=(2, 3))  # spatial avg -> [B, T', 1024]
+        # upstream head: AvgPool3d((2, 7, 7), stride 1) — full 7x7 spatial
+        # mean but a sliding temporal pair-average (NOT a plain temporal
+        # mean: end frames weigh half) — then the 1x1x1 logits conv and a
+        # temporal mean over the T'-1 pair positions.
+        pooled = jnp.mean(x, axis=(2, 3))  # [B, T', 1024]
+        pooled = 0.5 * (pooled[:, 1:] + pooled[:, :-1])  # [B, T'-1, 1024]
         logits = Unit3D(
             self.num_classes, use_relu=False, use_bn=False, name="logits"
         )(pooled[:, :, None, None, :])[:, :, 0, 0, :]
