@@ -1,0 +1,359 @@
+"""One-command real-weight readiness: checkpoint dir -> FVD-parity pipeline.
+
+The moment real SVD-dagger weights arrive (the env here has zero egress,
+so they never have), this script proves the whole chain in one run:
+
+  1. convert      diffusers safetensors -> flax trees (models/convert.py)
+  2. forward diff converted flax UNet vs the vendored torch fork loaded
+                  from the SAME checkpoint (layer-by-layer activation diff
+                  via models/diff_tools on mismatch)
+  3. generate     one real clip through SVDPipeline.generate
+  4. metrics      FVD / LPIPS / SSIM / PSNR vs a reference-outputs dir
+                  (evaluation/FVD/cal_4metrics.py:9-78 protocol), when
+                  reference clips and metric weights are provided
+
+Reference load path being reproduced: FTsvd/eval_inference.py:115-146
+(UNet from_pretrained + SVD base VAE/CLIP) and workers_cfg.py:26-30.
+
+Dry-run mode (exercised in CI, tests/test_validate_real_weights.py):
+builds a TINY random checkpoint in the exact diffusers layout via the
+vendored torch fork, then runs every stage against it.
+
+Usage:
+  python scripts/validate_real_weights.py --checkpoint /path/to/ckpt \
+      [--vae /path] [--clip /path] [--ref-outputs /path/*.npz] \
+      [--height 256 --width 256 --steps 25] [--out /tmp/validate_out]
+  python scripts/validate_real_weights.py --dry-run
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_FORK = "/root/reference/FTsvd/diffusers-private"
+
+
+def log(stage, status, msg=""):
+    print(f"[validate] {stage:<14} {status:<6} {msg}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+def stage_convert(unet_dir):
+    from wiw_tpu.models.convert import load_unet, load_unet_config
+
+    cfg = load_unet_config(unet_dir)
+    params = load_unet(unet_dir)
+    import jax
+
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    log("convert", "PASS", f"{n/1e9:.4f}B params, {cfg.block_out_channels}")
+    return cfg, params
+
+
+def stage_forward_diff(unet_dir, cfg, params, tol=5e-3):
+    """Compare one forward vs the torch fork loaded from the checkpoint."""
+    try:
+        import torch
+    except ImportError:
+        log("forward-diff", "SKIP", "torch not available")
+        return True
+    if not os.path.isdir(REF_FORK):
+        log("forward-diff", "SKIP", "reference fork not present")
+        return True
+    if REF_FORK not in sys.path:
+        sys.path.insert(0, REF_FORK)
+    from diffusers.models.unets.unet_spatio_temporal_condition import (
+        UNetSpatioTemporalConditionModel,
+    )
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wiw_tpu.models.unet import UNetSpatioTemporal
+
+    # the reference's exact load path (eval_inference.py:115-146): action
+    # config rides as from_pretrained kwargs, not config.json entries
+    extra = {}
+    if cfg.action_strategy is not None:
+        extra = {"action_strategy": cfg.action_strategy,
+                 "action_input_channel": cfg.action_input_channel}
+    ref = UNetSpatioTemporalConditionModel.from_pretrained(
+        unet_dir, torch_dtype=torch.float32, num_frames=cfg.num_frames,
+        **extra).eval()
+
+    F = cfg.num_frames
+    h = w = 16
+    rng = np.random.default_rng(0)
+    sample = rng.standard_normal((1, F, cfg.in_channels, h, w)).astype("f4")
+    context = rng.standard_normal((1, 1, cfg.cross_attention_dim)).astype("f4")
+    atids = np.array([[6.0, 127.0, 0.02]], "f4")
+    kwargs = {}
+    action_np = None
+    if cfg.action_strategy == "micro_cond":
+        action_np = rng.standard_normal(
+            (1, F, cfg.action_input_channel)).astype("f4")
+        kwargs["added_action_ids"] = torch.from_numpy(action_np)
+    elif cfg.action_strategy in ("action_block", "action_block_nocfg"):
+        action_np = rng.standard_normal((1, F, 4)).astype("f4")
+        kwargs["added_action_ids"] = torch.from_numpy(action_np)
+
+    # grad-enabled on purpose: the fork's no-grad micro_cond branch assumes
+    # a CFG-folded sample batch (2B rows per B action rows,
+    # unet_spatio_temporal_condition.py:478-482); the grad path matches the
+    # per-row convention used here and in tests/test_unet_exactness.py
+    with torch.set_grad_enabled(True):
+        ref_out = ref(
+            torch.from_numpy(sample), torch.tensor([10.0]),
+            torch.from_numpy(context), torch.from_numpy(atids),
+            return_dict=False, **kwargs,
+        )[0].detach().numpy()
+
+    model = UNetSpatioTemporal(cfg)
+    ours = jax.jit(lambda p, s, t, c, a, ai: model.apply(
+        {"params": p}, s, t, c, a, ai))(
+        params,
+        jnp.asarray(np.moveaxis(sample, 2, -1)),
+        jnp.full((1,), 10.0),
+        jnp.asarray(context),
+        jnp.asarray(atids),
+        jnp.asarray(action_np) if action_np is not None else None,
+    )
+    ours = np.moveaxis(np.asarray(ours), -1, 2)
+    diff = float(np.abs(ours - ref_out).max())
+    if diff < tol:
+        log("forward-diff", "PASS", f"max abs {diff:.2e} < {tol}")
+        return True
+    log("forward-diff", "FAIL", f"max abs {diff:.2e} >= {tol}; "
+        "running layer-by-layer activation diff")
+    try:
+        from wiw_tpu.models.diff_tools import (
+            capture_flax_activations, capture_torch_activations,
+            compare_activations, summarize,
+        )
+
+        t_acts = capture_torch_activations(ref, lambda: ref(
+            torch.from_numpy(sample), torch.tensor([10.0]),
+            torch.from_numpy(context), torch.from_numpy(atids),
+            return_dict=False, **kwargs))
+        f_acts = capture_flax_activations(
+            model, {"params": params},
+            jnp.asarray(np.moveaxis(sample, 2, -1)), jnp.full((1,), 10.0),
+            jnp.asarray(context), jnp.asarray(atids),
+            jnp.asarray(action_np) if action_np is not None else None)
+        print(summarize(compare_activations(f_acts, t_acts)))
+    except Exception as e:  # diff tooling must not mask the FAIL verdict
+        print(f"[validate] activation diff unavailable: {e!r}")
+    return False
+
+
+def stage_generate(cfg, params, vae_dir, clip_dir, height, width, steps,
+                   out_dir, dry_run=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wiw_tpu.sampling.pipeline import (
+        GenerationConfig, SVDPipeline, to_uint8,
+    )
+
+    gen = GenerationConfig(height=height, width=width,
+                           num_frames=cfg.num_frames,
+                           num_inference_steps=steps,
+                           task_type="navigation")
+    if dry_run:
+        # tiny frozen towers sized to the tiny UNet (CLIP projection must
+        # equal the UNet's cross_attention_dim; real checkpoints match the
+        # production defaults)
+        from wiw_tpu.models.clip import CLIPVisionConfig
+        from wiw_tpu.models.vae import VAEConfig
+
+        pipe = SVDPipeline(
+            cfg,
+            VAEConfig(block_out_channels=(8, 8, 8), layers_per_block=1),
+            CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                             num_layers=1, num_heads=2, patch_size=56,
+                             projection_dim=cfg.cross_attention_dim),
+        )
+    else:
+        pipe = SVDPipeline(cfg)
+    # VAE/CLIP: converted when provided, random-init otherwise (dry run)
+    pipe.init_params(jax.random.PRNGKey(0), gen)
+    pipe.params["unet"] = params
+    if vae_dir:
+        from wiw_tpu.models.convert import convert_state_dict, load_safetensors_dir
+
+        pipe.params["vae"] = convert_state_dict(load_safetensors_dir(vae_dir))
+    if clip_dir:
+        from wiw_tpu.models.convert import convert_state_dict, load_safetensors_dir
+
+        pipe.params["clip"] = convert_state_dict(load_safetensors_dir(clip_dir))
+    pipe.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim > 1 else x, pipe.params)
+
+    rng = np.random.default_rng(1)
+    image = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (1, height, width, 3)).astype("f4"))
+    actions = None
+    if cfg.action_strategy is not None:
+        actions = jnp.asarray(
+            rng.integers(0, 3, (1, cfg.num_frames)).astype("i4"))
+    t0 = time.perf_counter()
+    video = pipe.generate(jax.random.PRNGKey(2), image, gen, actions=actions)
+    video = np.asarray(video)
+    dt = time.perf_counter() - t0
+    if not np.isfinite(video).all():
+        log("generate", "FAIL", "non-finite frames")
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez_compressed(os.path.join(out_dir, "clip.npz"),
+                        video=to_uint8(video))
+    log("generate", "PASS",
+        f"{video.shape} in {dt:.1f}s -> {out_dir}/clip.npz")
+    return video
+
+
+def stage_metrics(video, ref_outputs, i3d_weights, lpips_weights):
+    import numpy as np
+
+    from wiw_tpu.eval.metrics import psnr, ssim
+
+    if not ref_outputs or not os.path.exists(ref_outputs):
+        log("metrics", "SKIP", "no --ref-outputs dir")
+        return True
+    import glob
+
+    files = sorted(glob.glob(os.path.join(ref_outputs, "*.npz")))
+    if not files:
+        log("metrics", "SKIP", f"no npz clips in {ref_outputs}")
+        return True
+    ref = np.stack([np.load(f)["video"] for f in files]).astype("f4")
+    if ref.ndim == 6:  # [N, B, F, H, W, C] -> merge
+        ref = ref.reshape((-1,) + ref.shape[2:])
+    if ref.max() > 1.5:
+        ref = ref / 255.0
+    ours = np.repeat(video, len(ref), axis=0) if video.shape[0] == 1 else video
+    n = min(len(ours), len(ref))
+    ours, ref = ours[:n], ref[:n]
+    vals = {
+        "psnr": float(np.mean(psnr(ours, ref))),
+        "ssim": float(np.mean(ssim(ours, ref))),
+    }
+    if i3d_weights and os.path.exists(i3d_weights):
+        from wiw_tpu.eval.fvd import FVDEvaluator
+
+        vals["fvd"] = FVDEvaluator(weights_path=i3d_weights).fvd(ours, ref)
+    if lpips_weights and os.path.exists(lpips_weights):
+        from wiw_tpu.eval.lpips import load_lpips_weights, lpips_with_params
+
+        fn = lpips_with_params(load_lpips_weights(lpips_weights))
+        vals["lpips"] = float(np.mean(np.asarray(
+            fn(ours.reshape((-1,) + ours.shape[2:]),
+               ref.reshape((-1,) + ref.shape[2:])))))
+    log("metrics", "PASS", json.dumps(vals))
+    return True
+
+
+# ---------------------------------------------------------------------------
+def make_dry_run_checkpoint(root):
+    """Emit a TINY random checkpoint in the exact diffusers layout using
+    the vendored torch fork (the same classes real checkpoints load with)."""
+    import torch
+    from safetensors.torch import save_file
+
+    if REF_FORK not in sys.path:
+        sys.path.insert(0, REF_FORK)
+    from diffusers.models.unets.unet_spatio_temporal_condition import (
+        UNetSpatioTemporalConditionModel,
+    )
+
+    torch.manual_seed(0)
+    unet = UNetSpatioTemporalConditionModel(
+        sample_size=16, in_channels=8, out_channels=4,
+        block_out_channels=(32, 64), num_attention_heads=(2, 4),
+        layers_per_block=1, cross_attention_dim=64, num_frames=3,
+        down_block_types=("CrossAttnDownBlockSpatioTemporal",
+                          "DownBlockSpatioTemporal"),
+        up_block_types=("UpBlockSpatioTemporal",
+                        "CrossAttnUpBlockSpatioTemporal"),
+        transformer_layers_per_block=1, addition_time_embed_dim=256,
+        projection_class_embeddings_input_dim=768,
+        action_strategy="micro_cond", action_input_channel=3,
+    ).eval()
+    unet_dir = os.path.join(root, "unet")
+    os.makedirs(unet_dir, exist_ok=True)
+    save_file(unet.state_dict(),
+              os.path.join(unet_dir, "diffusion_pytorch_model.safetensors"))
+    with open(os.path.join(unet_dir, "config.json"), "w") as f:
+        json.dump({
+            "_class_name": "UNetSpatioTemporalConditionModel",
+            "in_channels": 8, "out_channels": 4,
+            "down_block_types": ["CrossAttnDownBlockSpatioTemporal",
+                                 "DownBlockSpatioTemporal"],
+            "up_block_types": ["UpBlockSpatioTemporal",
+                               "CrossAttnUpBlockSpatioTemporal"],
+            "block_out_channels": [32, 64], "num_attention_heads": [2, 4],
+            "layers_per_block": 1, "cross_attention_dim": 64,
+            "num_frames": 3, "transformer_layers_per_block": 1,
+            "addition_time_embed_dim": 256,
+            "projection_class_embeddings_input_dim": 768,
+            "sample_size": 16,
+            "action_strategy": "micro_cond", "action_input_channel": 3,
+        }, f)
+    return unet_dir
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="",
+                    help="checkpoint root (with unet/ subdir) or a unet dir")
+    ap.add_argument("--vae", default="")
+    ap.add_argument("--clip", default="")
+    ap.add_argument("--ref-outputs", default="",
+                    help="dir of reference .npz clips (key 'video')")
+    ap.add_argument("--i3d-weights", default=os.environ.get("WIW_I3D_WEIGHTS", ""))
+    ap.add_argument("--lpips-weights", default=os.environ.get("WIW_LPIPS_WEIGHTS", ""))
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--out", default="/tmp/wiw_validate")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="build a tiny random checkpoint and validate it")
+    args = ap.parse_args(argv)
+
+    if args.dry_run:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="wiw_dryckpt_")
+        unet_dir = make_dry_run_checkpoint(root)
+        log("dry-run", "INFO", f"tiny checkpoint at {unet_dir}")
+        args.checkpoint = unet_dir
+        args.height = args.width = 64
+        args.steps = 2
+    if not args.checkpoint:
+        ap.error("--checkpoint or --dry-run required")
+    unet_dir = args.checkpoint
+    if os.path.isdir(os.path.join(unet_dir, "unet")):
+        unet_dir = os.path.join(unet_dir, "unet")
+
+    cfg, params = stage_convert(unet_dir)
+    ok = stage_forward_diff(unet_dir, cfg, params)
+    video = stage_generate(cfg, params, args.vae, args.clip, args.height,
+                           args.width, args.steps, args.out,
+                           dry_run=args.dry_run)
+    ok = ok and video is not None
+    ok = stage_metrics(video, args.ref_outputs, args.i3d_weights,
+                       args.lpips_weights) and ok
+    log("result", "PASS" if ok else "FAIL", "")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
