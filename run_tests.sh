@@ -3,4 +3,10 @@
 # tunnel registration (saves ~15 s of relay round-trips per process).
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
+# `./run_tests.sh fast` runs the per-commit subset (< 5 min serial);
+# no args = the full suite (the end-of-session gate, ~25-30 min).
+if [ "$1" = "fast" ]; then
+    shift
+    exec python -m pytest -m fast "${@:-tests/}"
+fi
 exec python -m pytest "${@:-tests/}"

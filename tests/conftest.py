@@ -27,3 +27,32 @@ jax.config.update("jax_default_matmul_precision", "float32")
 # persistent compile cache: repeat test runs skip XLA compilation
 jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------------------
+# `pytest -m fast`: the per-commit subset (< 5 min serial on this host).
+# Whole modules are opted in here; individual tests marked `slow` inside a
+# fast module stay excluded (run with -m "fast and not slow" if desired —
+# the hook below already skips adding `fast` to slow-marked tests).
+# The full suite remains the end-of-session gate (run_tests.sh with no -m).
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_FAST_MODULES = {
+    "test_core",
+    "test_geo",
+    "test_serve",
+    "test_quant",
+    "test_detection",
+    "test_eval",
+    "test_task_solvers",
+    "test_solver_base_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        name = getattr(mod, "__name__", "").rsplit(".", 1)[-1]
+        if name in _FAST_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
