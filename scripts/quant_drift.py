@@ -32,8 +32,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(height, width, frames, steps, seeds):
+def run_config(height, width, frames, steps, seeds, compare="int8"):
+    """compare='int8': int8-vs-bf16 drift (the shipping decision).
+    compare='fp32': bf16-vs-fp32 drift — the YARDSTICK: the precision loss
+    the serving path already accepts (the reference serves fp16,
+    eval_inference.py torch_dtype=float16). int8 drift at or near this
+    scale adds no new quality regime."""
+    from wiw_tpu.models.clip import CLIPVisionConfig
     from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.models.vae import VAEConfig
     from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
 
     gen = GenerationConfig(height=height, width=width, num_frames=frames,
@@ -43,12 +50,25 @@ def run_config(height, width, frames, steps, seeds):
     pipe = SVDPipeline(cfg)
     t0 = time.perf_counter()
     pipe.init_params(jax.random.PRNGKey(0), gen)
+    fp32_params = pipe.params
     pipe.params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 and x.ndim > 1 else x,
         pipe.params,
     )
     bf16_params = pipe.params
+    pipe32 = None
+    if compare == "fp32":
+        # fp32 UNet, same bf16 VAE/CLIP as the candidate: quantization only
+        # touches the UNet, so the yardstick isolates UNet precision drift
+        # (an fp32 VAE decode also OOMs HBM at 256^2 on one chip)
+        cfg32 = UNetConfig(num_frames=frames, action_strategy="micro_cond",
+                           action_input_channel=frames, dtype="float32")
+        pipe32 = SVDPipeline(cfg32, VAEConfig(dtype="bfloat16"),
+                             CLIPVisionConfig(),
+                             params={**fp32_params,
+                                     "vae": bf16_params["vae"],
+                                     "clip": bf16_params["clip"]})
     print(f"init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     h, w = height // 8, width // 8
@@ -67,14 +87,31 @@ def run_config(height, width, frames, steps, seeds):
         out_bf16 = np.asarray(pipe.generate(
             key, image, gen, actions=actions, init_latents=init_latents))
 
-        n = pipe.quantize_unet()
-        out_int8 = np.asarray(pipe.generate(
-            key, image, gen, actions=actions, init_latents=init_latents))
-        if seed == 0:
-            print(f"quantized {n} kernels", file=sys.stderr)
+        if compare == "fp32":
+            # free the bf16 UNet replica + its compiled programs before the
+            # fp32 run: fp32 params (6.1 GB) + fp32 activations don't fit
+            # HBM next to the resident bf16 copy at 256^2
+            pipe.params = None
+            bf16_params["unet"] = None
+            pipe._generate_cache.clear()
+            import gc
 
-        diff = np.abs(out_bf16 - out_int8)
-        mse = float(np.mean((out_bf16 - out_int8) ** 2))
+            gc.collect()
+            out_other = np.asarray(pipe32.generate(
+                key, image, gen, actions=actions, init_latents=init_latents))
+            # restore for the next seed (re-cast from the fp32 master)
+            bf16_params["unet"] = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.ndim > 1 else x,
+                fp32_params["unet"])
+        else:
+            n = pipe.quantize_unet()
+            out_other = np.asarray(pipe.generate(
+                key, image, gen, actions=actions, init_latents=init_latents))
+            if seed == 0:
+                print(f"quantized {n} kernels", file=sys.stderr)
+
+        diff = np.abs(out_bf16 - out_other)
+        mse = float(np.mean((out_bf16 - out_other) ** 2))
         psnr = 10.0 * np.log10(1.0 / mse) if mse > 0 else float("inf")
         results.append({
             "seed": seed,
@@ -84,8 +121,8 @@ def run_config(height, width, frames, steps, seeds):
             # fraction of pixels whose drift exceeds one uint8 step
             "frac_gt_1_lsb": float((diff > 1.0 / 255.0).mean()),
         })
-        print(json.dumps({"config": f"{height}x{width}", **results[-1]}),
-              flush=True)
+        print(json.dumps({"config": f"{height}x{width}",
+                          "compare": compare, **results[-1]}), flush=True)
     return results
 
 
@@ -96,8 +133,10 @@ def main():
     ap.add_argument("--frames", type=int, default=14)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--compare", choices=("int8", "fp32"), default="int8")
     args = ap.parse_args()
-    run_config(args.height, args.width, args.frames, args.steps, args.seeds)
+    run_config(args.height, args.width, args.frames, args.steps, args.seeds,
+               compare=args.compare)
 
 
 if __name__ == "__main__":
