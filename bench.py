@@ -55,9 +55,15 @@ def build(height, width, frames, steps):
         atids[:2], action_ids[:2],
     )
     jax.block_until_ready(params)
-    if os.environ.get("WIW_QUANT", "") == "int8":
-        # W8A8 serving mode: trunk kernels int8 on the MXU's 2x-rate path
-        # (ops/quant.py; numerics bound vs bf16 tested in tests/test_quant.py)
+    if os.environ.get("WIW_QUANT", "int8") == "int8":
+        # Selective W8A8 is the DEFAULT serving path (round 4 decision):
+        # measured fwd 919.8 ms int8 vs 1016.5 ms bf16 at 576x1024, with
+        # full-pipeline decoded-frame drift PSNR ~43 dB vs bf16 at both
+        # 256^2 and 576x1024 (scripts/quant_drift.py) — ~1.8x the drift
+        # bf16 itself already has vs fp32 (48.4 dB), i.e. the same
+        # precision regime the reference accepts by serving fp16
+        # (FTsvd/eval_inference.py torch_dtype=float16). WIW_QUANT=bf16
+        # opts out. Numerics bound tested in tests/test_quant.py.
         from wiw_tpu.ops.quant import count_quantized, quantize_params
 
         params = jax.jit(quantize_params)(params)

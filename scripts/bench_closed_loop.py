@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--num_steps", type=int, default=25)
     ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--quantize", default="int8", choices=["", "bf16", "int8"],
+                    help="match the shipped serving default (int8 W8A8)")
     args = ap.parse_args()
 
     from wiw_tpu.serve.manager import ManagerServer, WMClient
@@ -52,6 +54,7 @@ def main():
         out_width=args.width, out_height=args.height,
         num_inference_steps=args.num_steps,
         num_frames=args.frames,
+        quantize=args.quantize,
     )
     ex = make_continuous_executor(worker, args.slots)
     server = ManagerServer([ex], port=17880)

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--executor", default="continuous",
                     choices=["continuous", "batch"])
+    ap.add_argument("--quantize", default="int8", choices=["", "bf16", "int8"],
+                    help="match the shipped serving default (int8 W8A8)")
     args = ap.parse_args()
 
     from wiw_tpu.serve.manager import InProcessExecutor, ManagerServer
@@ -50,6 +52,7 @@ def main():
         out_width=256, out_height=256,
         num_inference_steps=args.num_steps,
         num_frames=args.frames,
+        quantize=args.quantize,
     )
     if args.executor == "continuous":
         ex = make_continuous_executor(worker, args.slots)

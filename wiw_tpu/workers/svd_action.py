@@ -188,8 +188,11 @@ def main(argv: Optional[list] = None):
     ap.add_argument("--out_height", type=int, default=480)
     ap.add_argument("--debug", action="store_true")
     ap.add_argument(
-        "--quantize", default="", choices=["", "int8"],
-        help="W8A8 int8 serving mode (ops/quant.py); ~2x MXU rate",
+        "--quantize", default="int8", choices=["", "bf16", "int8"],
+        help="serving precision for the UNet trunk. Default int8 (selective "
+             "W8A8, ops/quant.py, ~2x MXU rate; decoded-frame drift vs bf16 "
+             "~43 dB PSNR — same regime as the fp16 the reference serves, "
+             "see PERFORMANCE.md round 4). --quantize bf16 opts out.",
     )
     args, _unknown = ap.parse_known_args(argv)
 
