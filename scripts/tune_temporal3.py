@@ -1,0 +1,155 @@
+"""Round-4 VERDICT item 8: Pallas fusion probe for the temporal-resnet
+non-conv bandwidth (GN stats + normalize + silu, ~50 ms/fwd total across
+the UNet at measured ~543 GB/s effective).
+
+The production GroupNorm (models/layers.py) already fuses to the minimal
+pass count under XLA: one fused bf16-read stats pass + one read->write
+normalize pass (silu fused by the caller). A Pallas kernel cannot reduce
+the pass COUNT (group stats need a full pass before normalization and
+the tensor is ~165 MB, far beyond VMEM residency) — it can only win by
+achieving higher bandwidth per pass. This probe measures, at the
+temporal-L0 shape [2, 14*72*128, 320]:
+
+  1. raw copy bandwidth, XLA vs Pallas (the ceiling)
+  2. GN+silu, production XLA formulation vs a 2-stage Pallas kernel
+     (stage A: tiled per-channel partial sum/sumsq; stage B: fused
+     affine+silu with per-(N,C) scale/offset precomputed from stats)
+
+Decision rule (PERFORMANCE.md discipline): integrate only if the Pallas
+path is >10% faster standalone AND confirms in the full-model fwd;
+otherwise record the refutation.
+
+Run: python scripts/tune_temporal3.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_unet import loop, timeit  # noqa: E402
+
+N, F, H, W, C = 2, 14, 72, 128, 320
+L = F * H * W  # 129024
+G, CG = 32, C // 32
+EPS = 1e-6
+TR = 2048  # rows per tile; L = 63 * 2048
+assert L % TR == 0
+
+key = jax.random.PRNGKey(0)
+x = jax.random.normal(key, (N, L, C)).astype(jnp.bfloat16)
+gamma = jnp.ones((C,), jnp.float32)
+beta = jnp.zeros((C,), jnp.float32)
+
+
+# ---------------------------------------------------------------- XLA ref
+def xla_gn_silu(x):
+    """Production formulation (layers.GroupNorm raw path + caller silu)."""
+    xf = x.astype(jnp.float32)
+    s1 = xf.sum(axis=1)
+    s2 = (xf * xf).sum(axis=1)
+    s1 = s1.reshape(N, G, CG).sum(-1)
+    s2 = s2.reshape(N, G, CG).sum(-1)
+    count = L * CG
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + EPS)
+    mean_c = jnp.repeat(mean, CG, axis=-1)[:, None, :]
+    rstd_c = jnp.repeat(rstd, CG, axis=-1)[:, None, :]
+    y = (xf - mean_c) * rstd_c * gamma + beta
+    return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
+
+
+# ------------------------------------------------------------- Pallas GN
+def _stats_kernel(x_ref, out_ref):
+    xf = x_ref[0].astype(jnp.float32)  # [TR, C]
+    out_ref[0, 0, 0] = xf.sum(axis=0)
+    out_ref[0, 0, 1] = (xf * xf).sum(axis=0)
+
+
+def _affine_silu_kernel(x_ref, s_ref, o_ref, out_ref):
+    y = x_ref[0].astype(jnp.float32) * s_ref[0, 0] + o_ref[0, 0]
+    out_ref[0] = (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
+
+
+def pallas_gn_silu(x):
+    nt = L // TR
+    partials = pl.pallas_call(
+        _stats_kernel,
+        grid=(N, nt),
+        in_specs=[pl.BlockSpec((1, TR, C), lambda n, t: (n, t, 0))],
+        out_specs=pl.BlockSpec((1, 1, 2, C), lambda n, t: (n, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, nt, 2, C), jnp.float32),
+    )(x)
+    s = partials.sum(axis=1)  # [N, 2, C]
+    s1 = s[:, 0].reshape(N, G, CG).sum(-1)
+    s2 = s[:, 1].reshape(N, G, CG).sum(-1)
+    count = L * CG
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + EPS)
+    mean_c = jnp.repeat(mean, CG, axis=-1)
+    rstd_c = jnp.repeat(rstd, CG, axis=-1)
+    scale = (rstd_c * gamma).reshape(N, 1, C)
+    offset = (beta - mean_c * rstd_c * gamma).reshape(N, 1, C)
+    return pl.pallas_call(
+        _affine_silu_kernel,
+        grid=(N, nt),
+        in_specs=[
+            pl.BlockSpec((1, TR, C), lambda n, t: (n, t, 0)),
+            pl.BlockSpec((1, 1, C), lambda n, t: (n, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda n, t: (n, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TR, C), lambda n, t: (n, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, L, C), jnp.bfloat16),
+    )(x, scale, offset)
+
+
+# ---------------------------------------------------------- copy ceiling
+def xla_copy(x):
+    return x + jnp.bfloat16(1.0)
+
+
+def _copy_kernel(x_ref, out_ref):
+    out_ref[0] = x_ref[0] + jnp.bfloat16(1.0)
+
+
+def pallas_copy(x):
+    nt = L // TR
+    return pl.pallas_call(
+        _copy_kernel,
+        grid=(N, nt),
+        in_specs=[pl.BlockSpec((1, TR, C), lambda n, t: (n, t, 0))],
+        out_specs=pl.BlockSpec((1, TR, C), lambda n, t: (n, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, L, C), jnp.bfloat16),
+    )(x)
+
+
+if __name__ == "__main__":
+    import numpy as np
+
+    ref = np.asarray(xla_gn_silu(x), np.float32)
+    got = np.asarray(pallas_gn_silu(x), np.float32)
+    print(f"max|xla-pallas| = {np.abs(ref - got).max():.6f}", flush=True)
+
+    nbytes = N * L * C * 2
+    for name, fn, traffic in [
+        ("copy XLA (r+w)", xla_copy, 2 * nbytes),
+        ("copy pallas (r+w)", pallas_copy, 2 * nbytes),
+        ("GN+silu XLA prod (2r+w)", xla_gn_silu, 3 * nbytes),
+        ("GN+silu pallas 2-stage (2r+w)", pallas_gn_silu, 3 * nbytes),
+    ]:
+        dt = timeit(f"{name} x4", loop(fn, 4), x, reps=3, inner=4)
+        # the loop harness adds one f32-sum read of the output per iter
+        print(f"  -> {traffic/dt/1e9:6.0f} GB/s (traffic excl. harness "
+              f"readback)", flush=True)
