@@ -1,0 +1,116 @@
+"""On-chip post-training step benchmark: the FULL-WIDTH (1.5286B-param)
+SVD-dagger trainer on one real TPU chip.
+
+The reference post-trains on 4x H100 95GB at 14f 576x1024 (FTsvd/
+train_svd.sh:15-40, README "4 H100 GPUs"); a single 16 GB v5e chip holds
+the full-width model at the 256^2 data-collection resolution with
+adafactor (factored second moment) + rematerialized UNet blocks. The
+multi-chip (dp x fsdp ZeRO) path that scales this to the 576x1024 recipe
+is validated by __graft_entry__.dryrun_multichip.
+
+Prints one JSON line: seconds/optimizer-step and samples/sec/chip.
+
+Run: python scripts/bench_train_step.py [--height 256 --width 256]
+     [--frames 14] [--optimizer adafactor] [--reps 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--optimizer", default="adafactor")
+    ap.add_argument("--train_params", default="full")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+    from wiw_tpu.train.trainer import TrainConfig, Trainer
+
+    gen = GenerationConfig(
+        height=args.height, width=args.width, num_frames=args.frames,
+        task_type="navigation",
+    )
+    cfg = UNetConfig(
+        num_frames=args.frames, action_strategy="micro_cond",
+        action_input_channel=args.frames, dtype="bfloat16", remat=True,
+    )
+    pipe = SVDPipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.init_params(jax.random.PRNGKey(0), gen)
+    print(f"init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    # frozen towers in bf16 (they take no gradients; halves their HBM)
+    frozen = {
+        k: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 and x.ndim > 1 else x,
+            pipe.params[k],
+        )
+        for k in ("vae", "clip")
+    }
+
+    tc = TrainConfig(optimizer=args.optimizer,
+                     train_params=args.train_params)
+    trainer = Trainer(pipe, tc)
+    state = trainer.init_state(pipe.params)
+    step = trainer.make_train_step()
+
+    B, F = args.batch, args.frames
+    batch = {
+        "pixel_values": jax.random.uniform(
+            jax.random.PRNGKey(1), (B, F, args.height, args.width, 3),
+            jnp.float32, -1.0, 1.0,
+        ),
+        "actions": jnp.zeros((B, F), jnp.int32),
+    }
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(2))
+    loss0 = float(metrics["loss"])  # forces sync through the relay
+    compile_s = time.perf_counter() - t0
+    print(f"compile+step0 {compile_s:.1f}s loss={loss0:.4f}",
+          file=sys.stderr, flush=True)
+
+    ts = []
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, frozen, batch,
+                              jax.random.PRNGKey(3 + i))
+        loss = float(metrics["loss"])
+        ts.append(time.perf_counter() - t0)
+        print(f"step {i}: {ts[-1]:.2f}s loss={loss:.4f}",
+              file=sys.stderr, flush=True)
+
+    best = min(ts)
+    print(json.dumps({
+        "metric": "svd_train_step_sec_per_chip",
+        "value": round(best, 3),
+        "unit": f"s/optimizer step (B={B}, {F}f @{args.width}x{args.height}"
+                f", {args.optimizer}, full-width 1.5286B, remat)",
+        "samples_per_sec_per_chip": round(B / best, 4),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Measure the VAE-decode segment of the serving path: bf16 decoder vs
+selective W8A8 int8 decoder (ops/quant.quantize_vae_decoder), at the
+reference 576x1024 operating point (FTsvd/eval_inference.py:246-258).
+
+Times SVDPipeline._decode_chunked on identical random latents and reports
+the decoded-frame drift (mean/max abs on the [0,1]-range float output),
+so the keep/revert decision carries its own quality bound.
+
+Decision rule (PERFORMANCE.md discipline): wire int8 decode into the
+serving default only if the decode win is >10% of the decode segment AND
+drift stays within the bf16-vs-fp32 yardstick regime (~5e-3 mean).
+
+Run: python scripts/profile_vae_decode.py [--height 576 --width 1024]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def time_decode(pipe, latents, gen, reps=3):
+    from wiw_tpu.sampling.pipeline import GenerationConfig  # noqa: F401
+
+    t0 = time.perf_counter()
+    out = pipe._decode_chunked(pipe.params, latents, gen)
+    out.block_until_ready()
+    float(np.asarray(out[..., 0, 0, 0]).sum())  # relay sync
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = pipe._decode_chunked(pipe.params, latents, gen)
+        float(np.asarray(out[..., 0, 0, 0]).sum())
+        ts.append(time.perf_counter() - t0)
+    return min(ts), compile_s, np.asarray(out, np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+
+    gen = GenerationConfig(
+        height=args.height, width=args.width, num_frames=args.frames,
+        num_inference_steps=2, task_type="navigation",
+    )
+    cfg = UNetConfig(
+        num_frames=args.frames, action_strategy="micro_cond",
+        action_input_channel=args.frames, dtype="bfloat16",
+    )
+    pipe = SVDPipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.init_params(jax.random.PRNGKey(0), gen)
+    pipe.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim > 1 else x,
+        pipe.params,
+    )
+    print(f"init {time.perf_counter()-t0:.1f}s", flush=True)
+
+    h, w = args.height // 8, args.width // 8
+    latents = jax.random.normal(
+        jax.random.PRNGKey(1), (1, args.frames, h, w, 4), jnp.float32
+    ) * 0.3  # post-denoise latent scale regime
+
+    dt_bf16, c_bf16, ref = time_decode(pipe, latents, gen, args.reps)
+    print(f"decode bf16:  {dt_bf16*1e3:8.1f} ms  (compile {c_bf16:.1f}s)",
+          flush=True)
+
+    n = pipe.quantize_vae()
+    print(f"quantized {n} decoder kernels to int8", flush=True)
+    dt_int8, c_int8, got = time_decode(pipe, latents, gen, args.reps)
+    print(f"decode int8:  {dt_int8*1e3:8.1f} ms  (compile {c_int8:.1f}s)",
+          flush=True)
+
+    diff = np.abs(ref - got)
+    # frames are [-1,1]-range floats at this point; report in that scale
+    print(f"drift vs bf16: mean {diff.mean():.2e}  max {diff.max():.2e}",
+          flush=True)
+    print(f"speedup: {dt_bf16/dt_int8:.3f}x  "
+          f"({(dt_bf16-dt_int8)*1e3:.0f} ms/clip)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

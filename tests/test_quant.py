@@ -155,3 +155,39 @@ def test_quantized_jit_compiles():
     f = jax.jit(lambda p, *a: model.apply({"params": p}, *a))
     out = f(qparams, *args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_quantize_vae_decoder_policy_and_forward():
+    """VAE-decoder opt-in quant (ops/quant.quantize_vae_decoder): decoder
+    spatial convs go int8, encoder/edge convs/temporal blocks stay float,
+    and the quantized decode stays close to bf16 (measured keep/reject
+    record in PERFORMANCE.md round 4 — 1.11x decode, opt-in only)."""
+    from wiw_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+    from wiw_tpu.ops.quant import quantize_vae_decoder
+
+    cfg = VAEConfig(block_out_channels=(32, 64), dtype="float32")
+    model = AutoencoderKLTemporal(cfg)
+    F, H, W = 3, 16, 16
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (F, H, W, 3))
+    params = model.init(jax.random.PRNGKey(1), imgs, F)["params"]
+    out_f = model.apply({"params": params}, imgs, F)
+
+    qparams = quantize_vae_decoder(params)
+    dec = qparams["decoder"]
+    # spatial res-block convs + upsampler conv are int8
+    r = dec["up_blocks_0_resnets_0"]["spatial_res_block"]
+    assert r["conv1"]["kernel"].dtype == jnp.int8
+    assert dec["up_blocks_0_upsamplers_0"]["conv"]["kernel"].dtype == jnp.int8
+    # temporal blocks, edge convs, encoder untouched
+    t = dec["up_blocks_0_resnets_0"]["temporal_res_block"]
+    assert t["conv1"]["kernel"].dtype != jnp.int8
+    assert dec["conv_in"]["kernel"].dtype != jnp.int8
+    assert dec["conv_out"]["kernel"].dtype != jnp.int8
+    assert dec["time_conv_out"]["kernel"].dtype != jnp.int8
+    assert count_quantized(qparams["encoder"]) == 0
+    assert count_quantized(qparams) > 0
+
+    out_q = model.apply({"params": qparams}, imgs, F)
+    rel = np.linalg.norm(np.asarray(out_q - out_f)) / np.linalg.norm(
+        np.asarray(out_f))
+    assert rel < 0.15, rel

@@ -181,6 +181,27 @@ def quantize_params(params, extra_deny: Sequence[str] = (),
     return walk(dict(params), ())
 
 
+def quantize_vae_decoder(vae_params):
+    """W8A8 the VAE decoder's spatial 3x3 convs (mid/up res blocks,
+    upsamplers) for the serving decode path.
+
+    The decoder's flat module names (`mid_block_*`, `up_blocks_*`,
+    vae.py TemporalDecoder) satisfy the same subtree prefixes as the UNet
+    trunk, so the same measured-win policy applies: spatial `conv1`/
+    `conv2`/upsampler `conv` go int8, the temporal (3,1,1) blocks hit the
+    `temporal_res_block` denylist (XLA's int8 3D conv lowering loses —
+    see QUANT_KERNEL_MODULES), and `conv_in`/`conv_out`/`time_conv_out`/
+    attention projections stay high precision. The ENCODER is untouched:
+    encode runs once per clip on the conditioning frame and feeds the
+    latent distribution the denoise loop conditions on.
+
+    Takes and returns the VAE's param tree (`params["vae"]`).
+    """
+    out = dict(vae_params)
+    out["decoder"] = quantize_params(vae_params["decoder"])
+    return out
+
+
 def count_quantized(params) -> int:
     """Number of int8 kernels in a (possibly quantized) param tree."""
     n = 0

@@ -157,6 +157,20 @@ class SVDPipeline:
         return count_quantized(params["unet"])
 
     # ------------------------------------------------------------------
+    def quantize_vae(self) -> int:
+        """Switch the VAE DECODER to the W8A8 serving path (encoder stays
+        high precision — it feeds the conditioning latents). Returns the
+        number of quantized kernels. Inference-only, like quantize_unet."""
+        from wiw_tpu.ops.quant import count_quantized, quantize_vae_decoder
+
+        assert self.params is not None, "load or init params first"
+        params = dict(self.params)
+        params["vae"] = quantize_vae_decoder(params["vae"])
+        self.params = params
+        self._decode_cache.clear()
+        return count_quantized(params["vae"])
+
+    # ------------------------------------------------------------------
     def _prepare_action_ids(self, actions, batch: int, gen: GenerationConfig):
         """Encode raw actions and build the CFG-duplicated tensor.
 
