@@ -149,6 +149,29 @@ class TestShardedGeneration:
         v1 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts)
         np.testing.assert_allclose(np.asarray(v), np.asarray(v1), atol=2e-3)
 
+    def test_generate_shard_clip(self):
+        """Single-clip SPMD latency path (generate(shard_clip=True)): one
+        B=1 clip splits WITHIN the denoise step — CFG fold rows over dp=2,
+        latent rows over fsdp — and must match the unsharded result."""
+        import pytest
+
+        from wiw_tpu.parallel.mesh import make_mesh
+
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(dp=2, fsdp=4)
+        pipe = tiny_pipeline("micro_cond")
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 64, 3)) * 2 - 1
+        acts = jnp.asarray([[1, 2, 3]], jnp.int32)
+        v = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts,
+                          mesh=mesh, shard_clip=True)
+        assert v.shape == (1, 3, 32, 64, 3)
+        v1 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v1), atol=2e-3)
+        # the dp axis carries the CFG fold's 2 rows; other sizes reject
+        with pytest.raises(ValueError, match="dp"):
+            pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts,
+                          mesh=make_mesh(dp=8, fsdp=1), shard_clip=True)
+
 
 class TestShardedAccum:
     def test_grad_accum_on_mesh(self):

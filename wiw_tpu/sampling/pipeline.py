@@ -197,6 +197,7 @@ class SVDPipeline:
         past_images: Optional[jnp.ndarray] = None,
         mesh=None,
         init_latents: Optional[jnp.ndarray] = None,
+        shard_clip: bool = False,
     ) -> jnp.ndarray:
         """image: [B, H, W, 3] in [-1, 1]; actions: [B, F] ids or [B, F, 8]
         poses or None. Returns video [B, F, H, W, 3] in [0, 1] (fp32).
@@ -205,11 +206,35 @@ class SVDPipeline:
         all mesh devices (params replicated) — the multi-chip serving path:
         the CFG fold keeps per-device batches even, so B requests run as
         2B/n_devices UNet rows per chip over ICI.
+
+        With `mesh` AND `shard_clip=True`, a SINGLE clip (any B) is instead
+        sharded WITHIN the denoise step — the single-clip latency-scaling
+        path toward the <2 s v5e-8 north star: the CFG fold's two UNet rows
+        split over the 'dp' axis (must be size 2) and the latent spatial
+        rows split over 'fsdp'; GSPMD inserts the halo exchanges (convs),
+        K/V all-gathers (spatial attention), and group-stat psums
+        (GroupNorm) over ICI. Batch-sharding `mesh=` maximizes throughput;
+        `shard_clip` minimizes one clip's latency.
         """
         assert self.params is not None, "load or init params first"
         fn = self._jitted_generate(gen, actions is not None,
                                    past_images is not None, mesh,
-                                   init_latents is not None)
+                                   init_latents is not None, shard_clip)
+        if mesh is not None and shard_clip:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if mesh.shape["dp"] != 2:
+                raise ValueError(
+                    "shard_clip splits the CFG fold's 2 UNet rows over the "
+                    f"'dp' mesh axis, which must be size 2 (got "
+                    f"{mesh.shape['dp']}); use make_mesh(dp=2, fsdp=n//2)"
+                )
+            repl = NamedSharding(mesh, P())
+            params = jax.device_put(self.params, repl)
+            args = [jax.device_put(a, repl) if a is not None else None
+                    for a in (image, actions, past_images, init_latents)]
+            latents = fn(params, key, *args[:3], args[3])
+            return self._decode_chunked(params, latents, gen)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -236,18 +261,22 @@ class SVDPipeline:
         return self._decode_chunked(self.params, latents, gen)
 
     def _jitted_generate(self, gen, has_actions, has_past, mesh=None,
-                         has_init_latents=False):
+                         has_init_latents=False, shard_clip=False):
         """One compiled executable per (gen-config, arg-presence) bucket."""
-        key = (gen, has_actions, has_past, mesh, has_init_latents)
+        key = (gen, has_actions, has_past, mesh, has_init_latents,
+               shard_clip)
         fn = self._generate_cache.get(key)
         if fn is None:
-            fn = jax.jit(functools.partial(self._generate_impl, gen))
+            fn = jax.jit(functools.partial(
+                self._generate_impl, gen,
+                spmd=(mesh if shard_clip else None),
+            ))
             self._generate_cache[key] = fn
         return fn
 
     # the jitted body: pure in `params` ---------------------------------
     def _generate_impl(self, gen, params, key, image, actions, past_images,
-                       init_latents=None):
+                       init_latents=None, spmd=None):
         cfg = self.unet_config
         B, H, W, _ = image.shape
         F = gen.num_frames
@@ -313,12 +342,26 @@ class SVDPipeline:
             F, gen.min_guidance_scale, gen.max_guidance_scale
         )[None, :, None, None, None]
 
+        if spmd is not None:
+            # single-clip SPMD (generate(shard_clip=True)): carry latents
+            # split over latent rows ('fsdp'), UNet input additionally
+            # split over the CFG fold's two rows ('dp'). GSPMD propagates
+            # these through the UNet and inserts the collectives.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            _lat_sh = NamedSharding(spmd, P(None, None, "fsdp"))
+            _row_sh = NamedSharding(spmd, P("dp", None, "fsdp"))
+            latents = jax.lax.with_sharding_constraint(latents, _lat_sh)
+
         # 5. denoise scan
         def step(latents, sig_pair):
             sigma, sigma_next = sig_pair
             latent_in = jnp.concatenate([latents, latents], axis=0)
             latent_in = S.precondition_inputs(latent_in, sigma)
             latent_in = jnp.concatenate([latent_in, img_latents], axis=-1)
+            if spmd is not None:
+                latent_in = jax.lax.with_sharding_constraint(
+                    latent_in, _row_sh)
             t = jnp.full((2 * B,), S.sigma_to_t(sigma))
             pred = self.unet.apply(
                 {"params": p["unet"]},
@@ -331,7 +374,10 @@ class SVDPipeline:
             uncond, cond = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance * (cond - uncond)
             denoised = S.precondition_outputs(pred, latents, sigma)
-            return S.euler_step(latents, denoised, sigma, sigma_next), None
+            nxt = S.euler_step(latents, denoised, sigma, sigma_next)
+            if spmd is not None:
+                nxt = jax.lax.with_sharding_constraint(nxt, _lat_sh)
+            return nxt, None
 
         latents, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
         return latents / self.vae_config.scaling_factor
