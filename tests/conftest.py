@@ -39,6 +39,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import pytest  # noqa: E402
 
 _FAST_MODULES = {
+    "test_checkpoints",
     "test_core",
     "test_geo",
     "test_serve",

@@ -54,6 +54,22 @@ class TestProtocol:
         out = P.loads_fast(P.dumps_fast(obj))
         np.testing.assert_array_equal(out["pred_frames"], obj["pred_frames"])
 
+    def test_desynced_stream_rejected_with_clear_error(self):
+        # a reader landing mid-frame (or garbage bytes) sees a junk length
+        # word; it must fail loudly, not attempt a multi-GB allocation
+        a, b = socket.socketpair()
+        a.sendall(b"\xff\xff\xff\xfe" + b"junk")
+        with pytest.raises(ValueError, match="desynced or corrupt"):
+            P.read_framed(b)
+        a.close(); b.close()
+        import os as _os
+
+        r, w = _os.pipe()
+        _os.write(w, b"\xff\xff\xff\xfegarbage")
+        with pytest.raises(ValueError, match="desynced or corrupt"):
+            P.read_pickled_fd(r)
+        _os.close(r); _os.close(w)
+
     def test_schema_validation(self):
         good = {"b_action": np.zeros((1, 4), np.int64), "save_dirs": ["d"],
                 "request_model_name": "svd"}

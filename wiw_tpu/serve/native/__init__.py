@@ -117,6 +117,9 @@ def read_frame_fd(fd: int):
         raise EOFError("fd closed")
     if total < 0:
         raise OSError("read_frame_len failed")
+    from wiw_tpu.serve.protocol import _check_frame_length
+
+    _check_frame_length(int(total), "read_frame_fd")
     buf = ctypes.create_string_buffer(int(total))
     if lib.wiw_read_exact(fd, buf, total) < 0:
         raise EOFError("fd closed mid-frame")

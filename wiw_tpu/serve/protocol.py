@@ -23,6 +23,21 @@ import numpy as np
 
 CHUNK = 1 << 19  # 512 KiB reads
 
+# Largest frame a reader will accept. Legit batches top out ~200 MB of
+# uint8 frames; a desynced stream (client writing non-framed bytes, or a
+# reader starting mid-frame) yields a garbage length word — fail with a
+# clear error instead of attempting a multi-GB allocation and a cryptic
+# unpickle failure. Tunable for unusual deployments.
+MAX_FRAME_BYTES = 1 << 31  # 2 GiB
+
+
+def _check_frame_length(length: int, where: str) -> None:
+    if length > MAX_FRAME_BYTES:
+        raise ValueError(
+            f"{where}: frame length {length} exceeds MAX_FRAME_BYTES "
+            f"({MAX_FRAME_BYTES}) — stream desynced or corrupt"
+        )
+
 # ---------------------------------------------------------------------------
 # schemas (contract parity: worker_manager.py:106-147)
 # ---------------------------------------------------------------------------
@@ -122,6 +137,7 @@ def _loads_compat(data: bytes) -> Any:
 def read_framed(sock) -> Any:
     header = _recv_exactly(sock, 4)
     (length,) = struct.unpack(">I", header)
+    _check_frame_length(length, "read_framed")
     return _loads_compat(_recv_exactly(sock, length))
 
 
@@ -156,6 +172,7 @@ def _read_fully_fd(fd: int, n: int, watchdog_secs: float = 300.0) -> bytes:
 def read_pickled_fd(fd: int, watchdog_secs: float = 300.0) -> Any:
     header = _read_fully_fd(fd, 4, watchdog_secs)
     (length,) = struct.unpack(">I", header)
+    _check_frame_length(length, "read_pickled_fd")
     return _loads_compat(_read_fully_fd(fd, length, watchdog_secs))
 
 

@@ -33,20 +33,37 @@ def _ckpt_steps(root: str):
 
 
 class CheckpointManager:
-    def __init__(self, root: str, total_limit: Optional[int] = None):
+    """`async_save=True` overlaps the checkpoint's disk write with the
+    next train steps (TPU-idiomatic: Orbax's AsyncCheckpointer snapshots
+    device arrays to host memory synchronously, then serializes in a
+    background thread — the accelerator never waits on the filesystem).
+    A later save(), wait(), or restore() joins the in-flight write first;
+    keep-limit pruning is deferred until the write lands."""
+
+    def __init__(self, root: str, total_limit: Optional[int] = None,
+                 async_save: bool = False):
         import orbax.checkpoint as ocp
 
         self.root = osp.abspath(root)
         self.total_limit = total_limit
+        self.async_save = async_save
         os.makedirs(self.root, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
     def save(self, step: int, state: Any) -> str:
         path = osp.join(self.root, f"checkpoint-{step}")
+        # join any in-flight async write before starting the next one
+        self._ckptr.wait_until_finished()
         self._ckptr.save(path, state, force=True)
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
+            self._prune()
+        return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has landed, then prune."""
         self._ckptr.wait_until_finished()
         self._prune()
-        return path
 
     def _prune(self):
         if self.total_limit is None:
@@ -68,6 +85,7 @@ class CheckpointManager:
 
         step=None restores the latest ('latest' semantics,
         train_svd.py:793-808)."""
+        self._ckptr.wait_until_finished()  # join any in-flight async save
         if step is None:
             step = self.latest_step()
             if step is None:

@@ -40,6 +40,10 @@ def parse_args(argv=None):
     ap.add_argument("--max_steps", type=int, default=20000)
     ap.add_argument("--checkpointing_steps", type=int, default=500)
     ap.add_argument("--checkpoints_total_limit", type=int, default=3)
+    ap.add_argument("--async_checkpointing", action="store_true",
+                    help="overlap checkpoint disk writes with training "
+                         "(Orbax async: device->host snapshot is sync, "
+                         "serialization runs in a background thread)")
     ap.add_argument("--validation_steps", type=int, default=500)
     ap.add_argument("--resume_from_checkpoint", default="")
     ap.add_argument("--action_strategy", default="micro_cond")
@@ -125,7 +129,8 @@ def main(argv=None):
     frozen = {"vae": pipe.params["vae"], "clip": pipe.params["clip"]}
     step_fn = trainer.make_train_step()
 
-    ckpts = CheckpointManager(args.output_dir, args.checkpoints_total_limit)
+    ckpts = CheckpointManager(args.output_dir, args.checkpoints_total_limit,
+                              async_save=args.async_checkpointing)
     if args.resume_from_checkpoint:
         step = (None if args.resume_from_checkpoint == "latest"
                 else int(args.resume_from_checkpoint.rsplit("-", 1)[-1]))
@@ -182,6 +187,7 @@ def main(argv=None):
         if step >= args.max_steps:
             break
     ckpts.save(int(state["step"]), state)
+    ckpts.wait()  # join the final (possibly async) write before exit
     writer.close()
 
 
