@@ -44,20 +44,28 @@ class _Slot:
 class ContinuousEngine:
     """Step-granular denoise engine over a fixed slot pool."""
 
-    def __init__(self, pipe, gen, num_slots: int = 4, device=None):
+    def __init__(self, pipe, gen, num_slots: int = 4, device=None,
+                 params_replica=None):
         """`device` pins this engine to one chip: params are replicated
         onto it once and every compiled program (encode / step / decode)
         runs there. One engine per chip + the manager's least-pending
         dispatch = request-level serving parallelism across a pod slice
         (the multi-chip analogue of the reference's one-GPU-per-worker
         deployment, docs/03_run_commands.md:104-186). `device=None` keeps
-        the single-chip behavior (params read live from the pipeline)."""
+        the single-chip behavior (params read live from the pipeline).
+        `params_replica` shares an already-device-put param tree between
+        engines pinned to the same chip (per-bucket engines must NOT each
+        copy the full params onto the chip — HBM holds one replica per
+        device, not per (bucket, device))."""
         self.pipe = pipe
         self.gen = gen
         self.S = num_slots
         self.device = device
-        self._params = (jax.device_put(pipe.params, device)
-                        if device is not None else None)
+        if params_replica is not None:
+            self._params = params_replica
+        else:
+            self._params = (jax.device_put(pipe.params, device)
+                            if device is not None else None)
         cfg = pipe.unet_config
         scale = pipe.vae_config.spatial_scale
         self.F = gen.num_frames

@@ -51,6 +51,7 @@ def build_executors(args, extra):
         out_width=args.out_width,
         out_height=args.out_height,
         num_inference_steps=args.num_inference_steps,
+        quantize=args.quantize,
     )
     if args.warmup_batches:
         worker.warmup(tuple(int(b) for b in args.warmup_batches.split(",")))
@@ -62,7 +63,13 @@ def build_executors(args, extra):
         # the pod-slice analogue of the reference's one-GPU-per-worker
         # deployment (docs/03_run_commands.md:104-186)
         devices = jax.local_devices() if args.per_device else [None]
-        execs = [make_continuous_executor(worker, args.num_slots, device=d)
+        # ONE param replica per device, shared by every bucket engine on
+        # that chip: per-(bucket, device) copies would hold params x
+        # (1 + n_buckets) in each chip's HBM
+        replicas = {d: jax.device_put(worker.pipe.params, d)
+                    for d in devices if d is not None}
+        execs = [make_continuous_executor(worker, args.num_slots, device=d,
+                                          params_replica=replicas.get(d))
                  for d in devices]
         execs[0].is_default = True
         # extra generation buckets share the resident params: one engine
@@ -72,18 +79,20 @@ def build_executors(args, extra):
             for d in devices:
                 h, w = (int(x) for x in spec_str.lower().split("x"))
                 execs.append(make_continuous_executor(
-                    worker, args.num_slots, bucket=(h, w), device=d))
+                    worker, args.num_slots, bucket=(h, w), device=d,
+                    params_replica=replicas.get(d)))
         return execs
     return [InProcessExecutor(worker, max_batch=args.max_batch)]
 
 
 def make_continuous_executor(worker, num_slots: int, bucket=None,
-                             device=None):
+                             device=None, params_replica=None):
     """Step-level continuous batching over the worker's pipeline
     (serve/continuous.py): items join between Euler steps. `bucket`
     = (height, width) for a non-default generation size sharing the same
-    resident params; `device` pins the engine (and a params replica) to
-    one chip for per-device request parallelism."""
+    resident params; `device` pins the engine to one chip for per-device
+    request parallelism (`params_replica` = that chip's shared param
+    copy, one per device regardless of bucket count)."""
     import dataclasses
 
     import numpy as np
@@ -95,7 +104,7 @@ def make_continuous_executor(worker, num_slots: int, bucket=None,
     if bucket is not None:
         gen = dataclasses.replace(gen, height=bucket[0], width=bucket[1])
     engine = ContinuousEngine(worker.pipe, gen, num_slots=num_slots,
-                              device=device)
+                              device=device, params_replica=params_replica)
 
     def encode_item(payload, i):
         images = worker._load_cond_images(payload)  # [B, H, W, 3] in [-1,1]
@@ -144,6 +153,11 @@ def main(argv=None):
     ap.add_argument("--out_width", type=int, default=480)
     ap.add_argument("--out_height", type=int, default=480)
     ap.add_argument("--num_inference_steps", type=int, default=30)
+    ap.add_argument(
+        "--quantize", default="int8", choices=["", "bf16", "int8"],
+        help="UNet trunk serving precision. Default int8 (selective W8A8, "
+             "the round-4 shipping decision — see PERFORMANCE.md); "
+             "--quantize bf16 opts out.")
     ap.add_argument("--executor", default="continuous",
                     choices=["batch", "continuous"],
                     help="'continuous' (default, the TPU-first serving "

@@ -38,7 +38,10 @@ class CheckpointManager:
     device arrays to host memory synchronously, then serializes in a
     background thread — the accelerator never waits on the filesystem).
     A later save(), wait(), or restore() joins the in-flight write first;
-    keep-limit pruning is deferred until the write lands."""
+    keep-limit pruning runs at every save()-join point (the previous write
+    has landed there by construction), so a long async run never
+    accumulates more than total_limit+1 checkpoints on disk — matching the
+    reference's prune-on-every-save rotation (train_svd.py:986-1062)."""
 
     def __init__(self, root: str, total_limit: Optional[int] = None,
                  async_save: bool = False):
@@ -54,6 +57,11 @@ class CheckpointManager:
         path = osp.join(self.root, f"checkpoint-{step}")
         # join any in-flight async write before starting the next one
         self._ckptr.wait_until_finished()
+        if self.async_save:
+            # every prior write has landed at the join: enforce the keep
+            # limit NOW (disk transiently holds total_limit+1 while the new
+            # write is in flight, never more)
+            self._prune()
         self._ckptr.save(path, state, force=True)
         if not self.async_save:
             self._ckptr.wait_until_finished()
