@@ -1,0 +1,129 @@
+"""Sweep CFG row schedules against the bf16 full-CFG baseline in ONE
+process (one init, one baseline generate per seed, then each candidate
+schedule reuses them) — the measurement harness for VERDICT r5 item 1.
+
+The bar (established by the int8 decision, PERFORMANCE.md round 4): the
+shipping serving config must stay in the ~5e-3 max-abs / >= 40 dB PSNR
+regime vs the bf16 full-CFG run AT RANDOM WEIGHTS. Note random weights are
+a brutal worst case for cross-step reuse (a random UNet is not smooth in
+(x, sigma), so a stale uncond row is nearly uncorrelated with the fresh
+one), where for int8 they were a plausible worst case — the sweep prints
+the drift-vs-row-saving curve so the decision is data, not vibes.
+
+Usage: python scripts/cfg_drift_sweep.py [--height 256 --width 256]
+           [--steps 25] [--seeds 2] [--schedules tail:policy[:head] ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_schedule(spec: str):
+    from wiw_tpu.core.schedule import CFGSchedule
+
+    parts = spec.split(":")
+    tail = float(parts[0])
+    policy = parts[1] if len(parts) > 1 else "stale"
+    head = float(parts[2]) if len(parts) > 2 else float("inf")
+    return CFGSchedule(tail, policy, head)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--quantize", action="store_true",
+                    help="run candidates under int8 too (stacked drift)")
+    ap.add_argument("--schedules", nargs="+",
+                    default=["1.0:stale", "1.0:alt", "0.2:stale",
+                             "2.3:alt", "6.4:alt"])
+    args = ap.parse_args()
+
+    import dataclasses
+
+    from wiw_tpu.core.schedule import cfg_row_segments
+    from wiw_tpu.models.unet import UNetConfig
+    from wiw_tpu.sampling.pipeline import GenerationConfig, SVDPipeline
+
+    gen = GenerationConfig(height=args.height, width=args.width,
+                           num_frames=args.frames,
+                           num_inference_steps=args.steps,
+                           task_type="navigation")
+    cfg = UNetConfig(num_frames=args.frames, action_strategy="micro_cond",
+                     action_input_channel=args.frames, dtype="bfloat16")
+    pipe = SVDPipeline(cfg)
+    t0 = time.perf_counter()
+    pipe.init_params(jax.random.PRNGKey(0), gen)
+    pipe.params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 and x.ndim > 1 else x, pipe.params)
+    if args.quantize:
+        n = pipe.quantize_unet()
+        print(f"int8: {n} kernels", file=sys.stderr)
+    print(f"init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    h, w = args.height // 8, args.width // 8
+    inputs = []
+    for seed in range(args.seeds):
+        rng = np.random.default_rng(seed)
+        inputs.append((
+            jax.random.PRNGKey(100 + seed),
+            jnp.asarray(rng.uniform(-1., 1., (1, args.height, args.width, 3))
+                        .astype(np.float32)),
+            jnp.asarray(rng.integers(0, 3, (1, args.frames))
+                        .astype(np.int32)),
+            jnp.asarray(rng.standard_normal((1, args.frames, h, w, 4))
+                        .astype(np.float32)),
+        ))
+
+    base = []
+    for key, image, actions, lat in inputs:
+        t0 = time.perf_counter()
+        base.append(np.asarray(pipe.generate(
+            key, image, gen, actions=actions, init_latents=lat)))
+        print(f"baseline gen {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+
+    for spec in args.schedules:
+        sched = parse_schedule(spec)
+        segs = cfg_row_segments(args.steps, sched)
+        rows = sum((2 if k == "full" else 1.5 if k == "alt" else 1) * (e - s)
+                   for k, s, e in segs)
+        gen2 = dataclasses.replace(gen, cfg=sched)
+        for seed, (key, image, actions, lat) in enumerate(inputs):
+            t0 = time.perf_counter()
+            out = np.asarray(pipe.generate(
+                key, image, gen2, actions=actions, init_latents=lat))
+            dt = time.perf_counter() - t0
+            diff = np.abs(base[seed] - out)
+            mse = float(np.mean((base[seed] - out) ** 2))
+            psnr = 10.0 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+            print(json.dumps({
+                "schedule": spec, "row_saving": round(1 - rows / (2 * args.steps), 3),
+                "seed": seed, "max_abs": float(diff.max()),
+                "mean_abs": float(diff.mean()),
+                "psnr_db": round(float(psnr), 2),
+                "frac_gt_1_lsb": float((diff > 1 / 255.).mean()),
+                "gen_s": round(dt, 1),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,12 +32,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(height, width, frames, steps, seeds, compare="int8"):
+def run_config(height, width, frames, steps, seeds, compare="int8",
+               cfg_schedule=None):
     """compare='int8': int8-vs-bf16 drift (the shipping decision).
     compare='fp32': bf16-vs-fp32 drift — the YARDSTICK: the precision loss
     the serving path already accepts (the reference serves fp16,
     eval_inference.py torch_dtype=float16). int8 drift at or near this
-    scale adds no new quality regime."""
+    scale adds no new quality regime.
+    compare='cfg': bf16 full-CFG vs bf16 + `cfg_schedule` (the
+    guidance-interval / uncond-reuse approximation in isolation).
+    compare='cfg_int8': bf16 full-CFG vs int8 + `cfg_schedule` — the TOTAL
+    drift of the shipping serving configuration (VERDICT r4 item 1:
+    stacked on top of int8, same bf16-full baseline)."""
+    import dataclasses
+
     from wiw_tpu.models.clip import CLIPVisionConfig
     from wiw_tpu.models.unet import UNetConfig
     from wiw_tpu.models.vae import VAEConfig
@@ -87,7 +95,21 @@ def run_config(height, width, frames, steps, seeds, compare="int8"):
         out_bf16 = np.asarray(pipe.generate(
             key, image, gen, actions=actions, init_latents=init_latents))
 
-        if compare == "fp32":
+        if compare in ("cfg", "cfg_int8"):
+            gen2 = dataclasses.replace(gen, cfg=cfg_schedule)
+            if compare == "cfg_int8":
+                n = pipe.quantize_unet()
+                if seed == 0:
+                    print(f"quantized {n} kernels", file=sys.stderr)
+            out_other = np.asarray(pipe.generate(
+                key, image, gen2, actions=actions,
+                init_latents=init_latents))
+            if compare == "cfg_int8":  # restore bf16 for the next seed
+                pipe.params = bf16_params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 and x.ndim > 1 else x,
+                    fp32_params)
+        elif compare == "fp32":
             # free the bf16 UNet replica + its compiled programs before the
             # fp32 run: fp32 params (6.1 GB) + fp32 activations don't fit
             # HBM next to the resident bf16 copy at 256^2
@@ -133,10 +155,28 @@ def main():
     ap.add_argument("--frames", type=int, default=14)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--seeds", type=int, default=2)
-    ap.add_argument("--compare", choices=("int8", "fp32"), default="int8")
+    ap.add_argument("--compare", choices=("int8", "fp32", "cfg", "cfg_int8"),
+                    default="int8")
+    ap.add_argument("--cfg_tail_sigma", type=float, default=1.0)
+    ap.add_argument("--cfg_tail_policy", default="stale",
+                    choices=("stale", "alt", "cond"))
+    ap.add_argument("--cfg_head_sigma", type=float, default=float("inf"))
     args = ap.parse_args()
+    cfg_schedule = None
+    if args.compare in ("cfg", "cfg_int8"):
+        from wiw_tpu.core.schedule import CFGSchedule, cfg_row_segments
+
+        cfg_schedule = CFGSchedule(args.cfg_tail_sigma, args.cfg_tail_policy,
+                                   args.cfg_head_sigma)
+        segs = cfg_row_segments(args.steps, cfg_schedule)
+        rows = sum((2 if k == "full" else 1.5 if k == "alt" else 1) * (e - s)
+                   for k, s, e in segs)
+        print(json.dumps({"segments": [list(s) for s in segs],
+                          "unet_rows": rows, "full_rows": 2 * args.steps,
+                          "row_saving": round(1 - rows / (2 * args.steps), 3)}),
+              flush=True)
     run_config(args.height, args.width, args.frames, args.steps, args.seeds,
-               compare=args.compare)
+               compare=args.compare, cfg_schedule=cfg_schedule)
 
 
 if __name__ == "__main__":

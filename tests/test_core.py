@@ -263,3 +263,69 @@ class TestAttentionOp:
         assert _best_block(2304) == 1152
         assert _best_block(1024) == 1024
         assert _best_block(200) == 128  # fallback floor
+
+
+class TestCFGSchedule:
+    """Trace-time CFG row segmentation (guidance-interval / uncond reuse)."""
+
+    def test_default_is_full(self):
+        assert S.CFGSchedule().is_full
+        assert S.cfg_row_segments(25, S.CFGSchedule()) == (("full", 0, 25),)
+
+    def test_invalid_policy_rejected(self):
+        with pytest.raises(ValueError, match="tail_policy"):
+            S.CFGSchedule(tail_policy="never")
+
+    def test_partition_contiguous_and_ordered(self):
+        sig = S.karras_sigmas_np(25)[:25]
+        for tail in (float(sig[5]), float(sig[12]), float(sig[24]), 1e-9):
+            for pol in ("stale", "alt", "cond"):
+                for head in (float("inf"), float(sig[2])):
+                    segs = S.cfg_row_segments(
+                        25, S.CFGSchedule(tail, pol, head))
+                    # contiguous cover of [0, 25)
+                    assert segs[0][1] == 0 and segs[-1][2] == 25
+                    for (_, _, e0), (_, s1, _) in zip(segs, segs[1:]):
+                        assert e0 == s1
+                    # segment order: [cond head][full][tail policy]
+                    kinds = [k for k, _, _ in segs]
+                    it = iter(("cond", "full", pol))
+                    assert all(k in it for k in kinds), kinds
+
+    def test_tail_threshold_semantics(self):
+        sig = S.karras_sigmas_np(25)[:25]
+        # tail below sigma[12]: steps 0..12 full (sigma >= thr), 13.. stale
+        thr = float(sig[12])
+        segs = S.cfg_row_segments(25, S.CFGSchedule(tail_sigma=thr))
+        assert segs == (("full", 0, 13), ("stale", 13, 25))
+
+    def test_stale_needs_one_full(self):
+        # tail_sigma above sigma[0] would make EVERY step stale — the
+        # carry needs at least one refreshed uncond prediction first
+        segs = S.cfg_row_segments(25, S.CFGSchedule(tail_sigma=1e9))
+        assert segs == (("full", 0, 1), ("stale", 1, 25))
+        # 'cond' has no carry: all-cond is allowed
+        segs = S.cfg_row_segments(
+            25, S.CFGSchedule(tail_sigma=1e9, tail_policy="cond"))
+        assert segs == (("cond", 0, 25),)
+
+    def test_head_interval(self):
+        sig = S.karras_sigmas_np(25)[:25]
+        segs = S.cfg_row_segments(
+            25, S.CFGSchedule(tail_sigma=float(sig[20]),
+                              head_sigma=float(sig[3])))
+        # sigma > sig[3] for steps 0..2 -> cond head of 3 steps
+        assert segs == (("cond", 0, 3), ("full", 3, 21), ("stale", 21, 25))
+
+    def test_row_cost_accounting(self):
+        """The lever: uncond rows saved = tail length (stale) or half
+        (alt). full=2 rows/step, cond/stale=1."""
+        def rows(segs):
+            cost = {"full": 2.0, "cond": 1.0, "stale": 1.0, "alt": 1.5}
+            return sum(cost[k] * (e - s) for k, s, e in segs)
+
+        full = S.cfg_row_segments(25, S.CFGSchedule())
+        assert rows(full) == 50.0
+        sig = S.karras_sigmas_np(25)[:25]
+        half = S.cfg_row_segments(25, S.CFGSchedule(float(sig[12])))
+        assert rows(half) == 2 * 13 + 12  # 38: 24% fewer UNet rows

@@ -1,5 +1,7 @@
 """End-to-end generation pipeline + trainer tests on tiny configs."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -277,3 +279,91 @@ class TestOptimizerOptions:
                 mus = [l for l in jax.tree_util.tree_leaves(st)
                        if getattr(l, "dtype", None) == jnp.bfloat16]
                 assert mus, "bf16 first moment expected in opt state"
+
+
+class TestCFGRowSchedule:
+    """Guidance-interval / uncond-reuse denoise (GenerationConfig.cfg).
+
+    At guidance == 1.0 everywhere, pred = u + 1*(c - u) = c for ANY u —
+    every tail policy is algebraically identical to full CFG, so the
+    segmented scans must reproduce the reference-exact single scan. This
+    pins the segment plumbing (sigma indexing, carry wiring, row slicing)
+    independently of the approximation quality, which is measured on the
+    real ladder by scripts/quant_drift.py --compare cfg."""
+
+    G1 = dict(height=32, width=64, num_frames=3, num_inference_steps=6,
+              min_guidance_scale=1.0, max_guidance_scale=1.0)
+
+    def _run(self, pipe, gen):
+        from wiw_tpu.core.schedule import CFGSchedule  # noqa: F401
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 64, 3)) * 2 - 1
+        acts = jnp.asarray([[1, 2, 3]], jnp.int32)
+        return np.asarray(pipe.generate(
+            jax.random.PRNGKey(1), img, gen, actions=acts))
+
+    def test_policies_exact_at_unit_guidance(self):
+        from wiw_tpu.core.schedule import CFGSchedule, karras_sigmas_np
+
+        pipe = tiny_pipeline("micro_cond")
+        ref = self._run(pipe, GenerationConfig(**self.G1))
+        thr = float(karras_sigmas_np(6)[3])  # steps 0-2 full, 3-5 tail
+        for pol in ("stale", "alt", "cond"):
+            gen = GenerationConfig(
+                **self.G1, cfg=CFGSchedule(tail_sigma=thr, tail_policy=pol))
+            out = self._run(pipe, gen)
+            np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=pol)
+
+    def test_head_interval_exact_at_unit_guidance(self):
+        from wiw_tpu.core.schedule import CFGSchedule, karras_sigmas_np
+
+        pipe = tiny_pipeline("micro_cond")
+        ref = self._run(pipe, GenerationConfig(**self.G1))
+        sig = karras_sigmas_np(6)
+        gen = GenerationConfig(**self.G1, cfg=CFGSchedule(
+            tail_sigma=float(sig[4]), head_sigma=float(sig[1])))
+        out = self._run(pipe, gen)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_stale_tail_differs_but_finite_at_real_guidance(self):
+        from wiw_tpu.core.schedule import CFGSchedule, karras_sigmas_np
+
+        pipe = tiny_pipeline("micro_cond")
+        gen_full = GenerationConfig(height=32, width=64, num_frames=3,
+                                    num_inference_steps=6)
+        ref = self._run(pipe, gen_full)
+        thr = float(karras_sigmas_np(6)[3])
+        gen = dataclasses.replace(gen_full, cfg=CFGSchedule(tail_sigma=thr))
+        out = self._run(pipe, gen)
+        assert np.isfinite(out).all()
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        assert not np.array_equal(out, ref)  # guidance > 1: approximation
+
+    def test_shard_clip_fsdp_only_mesh(self):
+        """shard_clip on a dp=1 mesh: all 8 devices on latent rows."""
+        from wiw_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, fsdp=8)
+        pipe = tiny_pipeline("micro_cond")
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 64, 3)) * 2 - 1
+        acts = jnp.asarray([[1, 2, 3]], jnp.int32)
+        v = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts,
+                          mesh=mesh, shard_clip=True)
+        v1 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v1), atol=2e-3)
+
+    def test_shard_clip_cfg_schedule_matches_unsharded(self):
+        """The CFG schedule's cond-only rows under SPMD (the _crow_sh
+        constraint) must agree with the single-device segmented path."""
+        from wiw_tpu.core.schedule import CFGSchedule, karras_sigmas_np
+        from wiw_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=2, fsdp=4)
+        pipe = tiny_pipeline("micro_cond")
+        thr = float(karras_sigmas_np(2)[1])
+        gen = dataclasses.replace(TINY_GEN, cfg=CFGSchedule(tail_sigma=thr))
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 64, 3)) * 2 - 1
+        acts = jnp.asarray([[1, 2, 3]], jnp.int32)
+        v = pipe.generate(jax.random.PRNGKey(1), img, gen, actions=acts,
+                          mesh=mesh, shard_clip=True)
+        v1 = pipe.generate(jax.random.PRNGKey(1), img, gen, actions=acts)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v1), atol=2e-3)

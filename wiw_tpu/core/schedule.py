@@ -47,6 +47,88 @@ def karras_sigmas(num_steps: int, cfg: EDMConfig = EDMConfig()) -> jnp.ndarray:
     return jnp.concatenate([sigmas, jnp.zeros((1,), sigmas.dtype)])
 
 
+def karras_sigmas_np(num_steps: int, cfg: EDMConfig = EDMConfig()):
+    """Trace-time (numpy) view of the same ladder, for STATIC decisions —
+    e.g. partitioning steps into CFG row segments. Values are only used
+    for threshold comparisons, never fed to the compiled program."""
+    import numpy as np
+
+    ramp = np.linspace(0.0, 1.0, num_steps)
+    min_inv_rho = cfg.sigma_min ** (1.0 / cfg.rho)
+    max_inv_rho = cfg.sigma_max ** (1.0 / cfg.rho)
+    sigmas = (max_inv_rho + ramp * (min_inv_rho - max_inv_rho)) ** cfg.rho
+    return np.concatenate([sigmas, np.zeros((1,), sigmas.dtype)])
+
+
+@dataclasses.dataclass(frozen=True)
+class CFGSchedule:
+    """Row schedule for classifier-free guidance across the sigma ladder.
+
+    The reference computes BOTH CFG rows (uncond + cond) at every denoise
+    step (pipeline_stable_video_diffusion.py:586-611) — 2x the UNet rows.
+    Guidance-interval / uncond-reuse techniques recover most of that cost:
+    the uncond prediction changes slowly at low sigma and the Euler step's
+    weight on it shrinks with sigma, so the uncond row can stop being
+    refreshed below a sigma threshold with bounded output drift
+    (measured: scripts/quant_drift.py --compare cfg*). Defaults = full CFG
+    (reference-exact); serving entry points opt into the shipped schedule,
+    the same pattern as the int8 default.
+
+    tail_sigma: below this sigma the uncond row is no longer refreshed.
+    tail_policy: what tail steps do instead —
+      'stale': guidance-combine the cond row with the LAST refreshed
+               uncond prediction (zero extra rows; drift second-order in
+               d uncond / d sigma)
+      'alt':   refresh the uncond row every OTHER tail step, 'stale'
+               in between (half the tail uncond rows)
+      'cond':  pure conditional prediction, guidance off (the classic
+               limited-interval form; changes late-frame guidance >1)
+    head_sigma: above this sigma run cond-only (guidance off) — the other
+      half of the limited interval. inf = guidance from step 0 (default).
+    """
+
+    tail_sigma: float = 0.0
+    tail_policy: str = "stale"
+    head_sigma: float = float("inf")
+
+    def __post_init__(self):
+        if self.tail_policy not in ("stale", "alt", "cond"):
+            raise ValueError(
+                f"tail_policy {self.tail_policy!r} not in stale|alt|cond")
+
+    @property
+    def is_full(self) -> bool:
+        return self.tail_sigma <= 0.0 and self.head_sigma == float("inf")
+
+
+def cfg_row_segments(num_steps: int, cfg: CFGSchedule,
+                     edm: EDMConfig = EDMConfig()):
+    """Partition the denoise steps into contiguous CFG row segments.
+
+    Returns a tuple of (kind, start, end) with kind in
+    {'full', 'cond', 'stale', 'alt'}, decided at trace time on the static
+    sigma ladder — each segment becomes one lax.scan with static shapes
+    (2B rows for 'full', B rows for 'cond'/'stale', alternating for 'alt').
+    """
+    import numpy as np
+
+    sig = karras_sigmas_np(num_steps, edm)[:num_steps]
+    head = int(np.sum(sig > cfg.head_sigma))
+    k = int(np.sum(sig >= cfg.tail_sigma))  # steps 0..k-1 keep full CFG
+    k = min(max(k, head), num_steps)
+    if cfg.tail_policy in ("stale", "alt") and k < num_steps:
+        # stale reuse needs at least one refreshed uncond prediction
+        k = max(k, head + 1)
+    segs = []
+    if head > 0:
+        segs.append(("cond", 0, head))
+    if k > head:
+        segs.append(("full", head, k))
+    if num_steps > k:
+        segs.append((cfg.tail_policy, k, num_steps))
+    return tuple(segs)
+
+
 def sigma_to_t(sigma: jnp.ndarray) -> jnp.ndarray:
     """Continuous timestep fed to the UNet: t = 0.25 * log(sigma)."""
     return 0.25 * jnp.log(sigma)

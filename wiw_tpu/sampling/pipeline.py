@@ -56,6 +56,10 @@ class GenerationConfig:
     # in fp32, 4 in bf16; proportionally more at smaller sizes)
     decode_chunk_frames: Optional[int] = None
     edm: S.EDMConfig = S.EDMConfig()
+    # CFG row schedule (guidance-interval / uncond-row reuse). Default =
+    # full CFG every step (reference-exact, pipeline:586-611); serving
+    # entries opt into the measured shipping schedule (PERFORMANCE.md r5).
+    cfg: S.CFGSchedule = S.CFGSchedule()
 
     def resolved_decode_chunk(self, dtype_bytes: int = 4) -> int:
         """Auto chunk size: clamp per-chunk decoder-activation volume.
@@ -223,11 +227,21 @@ class SVDPipeline:
         if mesh is not None and shard_clip:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            if mesh.shape["dp"] != 2:
+            shape = dict(mesh.shape)
+            if "fsdp" not in shape:
+                raise ValueError(
+                    "shard_clip shards latent spatial rows over an 'fsdp' "
+                    f"mesh axis, absent from this mesh (axes: "
+                    f"{tuple(shape)}); use make_mesh(dp=2, fsdp=n//2) or "
+                    "make_mesh(dp=1, fsdp=n)"
+                )
+            if shape.get("dp", 1) not in (1, 2):
                 raise ValueError(
                     "shard_clip splits the CFG fold's 2 UNet rows over the "
-                    f"'dp' mesh axis, which must be size 2 (got "
-                    f"{mesh.shape['dp']}); use make_mesh(dp=2, fsdp=n//2)"
+                    f"'dp' mesh axis, which must be size 1 (rows "
+                    "replicated; all devices on latent rows) or 2 (got "
+                    f"{shape.get('dp')}); use make_mesh(dp=2, fsdp=n//2) "
+                    "or make_mesh(dp=1, fsdp=n)"
                 )
             repl = NamedSharding(mesh, P())
             params = jax.device_put(self.params, repl)
@@ -345,42 +359,121 @@ class SVDPipeline:
         if spmd is not None:
             # single-clip SPMD (generate(shard_clip=True)): carry latents
             # split over latent rows ('fsdp'), UNet input additionally
-            # split over the CFG fold's two rows ('dp'). GSPMD propagates
-            # these through the UNet and inserts the collectives.
+            # split over the CFG fold's two rows ('dp' — only when the
+            # mesh has a size-2 dp axis; a dp=1/fsdp-only mesh puts every
+            # device on latent rows). GSPMD propagates these through the
+            # UNet and inserts the collectives.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             _lat_sh = NamedSharding(spmd, P(None, None, "fsdp"))
-            _row_sh = NamedSharding(spmd, P("dp", None, "fsdp"))
+            _dp2 = dict(spmd.shape).get("dp", 1) == 2
+            _row_sh = NamedSharding(
+                spmd, P("dp", None, "fsdp") if _dp2 else P(None, None, "fsdp"))
+            # cond-only segments have B rows — no CFG pair to split
+            _crow_sh = NamedSharding(spmd, P(None, None, "fsdp"))
             latents = jax.lax.with_sharding_constraint(latents, _lat_sh)
 
-        # 5. denoise scan
-        def step(latents, sig_pair):
-            sigma, sigma_next = sig_pair
-            latent_in = jnp.concatenate([latents, latents], axis=0)
+        # 5. denoise scan(s) — steps partitioned at trace time into CFG
+        # row segments (core/schedule.cfg_row_segments): 'full' = both CFG
+        # rows (2B), 'cond'/'stale' = cond row only (B), 'alt' = refresh
+        # every other step. One lax.scan per segment; all shapes static.
+        n = gen.num_inference_steps
+        segments = S.cfg_row_segments(n, gen.cfg, gen.edm)
+
+        def unet_rows(latents, sigma, both):
+            if both:
+                latent_in = jnp.concatenate([latents, latents], axis=0)
+                img, ctx, atids = img_latents, context, added_time_ids
+                acts, rows = action_ids, 2 * B
+                sh = _row_sh if spmd is not None else None
+            else:
+                latent_in = latents
+                img, ctx = img_latents[B:], context[B:]
+                atids = added_time_ids[:B]
+                acts = None if action_ids is None else action_ids[B:]
+                rows = B
+                sh = _crow_sh if spmd is not None else None
             latent_in = S.precondition_inputs(latent_in, sigma)
-            latent_in = jnp.concatenate([latent_in, img_latents], axis=-1)
-            if spmd is not None:
-                latent_in = jax.lax.with_sharding_constraint(
-                    latent_in, _row_sh)
-            t = jnp.full((2 * B,), S.sigma_to_t(sigma))
-            pred = self.unet.apply(
+            latent_in = jnp.concatenate([latent_in, img], axis=-1)
+            if sh is not None:
+                latent_in = jax.lax.with_sharding_constraint(latent_in, sh)
+            t = jnp.full((rows,), S.sigma_to_t(sigma))
+            return self.unet.apply(
                 {"params": p["unet"]},
                 sample=latent_in,
                 timestep=t,
-                context=context,
-                added_time_ids=added_time_ids,
-                action_ids=action_ids,
+                context=ctx,
+                added_time_ids=atids,
+                action_ids=acts,
             )
-            uncond, cond = jnp.split(pred, 2, axis=0)
-            pred = uncond + guidance * (cond - uncond)
+
+        def advance(latents, pred, sigma, sigma_next):
             denoised = S.precondition_outputs(pred, latents, sigma)
             nxt = S.euler_step(latents, denoised, sigma, sigma_next)
             if spmd is not None:
                 nxt = jax.lax.with_sharding_constraint(nxt, _lat_sh)
-            return nxt, None
+            return nxt
 
-        latents, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
-        return latents / self.vae_config.scaling_factor
+        if segments == (("full", 0, n),):
+            # reference-exact default: single scan, no uncond carry
+            def step(latents, sig_pair):
+                sigma, sigma_next = sig_pair
+                pred = unet_rows(latents, sigma, True)
+                uncond, cond = jnp.split(pred, 2, axis=0)
+                pred = uncond + guidance * (cond - uncond)
+                return advance(latents, pred, sigma, sigma_next), None
+
+            latents, _ = jax.lax.scan(step, latents,
+                                      (sigmas[:-1], sigmas[1:]))
+            return latents / self.vae_config.scaling_factor
+
+        def full_step(carry, sig_pair):
+            latents, _u = carry
+            sigma, sigma_next = sig_pair
+            pred = unet_rows(latents, sigma, True)
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance * (cond - uncond)
+            return (advance(latents, pred, sigma, sigma_next),
+                    uncond.astype(latents.dtype)), None
+
+        def stale_step(carry, sig_pair):
+            latents, u = carry
+            sigma, sigma_next = sig_pair
+            cond = unet_rows(latents, sigma, False)
+            pred = u + guidance * (cond - u)
+            return (advance(latents, pred, sigma, sigma_next), u), None
+
+        def cond_step(carry, sig_pair):
+            latents, u = carry
+            sigma, sigma_next = sig_pair
+            cond = unet_rows(latents, sigma, False)
+            return (advance(latents, cond, sigma, sigma_next), u), None
+
+        fns = {"full": full_step, "cond": cond_step, "stale": stale_step}
+        carry = (latents, jnp.zeros_like(latents))
+        for kind, s, e in segments:
+            if kind == "alt":
+                # tail pattern stale, full, stale, ... (the last refreshed
+                # uncond is at most one step old)
+                pairs = (e - s) // 2
+                if pairs:
+                    i0 = np.arange(s, s + 2 * pairs, 2)
+                    quads = jnp.stack(
+                        [sigmas[i0], sigmas[i0 + 1],
+                         sigmas[i0 + 1], sigmas[i0 + 2]], axis=1)
+
+                    def pair_step(carry, q):
+                        carry, _ = stale_step(carry, (q[0], q[1]))
+                        carry, _ = full_step(carry, (q[2], q[3]))
+                        return carry, None
+
+                    carry, _ = jax.lax.scan(pair_step, carry, quads)
+                if (e - s) % 2:
+                    carry, _ = stale_step(carry, (sigmas[e - 1], sigmas[e]))
+            else:
+                carry, _ = jax.lax.scan(
+                    fns[kind], carry, (sigmas[s:e], sigmas[s + 1:e + 1]))
+        return carry[0] / self.vae_config.scaling_factor
 
     def _decode_impl(self, size, params, part):
         """One VAE-decode chunk: [B*size, h, w, 4] -> [B, size, H, W, 3]."""
