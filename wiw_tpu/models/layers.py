@@ -221,8 +221,20 @@ class GroupNorm(nn.Module):
             sv = (d * d).sum(axis=spatial)
             return sv.reshape(x.shape[0], groups, cg).sum(-1) / count
 
-        ill = jnp.any(mean * mean > 256.0 * var_raw + self.eps)
-        var = jax.lax.cond(ill, exact_var, lambda _: var_raw, operand=None)
+        # Per-GROUP guard: the predicate that picks which groups get the
+        # exact recompute must not depend on OTHER rows in the batch — a
+        # global any() made one degenerate request flip every co-batched
+        # request's variance formulation (~2e-6 output shift), breaking
+        # bit-reproducibility under continuous batching (caught by
+        # tests/test_continuous.py::TestAdversarialServing). The outer
+        # lax.cond still keeps the common case at zero extra HBM traffic;
+        # when ANY group is ill-conditioned, the exact two-pass runs once
+        # and jnp.where applies it only to the ill groups.
+        ill_g = mean * mean > 256.0 * var_raw + self.eps
+        var = jax.lax.cond(
+            jnp.any(ill_g),
+            lambda _: jnp.where(ill_g, exact_var(None), var_raw),
+            lambda _: var_raw, operand=None)
         rstd = jax.lax.rsqrt(var + self.eps)
         rstd_c = jnp.repeat(rstd, cg, axis=-1).reshape(bshape)
         out = (xf - mean_c) * rstd_c * scale + bias
