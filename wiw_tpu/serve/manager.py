@@ -163,6 +163,11 @@ class ContinuousExecutor(Executor):
         self.pending = 0
         self._pending_lock = threading.Lock()
         self._seed = 0
+        # server-side phase attribution (seconds, cumulative): encode =
+        # conditioning CLIP/VAE-encode dispatch, engine = denoise ticks +
+        # async-decode harvest, post = host postprocess. Read by
+        # scripts/bench_closed_loop.py for the PERFORMANCE.md table.
+        self.phase_s = {"encode": 0.0, "engine": 0.0, "post": 0.0}
 
     def start(self, result_queue):
         self._results = result_queue
@@ -213,11 +218,13 @@ class ContinuousExecutor(Executor):
             for cid, tid, i in waiting:
                 payload = task_state[(cid, tid)]["payload"]
                 try:
+                    t_enc = time.perf_counter()
                     image, actions = self.encode_item(payload, i)
                     self._seed += 1
                     rid = self.engine.admit(
                         image, actions, jax.random.PRNGKey(self._seed)
                     )
+                    self.phase_s["encode"] += time.perf_counter() - t_enc
                 except Exception as e:
                     # per-item error isolation: a malformed item (e.g. a
                     # bucket-mismatched image) fails alone
@@ -232,11 +239,15 @@ class ContinuousExecutor(Executor):
             for a in admitted:
                 waiting.remove(a)
             # 3. one engine tick
+            t_eng = time.perf_counter()
             finished = self.engine.step() if rid_map else {}
+            self.phase_s["engine"] += time.perf_counter() - t_eng
             for rid, video in finished.items():
                 cid, tid, i = rid_map.pop(rid)
                 ts = task_state[(cid, tid)]
+                t_post = time.perf_counter()
                 ts["videos"][i] = self.postprocess(video)
+                self.phase_s["post"] += time.perf_counter() - t_post
                 ts["remaining"] -= 1
             # 4. deliver completed tasks
             for key in [k for k, ts in task_state.items() if ts["remaining"] == 0]:

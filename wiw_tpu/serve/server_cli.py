@@ -103,8 +103,10 @@ def make_continuous_executor(worker, num_slots: int, bucket=None,
     gen = worker.gen
     if bucket is not None:
         gen = dataclasses.replace(gen, height=bucket[0], width=bucket[1])
+    ow, oh = worker.out_size
     engine = ContinuousEngine(worker.pipe, gen, num_slots=num_slots,
-                              device=device, params_replica=params_replica)
+                              device=device, params_replica=params_replica,
+                              out_hw=(oh, ow), out_uint8=True)
 
     def encode_item(payload, i):
         images = worker._load_cond_images(payload)  # [B, H, W, 3] in [-1,1]
@@ -120,15 +122,10 @@ def make_continuous_executor(worker, num_slots: int, bucket=None,
         actions = np.asarray(payload["b_action"])[i]
         return img, actions
 
-    def postprocess(video01):
-        from PIL import Image
-
-        ow, oh = worker.out_size
-        u8 = np.clip(np.asarray(video01) * 255, 0, 255).astype(np.uint8)
-        out = np.stack([
-            np.asarray(Image.fromarray(f).resize((ow, oh))) for f in u8
-        ])
-        return np.transpose(out, (0, 3, 1, 2))  # TCHW
+    def postprocess(video_u8):
+        # resize + uint8 already fused into the engine's decode program
+        # (device cubic resize); host work is one transpose
+        return np.transpose(np.asarray(video_u8), (0, 3, 1, 2))  # TCHW
 
     return ContinuousExecutor(engine, encode_item, postprocess,
                               bucket=bucket)
