@@ -76,23 +76,55 @@ def build(height, width, frames, steps):
     guidance = S.guidance_scales(frames)[None, :, None, None, None]
     img_latents = jnp.zeros((2 * B, frames, h, w, 4), jnp.bfloat16)
 
+    # CFG row schedule: serving default = SERVING_CFG (stale-uncond tail,
+    # 10% fewer UNet rows, drift bounded in PERFORMANCE.md round 5);
+    # WIW_CFG=full restores the reference-exact both-rows loop
+    cfg_sched = (S.CFGSchedule() if os.environ.get("WIW_CFG") == "full"
+                 else S.SERVING_CFG)
+    segments = S.cfg_row_segments(steps, cfg_sched)
+    print(f"cfg segments: {segments}", file=sys.stderr)
+
+    def unet_rows(params, lat, sigma, both):
+        rows = 2 * B if both else B
+        lin = jnp.concatenate([lat, lat], axis=0) if both else lat
+        lin = S.precondition_inputs(lin, sigma).astype(jnp.bfloat16)
+        lin = jnp.concatenate([lin, img_latents[:rows]], axis=-1)
+        t = jnp.full((rows,), S.sigma_to_t(sigma))
+        return model.apply({"params": params}, lin, t, context[:rows],
+                           atids[:rows], action_ids[:rows])
+
     def denoise(params, latents):
-        def step(lat, sig):
+        def full_step(carry, sig):
+            lat, _u = carry
             sigma, sigma_next = sig
-            lin = jnp.concatenate([lat, lat], axis=0)
-            lin = S.precondition_inputs(lin, sigma).astype(jnp.bfloat16)
-            lin = jnp.concatenate([lin, img_latents], axis=-1)
-            t = jnp.full((2 * B,), S.sigma_to_t(sigma))
-            pred = model.apply(
-                {"params": params}, lin, t, context, atids, action_ids
-            )
+            pred = unet_rows(params, lat, sigma, True)
             un, co = jnp.split(pred, 2, axis=0)
             pred = un + guidance * (co - un)
             den = S.precondition_outputs(pred, lat, sigma)
-            return S.euler_step(lat, den, sigma, sigma_next), None
+            return (S.euler_step(lat, den, sigma, sigma_next),
+                    un.astype(lat.dtype)), None
 
-        out, _ = jax.lax.scan(step, latents, (sigmas[:-1], sigmas[1:]))
-        return out
+        def stale_step(carry, sig):
+            lat, u = carry
+            sigma, sigma_next = sig
+            co = unet_rows(params, lat, sigma, False)
+            pred = u + guidance * (co - u)
+            den = S.precondition_outputs(pred, lat, sigma)
+            return (S.euler_step(lat, den, sigma, sigma_next), u), None
+
+        def cond_step(carry, sig):
+            lat, u = carry
+            sigma, sigma_next = sig
+            co = unet_rows(params, lat, sigma, False)
+            den = S.precondition_outputs(co, lat, sigma)
+            return (S.euler_step(lat, den, sigma, sigma_next), u), None
+
+        fns = {"full": full_step, "stale": stale_step, "cond": cond_step}
+        carry = (latents, jnp.zeros_like(latents))
+        for kind, s, e in segments:
+            carry, _ = jax.lax.scan(
+                fns[kind], carry, (sigmas[s:e], sigmas[s + 1:e + 1]))
+        return carry[0]
 
     latents = jax.random.normal(jax.random.PRNGKey(1), (B, frames, h, w, 4)) * sigmas[0]
     # return a scalar so timing can force a real device->host sync (the

@@ -101,6 +101,17 @@ class CFGSchedule:
         return self.tail_sigma <= 0.0 and self.head_sigma == float("inf")
 
 
+# The SHIPPED serving schedule (round 5, measured in PERFORMANCE.md):
+# stale-uncond tail below sigma 0.2 — the last 5 of 25 steps reuse the
+# step-19 uncond prediction, cutting 10% of UNet rows. Random-weight drift
+# vs bf16 full CFG: 46.5 dB PSNR alone; stacked on the int8 serving
+# default it stays in the >= 40 dB regime (scripts/cfg_drift_sweep.py).
+# Deeper tails measured and REJECTED at random weights (1.0:stale 31.8 dB,
+# 6.4:alt 38.0 dB) — revisit on real weights, where cross-step uncond
+# smoothness is far higher than a random UNet's.
+SERVING_CFG = CFGSchedule(tail_sigma=0.2, tail_policy="stale")
+
+
 def cfg_row_segments(num_steps: int, cfg: CFGSchedule,
                      edm: EDMConfig = EDMConfig()):
     """Partition the denoise steps into contiguous CFG row segments.
