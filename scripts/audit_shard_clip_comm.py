@@ -1,0 +1,226 @@
+"""Comm-audit the single-clip SPMD denoise step (generate(shard_clip=True)).
+
+VERDICT r4 item 4: the <2 s v5e-8 north-star projection rested on prose
+("~919.8/8 + comm"); nothing counted the collectives GSPMD actually inserts
+into the shard_clip program (conv halo exchanges, attention K/V
+all-gathers, GroupNorm stat psums). This script compiles the EXACT denoise
+loop body at the production operating point (1.5246B UNet, 14 frames,
+576x1024 -> 72x128 latents) on a virtual 8-device mesh, parses the
+partitioned HLO for collective ops + byte volumes, and prints a
+per-collective table plus an ICI-bandwidth latency projection that
+replaces the prose estimate in PERFORMANCE.md.
+
+The audited program is the scan body of sampling/pipeline._generate_impl
+(one 'full' CFG step: fold -> UNet -> guidance-combine -> Euler), compiled
+with the same with_sharding_constraint layout the real scan carries
+(latents P(None,None,'fsdp'), UNet rows P('dp',None,'fsdp')). Compiling
+the body alone keeps the 1-core-host XLA:CPU compile tractable while
+auditing precisely the program that executes num_inference_steps times.
+
+Usage:
+  python scripts/audit_shard_clip_comm.py [--dp 2 --fsdp 4]
+      [--height 576 --width 1024 --frames 14] [--cond_only]
+Re-execs itself onto an 8-virtual-CPU-device backend when the session's
+backend has fewer devices (the axon env exposes one real TPU chip).
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# v5e ICI: each chip drives 4.5e10 B/s per direction per link; a v5e-8
+# slice is a 2x4 torus (2 ICI axes). Effective per-chip collective
+# bandwidth for ring algorithms ~ 9e10 B/s aggregate (both axes); we use
+# the single-axis 4.5e10 figure as the CONSERVATIVE floor (all-gathers of
+# row shards ride one ring).
+ICI_BW_PER_DIR = 4.5e10
+_COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
+                "collective-permute", "all-to-all")
+_SHAPE_RE = re.compile(r"(bf16|f32|f16|s32|u32|s8|u8|pred|f64)\[([0-9,]*)\]")
+_BYTES = {"bf16": 2, "f16": 2, "f32": 4, "f64": 8, "s32": 4, "u32": 4,
+          "s8": 1, "u8": 1, "pred": 1}
+
+
+def _shape_bytes(text: str) -> int:
+    """Total bytes of the FIRST shape (incl. tuple elements) in an HLO line."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _BYTES[dt]
+    return total
+
+
+def audit(dp: int, fsdp: int, height: int, width: int, frames: int,
+          steps: int, cond_only: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wiw_tpu.core import schedule as S
+    from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+    from wiw_tpu.parallel.mesh import make_mesh
+
+    n_dev = dp * fsdp
+    mesh = make_mesh(dp=dp, fsdp=fsdp, devices=jax.devices()[:n_dev])
+    cfg = UNetConfig(num_frames=frames, action_strategy="micro_cond",
+                     action_input_channel=frames, dtype="bfloat16")
+    unet = UNetSpatioTemporal(cfg)
+    B, F = 1, frames
+    h, w = height // 8, width // 8
+    rows = B if cond_only else 2 * B
+
+    t0 = time.time()
+    abs_params = jax.eval_shape(
+        lambda k: unet.init(
+            k, sample=jnp.zeros((1, F, h, w, cfg.in_channels), jnp.bfloat16),
+            timestep=jnp.zeros((1,)),
+            context=jnp.zeros((1, 1, cfg.cross_attention_dim), jnp.bfloat16),
+            added_time_ids=jnp.zeros((1, 3)),
+            action_ids=jnp.zeros((1, F, F)),
+        )["params"], jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(abs_params))
+    print(f"[audit] UNet {n_params/1e9:.4f}B abstract "
+          f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
+
+    lat_sh = NamedSharding(mesh, P(None, None, "fsdp"))
+    row_sh = NamedSharding(
+        mesh, P("dp", None, "fsdp") if (dp == 2 and not cond_only)
+        else P(None, None, "fsdp"))
+    repl = NamedSharding(mesh, P())
+    guidance = S.guidance_scales(F)[None, :, None, None, None]
+
+    def body(params, latents, img_latents, context, added_time_ids,
+             action_ids, sigma, sigma_next):
+        """One denoise step, exactly as the pipeline scan body builds it."""
+        if cond_only:
+            latent_in = latents
+        else:
+            latent_in = jnp.concatenate([latents, latents], axis=0)
+        latent_in = S.precondition_inputs(latent_in, sigma)
+        latent_in = jnp.concatenate([latent_in, img_latents], axis=-1)
+        latent_in = jax.lax.with_sharding_constraint(latent_in, row_sh)
+        t = jnp.full((rows,), S.sigma_to_t(sigma))
+        pred = unet.apply({"params": params}, sample=latent_in, timestep=t,
+                          context=context, added_time_ids=added_time_ids,
+                          action_ids=action_ids)
+        if not cond_only:
+            uncond, cond = jnp.split(pred, 2, axis=0)
+            pred = uncond + guidance * (cond - uncond)
+        denoised = S.precondition_outputs(pred, latents, sigma)
+        nxt = S.euler_step(latents, denoised, sigma, sigma_next)
+        return jax.lax.with_sharding_constraint(nxt, lat_sh)
+
+    def sds(shape, dtype, sh):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+    t1 = time.time()
+    lowered = jax.jit(body).lower(
+        jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=repl),
+            abs_params),
+        sds((B, F, h, w, 4), jnp.float32, lat_sh),
+        sds((rows, F, h, w, 4), jnp.bfloat16, row_sh),
+        sds((rows, 1, cfg.cross_attention_dim), jnp.bfloat16, repl),
+        sds((rows, 3), jnp.float32, repl),
+        sds((rows, F, F), jnp.float32, repl),
+        sds((), jnp.float32, repl),
+        sds((), jnp.float32, repl),
+    )
+    print(f"[audit] lowered in {time.time()-t1:.0f}s; compiling (XLA:CPU, "
+          "1 core — several minutes at full width)...",
+          file=sys.stderr, flush=True)
+    t2 = time.time()
+    compiled = lowered.compile()
+    hlo = compiled.as_text()
+    print(f"[audit] compiled in {time.time()-t2:.0f}s "
+          f"({len(hlo)/1e6:.0f} MB HLO)", file=sys.stderr, flush=True)
+
+    per_kind: dict = {}
+    for line in hlo.splitlines():
+        ls = line.strip()
+        # instruction lines look like: %name = TYPE[dims] op-name(...)
+        m = re.match(r"%?[\w.\-]+\s*=\s*(.+)$", ls)
+        if not m:
+            continue
+        rhs = m.group(1)
+        op = None
+        for c in _COLLECTIVES:
+            # op name appears right after the result shape
+            if re.search(rf"\]\)?\s*{c}\(", rhs) or rhs.startswith(c):
+                op = c
+                break
+        if op is None:
+            continue
+        b = _shape_bytes(rhs)
+        k = per_kind.setdefault(op, {"count": 0, "bytes": 0})
+        k["count"] += 1
+        k["bytes"] += b
+
+    # ICI cost model (ring algorithms over n devices):
+    #   all-gather / reduce-scatter move (n-1)/n of the FULL tensor through
+    #   each chip; all-reduce = reduce-scatter + all-gather (2x);
+    #   collective-permute moves its tensor once.
+    n = n_dev
+    total_bytes = sum(k["bytes"] for k in per_kind.values())
+    ici_s = 0.0
+    for op, k in per_kind.items():
+        if op == "all-reduce":
+            ici_s += 2 * k["bytes"] * (n - 1) / n / ICI_BW_PER_DIR
+        elif op in ("all-gather", "reduce-scatter"):
+            ici_s += k["bytes"] * (n - 1) / n / ICI_BW_PER_DIR
+        else:  # permute / all-to-all: one traversal
+            ici_s += k["bytes"] / ICI_BW_PER_DIR
+    result = {
+        "mesh": f"dp{dp}xfsdp{fsdp}", "rows": rows,
+        "latents": [B, F, h, w, 4], "cond_only": cond_only,
+        "collectives": per_kind, "bytes_per_step": total_bytes,
+        "ici_seconds_per_step": round(ici_s, 6),
+        "ici_seconds_total": round(ici_s * steps, 4),
+        "steps": steps, "ici_bw_per_dir": ICI_BW_PER_DIR,
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dp", type=int, default=2)
+    ap.add_argument("--fsdp", type=int, default=4)
+    ap.add_argument("--height", type=int, default=576)
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--frames", type=int, default=14)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--cond_only", action="store_true",
+                    help="audit the CFG-schedule tail body (B rows) instead")
+    args = ap.parse_args()
+
+    n_dev = args.dp * args.fsdp
+    import jax
+
+    if len(jax.devices()) < n_dev:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + f" --xla_force_host_platform_device_count={n_dev}"
+                            ).strip()
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/wiw_jax_cache")
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+        raise SystemExit(subprocess.call(
+            [sys.executable, "-u", __file__] + sys.argv[1:], env=env))
+    audit(args.dp, args.fsdp, args.height, args.width, args.frames,
+          args.steps, args.cond_only)
+
+
+if __name__ == "__main__":
+    main()

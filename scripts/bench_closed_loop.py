@@ -103,6 +103,7 @@ def main():
           f"{len(crops)} crops", flush=True)
 
     lat = []
+    phase0 = dict(ex.phase_s)
     for step in range(args.steps):
         t0 = time.time()
         crops = solver.forward_with_WM(datum, st, "/tmp/bench_closed_loop")
@@ -119,6 +120,17 @@ def main():
     server.stop()
     frames_per_lookahead = args.candidates * args.frames
     mean_lat = sum(lat) / len(lat)
+    # attribution (VERDICT r4 next-round 2): server-side phases from the
+    # executor's cumulative timers; the remainder of the wall-clock is
+    # wire (framed pickle both ways) + solver-side postprocess warps +
+    # fallback tracker. 'engine' covers denoise ticks AND the fused
+    # device decode+resize+uint8 (async-harvested inside step()).
+    n = max(len(lat), 1)
+    attrib = {
+        k: round((ex.phase_s[k] - phase0[k]) / n, 2) for k in ex.phase_s
+    }
+    attrib["wire+solver_host"] = round(
+        mean_lat - sum(attrib.values()), 2)
     print(json.dumps({
         "metric": "ar_closed_loop_lookahead_latency_s",
         "value": round(mean_lat, 2),
@@ -128,6 +140,7 @@ def main():
         "frames_per_sec_through_full_loop": round(
             frames_per_lookahead / mean_lat, 3),
         "warmup_incl_compile_s": round(compile_s, 1),
+        "attribution_s_per_step": attrib,
     }))
 
 

@@ -31,6 +31,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# v5e peak: 197 TFLOP/s bf16 per chip (Cloud TPU v5e spec; the MFU
+# denominator — fp32 leaves in the optimizer don't change the matmul peak)
+V5E_PEAK_FLOPS = 197e12
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=256)
@@ -40,6 +45,12 @@ def main():
     ap.add_argument("--optimizer", default="adafactor")
     ap.add_argument("--train_params", default="full")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--no_remat", action="store_true",
+                    help="ablate rematerialization (expect HBM pressure "
+                         "up, recompute FLOPs down)")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="micro-batches per optimizer step (the trainer's "
+                         "lax.scan accumulation path)")
     args = ap.parse_args()
 
     from wiw_tpu.models.unet import UNetConfig
@@ -52,7 +63,8 @@ def main():
     )
     cfg = UNetConfig(
         num_frames=args.frames, action_strategy="micro_cond",
-        action_input_channel=args.frames, dtype="bfloat16", remat=True,
+        action_input_channel=args.frames, dtype="bfloat16",
+        remat=not args.no_remat,
     )
     pipe = SVDPipeline(cfg)
     t0 = time.perf_counter()
@@ -70,7 +82,8 @@ def main():
     }
 
     tc = TrainConfig(optimizer=args.optimizer,
-                     train_params=args.train_params)
+                     train_params=args.train_params,
+                     grad_accum_steps=args.grad_accum)
     trainer = Trainer(pipe, tc)
     state = trainer.init_state(pipe.params)
     step = trainer.make_train_step()
@@ -83,6 +96,20 @@ def main():
         ),
         "actions": jnp.zeros((B, F), jnp.int32),
     }
+    if args.grad_accum > 1:
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * args.grad_accum), batch)
+
+    # FLOPs from XLA's own cost model of the compiled step (fwd + bwd +
+    # optimizer; remat recompute INCLUDED) -> MFU vs the v5e bf16 peak
+    flops = None
+    try:
+        lowered = step.lower(state, frozen, batch, jax.random.PRNGKey(2))
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # pragma: no cover - relay/backend-specific
+        print(f"cost_analysis unavailable: {e!r}", file=sys.stderr)
 
     t0 = time.perf_counter()
     state, metrics = step(state, frozen, batch, jax.random.PRNGKey(2))
@@ -102,14 +129,20 @@ def main():
               file=sys.stderr, flush=True)
 
     best = min(ts)
-    print(json.dumps({
+    samples = B * args.grad_accum
+    out = {
         "metric": "svd_train_step_sec_per_chip",
         "value": round(best, 3),
-        "unit": f"s/optimizer step (B={B}, {F}f @{args.width}x{args.height}"
-                f", {args.optimizer}, full-width 1.5286B, remat)",
-        "samples_per_sec_per_chip": round(B / best, 4),
+        "unit": f"s/optimizer step (B={B}x{args.grad_accum}, {F}f "
+                f"@{args.width}x{args.height}, {args.optimizer}, "
+                f"full-width 1.5286B, remat={not args.no_remat})",
+        "samples_per_sec_per_chip": round(samples / best, 4),
         "compile_s": round(compile_s, 1),
-    }))
+    }
+    if flops:
+        out["tflops_per_step"] = round(flops / 1e12, 1)
+        out["mfu"] = round(flops / best / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

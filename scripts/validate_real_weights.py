@@ -217,7 +217,47 @@ def stage_generate(cfg, params, vae_dir, clip_dir, height, width, steps,
                         video=to_uint8(video))
     log("generate", "PASS",
         f"{video.shape} in {dt:.1f}s -> {out_dir}/clip.npz")
-    return video
+    return video, pipe, gen, (image, actions)
+
+
+def stage_serving_drift(video, pipe, gen, inputs, psnr_floor=40.0):
+    """Re-run the SAME generation under the SHIPPING serving config —
+    W8A8 int8 UNet + the SERVING_CFG stale-uncond CFG tail — and gate on
+    drift vs the bf16 full-CFG clip just produced (VERDICT r4 item 1 /
+    next-round 3: the int8+CFG default must be re-validated the day real
+    weights arrive; the random-weight 43 dB bound is provisional until
+    this gate runs on a real checkpoint). Matches the quality bar
+    established in PERFORMANCE.md round 4/5 (>= 40 dB decoded-frame PSNR).
+    Reference load/serve path: eval_inference.py:246-258."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wiw_tpu.core.schedule import SERVING_CFG
+
+    image, actions = inputs
+    n = pipe.quantize_unet()
+    gen_q = dataclasses.replace(gen, cfg=SERVING_CFG)
+    t0 = time.perf_counter()
+    vq = np.asarray(pipe.generate(jax.random.PRNGKey(2), image, gen_q,
+                                  actions=actions))
+    dt = time.perf_counter() - t0
+    if not np.isfinite(vq).all():
+        log("serving-drift", "FAIL", "non-finite frames under int8+CFG")
+        return False
+    mse = float(np.mean((video - vq) ** 2))
+    psnr = 10.0 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+    max_abs = float(np.abs(video - vq).max())
+    msg = (f"{n} int8 kernels + {SERVING_CFG.tail_policy} tail "
+           f"sigma<{SERVING_CFG.tail_sigma}: PSNR {psnr:.2f} dB "
+           f"(floor {psnr_floor}), max_abs {max_abs:.4f}, {dt:.1f}s")
+    if psnr < psnr_floor:
+        log("serving-drift", "FAIL", msg)
+        return False
+    log("serving-drift", "PASS", msg)
+    return True
 
 
 def stage_metrics(video, ref_outputs, i3d_weights, lpips_weights):
@@ -326,6 +366,11 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/wiw_validate")
     ap.add_argument("--dry-run", action="store_true",
                     help="build a tiny random checkpoint and validate it")
+    ap.add_argument("--quantize", action="store_true",
+                    help="also gate the SHIPPING serving config (int8 + "
+                         "SERVING_CFG) against the bf16 full-CFG clip; "
+                         "fails below --psnr-floor dB")
+    ap.add_argument("--psnr-floor", type=float, default=40.0)
     args = ap.parse_args(argv)
 
     if args.dry_run:
@@ -345,10 +390,14 @@ def main(argv=None):
 
     cfg, params = stage_convert(unet_dir)
     ok = stage_forward_diff(unet_dir, cfg, params)
-    video = stage_generate(cfg, params, args.vae, args.clip, args.height,
-                           args.width, args.steps, args.out,
-                           dry_run=args.dry_run)
-    ok = ok and video is not None
+    gen_out = stage_generate(cfg, params, args.vae, args.clip, args.height,
+                             args.width, args.steps, args.out,
+                             dry_run=args.dry_run)
+    ok = ok and gen_out is not None
+    video = gen_out[0] if gen_out is not None else None
+    if ok and args.quantize:
+        ok = stage_serving_drift(video, gen_out[1], gen_out[2], gen_out[3],
+                                 psnr_floor=args.psnr_floor) and ok
     ok = stage_metrics(video, args.ref_outputs, args.i3d_weights,
                        args.lpips_weights) and ok
     log("result", "PASS" if ok else "FAIL", "")

@@ -115,11 +115,24 @@ class InceptionI3d(nn.Module):
         return pooled.mean(axis=1), logits.mean(axis=1)
 
 
-def load_i3d_weights(path: str):
-    """Convert the standard pytorch i3d_pretrained_400 checkpoint."""
+def load_i3d_weights(path: str, validate: bool = True):
+    """Convert the standard pytorch i3d_pretrained_400 checkpoint.
+
+    `validate` gates the manifest check (eval/manifest.py): the converter
+    silently skips unknown keys, so an upstream layout drift would
+    otherwise corrupt the tower silently. Raises with the full
+    missing/unexpected/mis-shaped report on mismatch."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    if validate:
+        from wiw_tpu.eval.manifest import validate_i3d_state_dict
+
+        res = validate_i3d_state_dict(sd)
+        if not res["ok"]:
+            raise ValueError(
+                f"{path} does not match the pinned i3d_pretrained_400 "
+                f"layout (eval/manifest.py): {res}")
     params: dict = {}
     batch_stats: dict = {}
 

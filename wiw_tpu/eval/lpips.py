@@ -80,12 +80,23 @@ class LPIPS(nn.Module):
         return total
 
 
-def load_lpips_weights(path: str):
+def load_lpips_weights(path: str, validate: bool = True):
     """Convert the upstream lpips AlexNet checkpoint (torch .pth) into our
-    param tree. Requires torch (CPU) to unpickle."""
+    param tree. Requires torch (CPU) to unpickle. `validate` checks the
+    state dict against the pinned layout (eval/manifest.py) and raises
+    with the full report on mismatch — heads-only checkpoints (the bare
+    lpips lin weights, trunk shipped separately) are accepted."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    if validate:
+        from wiw_tpu.eval.manifest import validate_lpips_state_dict
+
+        res = validate_lpips_state_dict(sd)
+        if not res["ok"]:
+            raise ValueError(
+                f"{path} does not match the pinned lpips layout "
+                f"(eval/manifest.py): {res}")
     params = {"net": {}, }
     # lpips lin heads: lin{i}.model.1.weight of shape [1, C, 1, 1]
     for i in range(5):
