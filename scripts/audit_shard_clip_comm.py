@@ -154,8 +154,10 @@ def audit(dp: int, fsdp: int, height: int, width: int, frames: int,
         rhs = m.group(1)
         op = None
         for c in _COLLECTIVES:
-            # op name appears right after the result shape
-            if re.search(rf"\]\)?\s*{c}\(", rhs) or rhs.startswith(c):
+            # op name follows the result shape + optional layout suffix
+            # (e.g. `bf16[2,14,...]{4,3,2,1,0} all-gather(...)`), possibly
+            # in async `-start` form
+            if re.search(rf"(^|\s){c}(-start)?\(", rhs):
                 op = c
                 break
         if op is None:
