@@ -60,13 +60,16 @@ def _shape_bytes(text: str) -> int:
 
 
 def audit(dp: int, fsdp: int, height: int, width: int, frames: int,
-          steps: int, cond_only: bool) -> dict:
+          steps: int, cond_only: bool, attn: str = "ulysses") -> dict:
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from wiw_tpu.core import schedule as S
     from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
+    from wiw_tpu.parallel import clip_sharding
     from wiw_tpu.parallel.mesh import make_mesh
 
     n_dev = dp * fsdp
@@ -109,9 +112,18 @@ def audit(dp: int, fsdp: int, height: int, width: int, frames: int,
         latent_in = jnp.concatenate([latent_in, img_latents], axis=-1)
         latent_in = jax.lax.with_sharding_constraint(latent_in, row_sh)
         t = jnp.full((rows,), S.sigma_to_t(sigma))
-        pred = unet.apply({"params": params}, sample=latent_in, timestep=t,
-                          context=context, added_time_ids=added_time_ids,
-                          action_ids=action_ids)
+        if attn == "ulysses":
+            # same context the pipeline activates around its unet.apply
+            # (sampling/pipeline._generate_impl): head-sharded spatial
+            # attention via sequence<->head all-to-alls
+            cs = clip_sharding.activate(
+                mesh, batch_axis="dp" if (dp == 2 and not cond_only) else None)
+        else:  # 'gather': round-4 GSPMD-chosen K/V all-gathers
+            cs = contextlib.nullcontext()
+        with cs:
+            pred = unet.apply({"params": params}, sample=latent_in, timestep=t,
+                              context=context, added_time_ids=added_time_ids,
+                              action_ids=action_ids)
         if not cond_only:
             uncond, cond = jnp.split(pred, 2, axis=0)
             pred = uncond + guidance * (cond - uncond)
@@ -182,7 +194,7 @@ def audit(dp: int, fsdp: int, height: int, width: int, frames: int,
         else:  # permute / all-to-all: one traversal
             ici_s += k["bytes"] / ICI_BW_PER_DIR
     result = {
-        "mesh": f"dp{dp}xfsdp{fsdp}", "rows": rows,
+        "mesh": f"dp{dp}xfsdp{fsdp}", "attn": attn, "rows": rows,
         "latents": [B, F, h, w, 4], "cond_only": cond_only,
         "collectives": per_kind, "bytes_per_step": total_bytes,
         "ici_seconds_per_step": round(ici_s, 6),
@@ -203,6 +215,10 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--cond_only", action="store_true",
                     help="audit the CFG-schedule tail body (B rows) instead")
+    ap.add_argument("--attn", choices=("ulysses", "gather"), default="ulysses",
+                    help="spatial-attention sharding: head-sharded a2a "
+                         "(production, parallel/clip_sharding.py) vs the "
+                         "round-4 GSPMD K/V-gather layout")
     args = ap.parse_args()
 
     n_dev = args.dp * args.fsdp
@@ -221,7 +237,7 @@ def main():
         raise SystemExit(subprocess.call(
             [sys.executable, "-u", __file__] + sys.argv[1:], env=env))
     audit(args.dp, args.fsdp, args.height, args.width, args.frames,
-          args.steps, args.cond_only)
+          args.steps, args.cond_only, args.attn)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,128 @@
+"""Is int8 attention (SageAttention-style) worth building on v5e at D=64?
+
+The flash kernel (ops/pallas_attention.py v2) runs at 76 TF/s — within 8%
+of the measured 82 TF/s bf16 matmul floor at head_dim 64 (the D=64
+contraction runs the MXU at half rate). int8 doubles the MXU rate for
+LARGE contractions (370 vs 187 T/s at 8192^3, scripts/probe_int8.py) —
+but QK^T contracts over D=64, exactly the shape where the MXU is already
+structurally throttled; if the int8 advantage collapses there, an int8
+flash kernel cannot pay for its quant/dequant VPU passes.
+
+This probe times the two flash-kernel matmuls as standalone Pallas
+kernels at the production L0 tile shapes, bf16 vs int8:
+  QK:  [bq=1024, 64] x [64, bkv=1024]      (D=64 contraction — the risk)
+  PV:  [1024, 1024] x [1024, 65]           (K=1024 contraction — the win?)
+Grids replicate the L0 workload (B*H=140 programs at 9216 seq = 9 q
+blocks x 9 kv iterations) so rates are steady-state, not launch-bound.
+
+Decision rule (PERFORMANCE.md round 5): build the int8 kernel only if
+the int8 QK rate is >= 1.5x bf16 at this shape — below that, the e2e
+ceiling (attention is ~290 ms of the 920 ms fwd, QK+PV ~80% of kernel
+time) cannot reach the +0.05 f/s that would justify the drift risk.
+"""
+
+import functools
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BQ, BKV, D = 1024, 1024, 64
+N_BH = 140            # B*H at L0: 28 batch x 5 heads
+N_KV = 9              # 9216 / 1024 kv iterations per program
+
+
+def _qk_kernel(q_ref, k_ref, o_ref, *, acc_t):
+    def body(i, acc):
+        s = jax.lax.dot_general(
+            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_t)
+        return acc + s.astype(jnp.float32).sum()
+    o_ref[0, 0] = jax.lax.fori_loop(0, N_KV, body, jnp.float32(0.0))
+
+
+def _pv_kernel(p_ref, v_ref, o_ref, *, acc_t):
+    def body(i, acc):
+        s = jax.lax.dot_general(
+            p_ref[0], v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t)
+        return acc + s.astype(jnp.float32).sum()
+    o_ref[0, 0] = jax.lax.fori_loop(0, N_KV, body, jnp.float32(0.0))
+
+
+def run(name, kern, a, b, flops):
+    out = pl.pallas_call(
+        kern,
+        grid=(N_BH,),
+        in_specs=[
+            pl.BlockSpec((1,) + a.shape[1:], lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + b.shape[1:], lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((N_BH, 1), jnp.float32),
+    )
+    f = jax.jit(lambda x, y: out(x, y))
+    try:
+        float(f(a, b).sum())
+    except Exception as e:
+        print(f"{name:28s} FAILED {type(e).__name__}: {str(e)[:120]}")
+        return None
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(a, b).sum())
+        best = min(best, time.perf_counter() - t0)
+    tf = flops / best / 1e12
+    print(f"{name:28s} {best*1e3:8.2f} ms  {tf:7.1f} TF/s", flush=True)
+    return tf
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    kq, kk, kp, kv = jax.random.split(key, 4)
+    total_qk = 2 * N_BH * N_KV * BQ * BKV * D
+    total_pv = 2 * N_BH * N_KV * BQ * BKV * (D + 1)
+
+    q_bf = jax.random.normal(kq, (N_BH, BQ, D), jnp.bfloat16)
+    k_bf = jax.random.normal(kk, (N_BH, BKV, D), jnp.bfloat16)
+    q_i8 = (jax.random.normal(kq, (N_BH, BQ, D)) * 40).astype(jnp.int8)
+    k_i8 = (jax.random.normal(kk, (N_BH, BKV, D)) * 40).astype(jnp.int8)
+    p_bf = jax.random.uniform(kp, (N_BH, BQ, BKV), jnp.bfloat16)
+    v_bf = jax.random.normal(kv, (N_BH, BKV, D + 1), jnp.bfloat16)
+    p_i8 = (jax.random.uniform(kp, (N_BH, BQ, BKV)) * 127).astype(jnp.int8)
+    v_i8 = (jax.random.normal(kv, (N_BH, BKV, D + 1)) * 40).astype(jnp.int8)
+
+    r = {}
+    r["qk_bf16"] = run("QK bf16 (f32 acc)",
+                       functools.partial(_qk_kernel, acc_t=jnp.float32),
+                       q_bf, k_bf, total_qk)
+    r["qk_int8"] = run("QK int8 (s32 acc)",
+                       functools.partial(_qk_kernel, acc_t=jnp.int32),
+                       q_i8, k_i8, total_qk)
+    r["pv_bf16"] = run("PV bf16 (f32 acc)",
+                       functools.partial(_pv_kernel, acc_t=jnp.float32),
+                       p_bf, v_bf, total_pv)
+    r["pv_int8"] = run("PV int8 (s32 acc)",
+                       functools.partial(_pv_kernel, acc_t=jnp.int32),
+                       p_i8, v_i8, total_pv)
+    if r.get("qk_bf16") and r.get("qk_int8"):
+        print(f"QK int8/bf16 ratio: {r['qk_int8']/r['qk_bf16']:.2f}x "
+              f"(build bar: >= 1.5x)")
+    if r.get("pv_bf16") and r.get("pv_int8"):
+        print(f"PV int8/bf16 ratio: {r['pv_int8']/r['pv_bf16']:.2f}x")
+
+
+if __name__ == "__main__":
+    main()

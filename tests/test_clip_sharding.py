@@ -1,0 +1,94 @@
+"""Head-sharded (Ulysses) spatial attention for shard_clip.
+
+parallel/clip_sharding.spatial_attention must be EXACT vs unsharded
+attention for every head count the SVD UNet uses (5 / 10 / 20 heads over
+an fsdp axis of 4 or 8 — i.e. both the pad and no-pad branches), for
+both local-kernel contracts (plain [B,H,S,D] q/k/v, and the fold path's
+pre-padded V whose ones column carries the softmax denominator —
+models/layers.py:373-401, ops/pallas_attention._attn_kernel_v2).
+
+The pipeline-level equivalence (generate(shard_clip=True) == unsharded)
+is pinned in test_pipeline.py; these tests isolate the reshard + pad
+logic so a failure points at the module, not the whole UNet.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wiw_tpu.ops.attention import _xla_attention
+from wiw_tpu.parallel import clip_sharding
+from wiw_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.fast
+
+
+def _prepad_local(q, k, vp):
+    """CPU stand-in for the v2 Pallas kernel's pre-padded-V contract:
+    [B,H,S,D] q/k + [B,H,S,D+1] v (ones column at D), output [B,H,S,D].
+    Computed exactly as the kernel does: unnormalized exp-weights hit the
+    padded V, and the ones column's accumulated sum(p) divides the rest
+    (pallas_attention.py:121-153)."""
+    D = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (D ** -0.5)
+    p = jnp.exp(s - s.max(axis=-1, keepdims=True))
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vp)
+    return o[..., :D] / o[..., D:D + 1]
+
+
+def _run(ctx, q, k, v, local, **kw):
+    fn = jax.jit(functools.partial(
+        clip_sharding.spatial_attention, ctx, local_fn=local, **kw))
+    return fn(q, k, v)
+
+
+class TestSpatialAttention:
+    def _check(self, heads, dp, fsdp, batch_axis, prepad=False):
+        n = dp * fsdp
+        mesh = make_mesh(dp=dp, fsdp=fsdp, devices=jax.devices()[:n])
+        ctx = clip_sharding.ClipSharding(mesh=mesh, batch_axis=batch_axis)
+        B, S, D = 4, 48, 16
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(k1, (B, heads, S, D), jnp.float32)
+        k = jax.random.normal(k2, (B, heads, S, D), jnp.float32)
+        v = jax.random.normal(k3, (B, heads, S, D), jnp.float32)
+        scale = D ** -0.5
+        ref = _xla_attention(q, k, v, scale)
+        if prepad:
+            vp = jnp.concatenate([v, jnp.ones((B, heads, S, 1))], axis=-1)
+            out = _run(ctx, q, k, vp, _prepad_local, v_prepadded=True)
+        else:
+            out = _run(ctx, q, k, v,
+                       functools.partial(_xla_attention, scale=scale))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_pad_heads_fsdp4(self):
+        # SVD L0: 5 heads over fsdp=4 -> padded to 8, pad output sliced
+        self._check(heads=5, dp=2, fsdp=4, batch_axis="dp")
+
+    def test_no_pad_fsdp4(self):
+        self._check(heads=20, dp=2, fsdp=4, batch_axis="dp")
+
+    def test_pad_heads_fsdp8_no_dp(self):
+        # fsdp-only mesh: batch_axis None, 10 heads -> padded to 16
+        self._check(heads=10, dp=1, fsdp=8, batch_axis=None)
+
+    def test_prepad_ones_column_pad_heads(self):
+        # fold-path contract: pad heads must keep denominator 1 (no 0/0)
+        self._check(heads=5, dp=2, fsdp=4, batch_axis="dp", prepad=True)
+
+    def test_prepad_ones_column_no_pad(self):
+        self._check(heads=4, dp=2, fsdp=4, batch_axis="dp", prepad=True)
+
+    def test_context_activation(self):
+        mesh = make_mesh(dp=2, fsdp=4)
+        assert clip_sharding.current() is None
+        with clip_sharding.activate(mesh, batch_axis="dp"):
+            ctx = clip_sharding.current()
+            assert ctx is not None and ctx.batch_axis == "dp"
+        assert clip_sharding.current() is None

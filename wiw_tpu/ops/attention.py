@@ -18,6 +18,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from wiw_tpu.parallel import clip_sharding
+
 # Minimum q-length before the Pallas kernel wins over fused XLA attention.
 _PALLAS_MIN_SEQ = 1024
 
@@ -169,8 +171,18 @@ def attention_bhsd_prepad(q4, k4, vp4) -> jnp.ndarray:
     produces these layouts directly via einsum projections, so no head
     transpose is ever materialized). Returns [B, H, Sq, D]. Caller must
     have checked `flash_eligible`.
+
+    Under an active shard_clip context the kernel runs head-sharded
+    inside shard_map (sequence<->head all-to-alls) — a bare pallas_call
+    is GSPMD-opaque and would otherwise be replicated on every device
+    (parallel/clip_sharding.py).
     """
-    return _custom_flash_prepad_fn(q4.shape[2], k4.shape[2])(q4, k4, vp4)
+    fn = _custom_flash_prepad_fn(q4.shape[2], k4.shape[2])
+    ctx = clip_sharding.current()
+    if ctx is not None:
+        return clip_sharding.spatial_attention(
+            ctx, q4, k4, vp4, fn, v_prepadded=True)
+    return fn(q4, k4, vp4)
 
 
 def flash_eligible(q_seq: int, kv_seq: int) -> bool:
@@ -206,6 +218,17 @@ def dot_product_attention(
     scale = q.shape[-1] ** -0.5
     if use_pallas is None:
         use_pallas = flash_eligible(q.shape[2], k.shape[2])
+    ctx = clip_sharding.current()
+    if ctx is not None and q.shape[2] == k.shape[2]:
+        # shard_clip spatial self-attention (q_seq == kv_seq is its
+        # signature under the context: temporal attention routes through
+        # ops/temporal_attention, cross-attention has 1/few kv tokens):
+        # run head-sharded in shard_map with the backend-local kernel
+        if use_pallas:
+            local = _custom_flash_fn(q.shape[2], k.shape[2])
+        else:
+            local = functools.partial(_xla_attention, scale=scale)
+        return clip_sharding.spatial_attention(ctx, q, k, v, local)
     if use_pallas:
         return _custom_flash_fn(q.shape[2], k.shape[2])(q, k, v)
     return _xla_attention(q, k, v, scale)

@@ -1,0 +1,142 @@
+"""Explicit SPMD layouts for the single-clip denoise program (shard_clip).
+
+Under ``generate(shard_clip=True)`` the latent spatial rows are sharded
+over the mesh's 'fsdp' axis (and the CFG fold's two UNet rows over 'dp').
+Two problems follow for the hot spatial self-attention:
+
+1. **The Pallas flash kernel is GSPMD-opaque.** Inside ``jit`` an
+   unannotated ``pallas_call`` custom-call cannot be partitioned: the
+   partitioner replicates it, i.e. every device all-gathers the FULL
+   q/k/v activations and redoes the whole kernel — on a real v5e-8 the
+   single-clip path would silently lose most of its parallelism. (The
+   virtual-mesh tests and the comm audit never saw this because off-TPU
+   the XLA einsum attention runs instead, which GSPMD partitions.)
+
+2. **Even the partitionable einsum formulation is all-gather-bound.**
+   With the sequence axis sharded, every attention layer gathers full
+   K and V on every device — measured at 2.77 GB/step of the 3.30 GB
+   dp2xfsdp4 total (scripts/audit_shard_clip_comm.py, round 5).
+
+This module fixes both with a Ulysses-style sequence<->head reshard
+(arXiv 2309.14509 — DeepSpeed-Ulysses; pattern, no code): q/k/v arrive
+sequence-sharded from the projections, are resharded to HEAD-sharded
+(GSPMD lowers the same-axis dim move to an all-to-all, verified in the
+compiled HLO), each device runs the production Pallas kernel over the
+FULL sequence for its head subset inside ``jax.shard_map``, and the
+output is resharded back to sequence-sharded for the (then fully local)
+out projection. Per layer that is 4 all-to-alls, each moving ~1/n of the
+activation per device — vs 2 all-gathers moving (n-1)/n of it.
+
+Head counts that don't divide the shard axis (SVD: 5/10/20 heads over
+fsdp=4) are zero-padded up to the next multiple; pad heads see all-zero
+logits (uniform softmax) over zero values, so their output is finite
+garbage-free zeros, sliced off after the reshard. For the pre-padded-V
+kernel layout (the softmax-denominator ones column riding the PV matmul,
+models/layers.CrossAttention fold path) the pad heads' ones column is
+set to 1 so the denominator never hits 0/0.
+
+Activated by sampling/pipeline._generate_impl around each UNet apply via
+``activate(mesh, batch_axis=...)``; ``ops.attention`` consults
+``current()`` at trace time. ``WIW_SHARD_ATTN=gather`` opts out (keeps
+the round-4 GSPMD-chosen K/V gathers — the audit script's comparison
+arm).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# frozen at import, like the other tuning env vars (ops/attention.py:24-28)
+_MODE = os.environ.get("WIW_SHARD_ATTN", "ulysses")
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipSharding:
+    """Trace-time description of the active shard_clip layout."""
+
+    mesh: Mesh
+    batch_axis: Optional[str]  # 'dp' when the CFG fold rows are dp-sharded
+    seq_axis: str = "fsdp"     # latent spatial rows / attention sequence
+
+
+_ctx: contextvars.ContextVar[Optional[ClipSharding]] = contextvars.ContextVar(
+    "wiw_clip_sharding", default=None
+)
+
+
+@contextlib.contextmanager
+def activate(mesh: Mesh, batch_axis: Optional[str]):
+    """Enable sharded-attention dispatch while tracing a UNet apply."""
+    token = _ctx.set(ClipSharding(mesh=mesh, batch_axis=batch_axis))
+    try:
+        yield
+    finally:
+        _ctx.reset(token)
+
+
+def current() -> Optional[ClipSharding]:
+    """The active ClipSharding, or None (all non-shard_clip paths)."""
+    if _MODE == "gather":
+        return None
+    return _ctx.get()
+
+
+def spatial_attention(
+    ctx: ClipSharding,
+    q4: jnp.ndarray,
+    k4: jnp.ndarray,
+    v4: jnp.ndarray,
+    local_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    *,
+    v_prepadded: bool = False,
+) -> jnp.ndarray:
+    """Head-sharded attention over [B, H, S, D] via sequence<->head a2a.
+
+    ``local_fn`` computes full-sequence attention on a head shard; it is
+    chosen by the caller (Pallas flash kernel on TPU, XLA einsum
+    elsewhere) so this module stays backend-agnostic. ``v_prepadded``:
+    v4 is [B, H, S, D+1] with the ones column at index D.
+    """
+    mesh, ba, sa = ctx.mesh, ctx.batch_axis, ctx.seq_axis
+    n = mesh.shape[sa]
+    B, H, S, D = q4.shape
+    h_pad = (-H) % n
+    if h_pad:
+        pad = [(0, 0), (0, h_pad), (0, 0), (0, 0)]
+        q4 = jnp.pad(q4, pad)
+        k4 = jnp.pad(k4, pad)
+        v4 = jnp.pad(v4, pad)
+        if v_prepadded:
+            # keep the denominator column 1 in pad heads (no 0/0)
+            v4 = v4.at[:, H:, :, D].set(1.0)
+    head_spec = P(ba, sa, None, None)
+    seq_spec = P(ba, None, sa, None)
+    hs = NamedSharding(mesh, head_spec)
+    q4 = jax.lax.with_sharding_constraint(q4, hs)  # a2a: seq -> head shard
+    k4 = jax.lax.with_sharding_constraint(k4, hs)
+    v4 = jax.lax.with_sharding_constraint(v4, hs)
+    shmapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(head_spec, head_spec, head_spec),
+        out_specs=head_spec,
+        # when ba is None the dp axis carries replicated copies; the output
+        # is replicated over it by determinism — skip the vma check that
+        # would reject the unannotated axis
+        check_vma=False,
+    )
+    o4 = shmapped(q4, k4, v4)
+    o4 = jax.lax.with_sharding_constraint(
+        o4, NamedSharding(mesh, seq_spec)
+    )  # a2a back: head -> seq shard (out projection is then local)
+    if h_pad:
+        o4 = o4[:, :H]
+    return o4

@@ -21,6 +21,7 @@ compiled executable per bucket (wiw_tpu/serve).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
 from typing import Any, Optional
@@ -35,6 +36,7 @@ from wiw_tpu.core.noise import sample_latent_noise
 from wiw_tpu.models.clip import CLIPVisionConfig, CLIPVisionModel, preprocess_for_clip
 from wiw_tpu.models.unet import UNetConfig, UNetSpatioTemporal
 from wiw_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+from wiw_tpu.parallel import clip_sharding
 
 VAE_SCALE = 8  # spatial downsampling of the standard SVD VAE
 
@@ -221,10 +223,13 @@ class SVDPipeline:
         sharded WITHIN the denoise step — the single-clip latency-scaling
         path toward the <2 s v5e-8 north star: the CFG fold's two UNet rows
         split over the 'dp' axis (must be size 2) and the latent spatial
-        rows split over 'fsdp'; GSPMD inserts the halo exchanges (convs),
-        K/V all-gathers (spatial attention), and group-stat psums
-        (GroupNorm) over ICI. Batch-sharding `mesh=` maximizes throughput;
-        `shard_clip` minimizes one clip's latency.
+        rows split over 'fsdp'. Spatial self-attention runs HEAD-sharded
+        (sequence<->head all-to-alls + shard_map'd kernels,
+        parallel/clip_sharding.py — WIW_SHARD_ATTN=gather reverts to
+        GSPMD-chosen K/V all-gathers); convs get halo exchanges and
+        GroupNorm stats psums from GSPMD. Measured comm:
+        scripts/audit_shard_clip_comm.py. Batch-sharding `mesh=`
+        maximizes throughput; `shard_clip` minimizes one clip's latency.
         """
         assert self.params is not None, "load or init params first"
         fn = self._jitted_generate(gen, actions is not None,
@@ -407,14 +412,23 @@ class SVDPipeline:
             if sh is not None:
                 latent_in = jax.lax.with_sharding_constraint(latent_in, sh)
             t = jnp.full((rows,), S.sigma_to_t(sigma))
-            return self.unet.apply(
-                {"params": p["unet"]},
-                sample=latent_in,
-                timestep=t,
-                context=ctx,
-                added_time_ids=atids,
-                action_ids=acts,
-            )
+            if spmd is not None:
+                # head-sharded spatial attention (Ulysses a2a layout +
+                # shard_map'd Pallas kernels — parallel/clip_sharding.py):
+                # the context is consulted by ops/attention at trace time
+                cs = clip_sharding.activate(
+                    spmd, batch_axis="dp" if (both and _dp2) else None)
+            else:
+                cs = contextlib.nullcontext()
+            with cs:
+                return self.unet.apply(
+                    {"params": p["unet"]},
+                    sample=latent_in,
+                    timestep=t,
+                    context=ctx,
+                    added_time_ids=atids,
+                    action_ids=acts,
+                )
 
         def advance(latents, pred, sigma, sigma_next):
             denoised = S.precondition_outputs(pred, latents, sigma)
