@@ -6,19 +6,19 @@ contraction runs the MXU at half rate). int8 doubles the MXU rate for
 LARGE contractions (370 vs 187 T/s at 8192^3, scripts/probe_int8.py) —
 but QK^T contracts over D=64, exactly the shape where the MXU is already
 structurally throttled; if the int8 advantage collapses there, an int8
-flash kernel cannot pay for its quant/dequant VPU passes.
+flash kernel cannot pay for its extra quant/scale VPU passes.
 
-This probe times the two flash-kernel matmuls as standalone Pallas
-kernels at the production L0 tile shapes, bf16 vs int8:
-  QK:  [bq=1024, 64] x [64, bkv=1024]      (D=64 contraction — the risk)
-  PV:  [1024, 1024] x [1024, 65]           (K=1024 contraction — the win?)
-Grids replicate the L0 workload (B*H=140 programs at 9216 seq = 9 q
-blocks x 9 kv iterations) so rates are steady-state, not launch-bound.
+Probe: the PRODUCTION v2 kernel (bf16) vs a structurally identical clone
+whose QK dot takes int8 inputs with an s32 accumulator (per-tensor scale
+only — accuracy plumbing irrelevant for a throughput probe; real per-row
+scales would only ADD VPU work), both at the L0 operating shape
+(B*H=140, S=9216, D=64, ones-column PV). A second clone also quantizes
+P in-kernel and takes int8 V (full SageAttention v2 shape).
 
-Decision rule (PERFORMANCE.md round 5): build the int8 kernel only if
-the int8 QK rate is >= 1.5x bf16 at this shape — below that, the e2e
-ceiling (attention is ~290 ms of the 920 ms fwd, QK+PV ~80% of kernel
-time) cannot reach the +0.05 f/s that would justify the drift risk.
+Decision rule (PERFORMANCE.md round 5): build the real int8 kernel only
+if a clone is >= 1.15x the bf16 kernel — attention is ~290 ms of the
+920 ms int8 fwd, so 1.15x on the kernel is ~+0.03 f/s e2e, the minimum
+that justifies the drift risk + per-row-scale plumbing.
 """
 
 import functools
@@ -36,92 +36,115 @@ from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/tmp/wiw_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BQ, BKV, D = 1024, 1024, 64
-N_BH = 140            # B*H at L0: 28 batch x 5 heads
-N_KV = 9              # 9216 / 1024 kv iterations per program
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from wiw_tpu.ops.pallas_attention import flash_attention_bhsd  # noqa: E402
+
+B, H, S, D = 28, 5, 9216, 64
+BQ = BKV = 1024
+NEG_INF = -1e30
 
 
-def _qk_kernel(q_ref, k_ref, o_ref, *, acc_t):
-    def body(i, acc):
+def _kernel_i8qk(q_ref, k_ref, v_ref, o_ref, *, bkv, qk_scale, i8pv):
+    """v2-kernel clone: int8 QK (s32 acc) [+ optional int8 PV]."""
+    qb = q_ref[0]  # [bq, D] int8 (pre-scaled + quantized outside)
+    Skv = k_ref.shape[1]
+    bq = qb.shape[0]
+    Dv = v_ref.shape[2]
+
+    def body(i, carry):
+        acc, m = carry
+        k_blk = k_ref[0, pl.ds(i * bkv, bkv), :]  # int8
+        v_blk = v_ref[0, pl.ds(i * bkv, bkv), :]
         s = jax.lax.dot_general(
-            q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
-            preferred_element_type=acc_t)
-        return acc + s.astype(jnp.float32).sum()
-    o_ref[0, 0] = jax.lax.fori_loop(0, N_KV, body, jnp.float32(0.0))
+            qb, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * qk_scale
+        m_new = jnp.maximum(m, s.max(axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        scale = jnp.exp(m - m_new)
+        if i8pv:
+            # p in [0,1]: fixed 127 scale, round via +0.5 trunc (VPU add)
+            p8 = (p * 127.0 + 0.5).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p8, v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (1.0 / 127.0)
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc * scale + pv, m_new
+
+    acc0 = jnp.zeros((bq, Dv), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    acc, _m = jax.lax.fori_loop(0, Skv // bkv, body, (acc0, m0))
+    o_ref[0] = (acc / acc[:, D:D + 1]).astype(o_ref.dtype)
 
 
-def _pv_kernel(p_ref, v_ref, o_ref, *, acc_t):
-    def body(i, acc):
-        s = jax.lax.dot_general(
-            p_ref[0], v_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=acc_t)
-        return acc + s.astype(jnp.float32).sum()
-    o_ref[0, 0] = jax.lax.fori_loop(0, N_KV, body, jnp.float32(0.0))
-
-
-def run(name, kern, a, b, flops):
-    out = pl.pallas_call(
-        kern,
-        grid=(N_BH,),
+def run_i8(name, q8, k8, v, i8pv, flops):
+    out_fn = pl.pallas_call(
+        functools.partial(_kernel_i8qk, bkv=BKV, qk_scale=1e-3, i8pv=i8pv),
+        grid=(B * H, S // BQ),
         in_specs=[
-            pl.BlockSpec((1,) + a.shape[1:], lambda i: (i, 0, 0),
+            pl.BlockSpec((1, BQ, D), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + b.shape[1:], lambda i: (i, 0, 0),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D + 1), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((N_BH, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, BQ, D + 1), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D + 1), jnp.bfloat16),
     )
-    f = jax.jit(lambda x, y: out(x, y))
+    f = jax.jit(lambda a, b, c: out_fn(a, b, c))
     try:
-        float(f(a, b).sum())
+        float(f(q8, k8, v).astype(jnp.float32).sum())
     except Exception as e:
-        print(f"{name:28s} FAILED {type(e).__name__}: {str(e)[:120]}")
+        print(f"{name:28s} FAILED {type(e).__name__}: {str(e)[:160]}")
         return None
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        float(f(a, b).sum())
+        float(f(q8, k8, v).astype(jnp.float32).sum())
         best = min(best, time.perf_counter() - t0)
-    tf = flops / best / 1e12
-    print(f"{name:28s} {best*1e3:8.2f} ms  {tf:7.1f} TF/s", flush=True)
-    return tf
+    print(f"{name:28s} {best*1e3:8.2f} ms  {flops/best/1e12:7.1f} TF/s",
+          flush=True)
+    return best
 
 
 def main():
     key = jax.random.PRNGKey(0)
-    kq, kk, kp, kv = jax.random.split(key, 4)
-    total_qk = 2 * N_BH * N_KV * BQ * BKV * D
-    total_pv = 2 * N_BH * N_KV * BQ * BKV * (D + 1)
+    kq, kk, kv = jax.random.split(key, 3)
+    flops = 2 * 2 * B * H * S * S * D  # QK + PV
 
-    q_bf = jax.random.normal(kq, (N_BH, BQ, D), jnp.bfloat16)
-    k_bf = jax.random.normal(kk, (N_BH, BKV, D), jnp.bfloat16)
-    q_i8 = (jax.random.normal(kq, (N_BH, BQ, D)) * 40).astype(jnp.int8)
-    k_i8 = (jax.random.normal(kk, (N_BH, BKV, D)) * 40).astype(jnp.int8)
-    p_bf = jax.random.uniform(kp, (N_BH, BQ, BKV), jnp.bfloat16)
-    v_bf = jax.random.normal(kv, (N_BH, BKV, D + 1), jnp.bfloat16)
-    p_i8 = (jax.random.uniform(kp, (N_BH, BQ, BKV)) * 127).astype(jnp.int8)
-    v_i8 = (jax.random.normal(kv, (N_BH, BKV, D + 1)) * 40).astype(jnp.int8)
+    q = jax.random.normal(kq, (B, H, S, D), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, H, S, D), jnp.bfloat16)
+    vp = jnp.concatenate(
+        [jax.random.normal(kv, (B, H, S, D), jnp.bfloat16),
+         jnp.ones((B, H, S, 1), jnp.bfloat16)], axis=-1)
 
-    r = {}
-    r["qk_bf16"] = run("QK bf16 (f32 acc)",
-                       functools.partial(_qk_kernel, acc_t=jnp.float32),
-                       q_bf, k_bf, total_qk)
-    r["qk_int8"] = run("QK int8 (s32 acc)",
-                       functools.partial(_qk_kernel, acc_t=jnp.int32),
-                       q_i8, k_i8, total_qk)
-    r["pv_bf16"] = run("PV bf16 (f32 acc)",
-                       functools.partial(_pv_kernel, acc_t=jnp.float32),
-                       p_bf, v_bf, total_pv)
-    r["pv_int8"] = run("PV int8 (s32 acc)",
-                       functools.partial(_pv_kernel, acc_t=jnp.int32),
-                       p_i8, v_i8, total_pv)
-    if r.get("qk_bf16") and r.get("qk_int8"):
-        print(f"QK int8/bf16 ratio: {r['qk_int8']/r['qk_bf16']:.2f}x "
-              f"(build bar: >= 1.5x)")
-    if r.get("pv_bf16") and r.get("pv_int8"):
-        print(f"PV int8/bf16 ratio: {r['pv_int8']/r['pv_bf16']:.2f}x")
+    fbf = jax.jit(functools.partial(flash_attention_bhsd, v_prepadded=True))
+    float(fbf(q, k, vp).astype(jnp.float32).sum())
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(fbf(q, k, vp).astype(jnp.float32).sum())
+        best = min(best, time.perf_counter() - t0)
+    print(f"{'v2 bf16 (production)':28s} {best*1e3:8.2f} ms  "
+          f"{flops/best/1e12:7.1f} TF/s", flush=True)
+
+    q8 = (jax.random.normal(kq, (B * H, S, D)) * 40).astype(jnp.int8)
+    k8 = (jax.random.normal(kk, (B * H, S, D)) * 40).astype(jnp.int8)
+    v8 = (jax.random.normal(kv, (B * H, S, D + 1)) * 40).astype(jnp.int8)
+    vbf = vp.reshape(B * H, S, D + 1)
+    t_qk = run_i8("i8 QK + bf16 PV", q8, k8, vbf, False, flops)
+    t_pv = run_i8("i8 QK + i8 PV", q8, k8, v8, True, flops)
+    for nm, t in (("i8qk", t_qk), ("i8qk+pv", t_pv)):
+        if t:
+            print(f"{nm}: {best/t:.2f}x vs bf16 (build bar: >= 1.15x)")
 
 
 if __name__ == "__main__":
