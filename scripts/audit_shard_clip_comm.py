@@ -59,6 +59,109 @@ def _shape_bytes(text: str) -> int:
     return total
 
 
+def audit_decode(dp: int, fsdp: int, height: int, width: int,
+                 frames: int) -> dict:
+    """Collectives in the frame-parallel (group-batched) VAE decode.
+
+    The mesh decode path (sampling/pipeline._decode_chunked with mesh=)
+    batches all complete chunks into one program with the group dim
+    sharded over every device. Batch-dim sharding of a conv stack has no
+    halos and GroupNorm is per-sample, so the expected comm is only the
+    initial latent reshard — this arm verifies that from the HLO."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wiw_tpu.models.vae import AutoencoderKLTemporal, VAEConfig
+    from wiw_tpu.parallel.mesh import make_mesh
+
+    n_dev = dp * fsdp
+    mesh = make_mesh(dp=dp, fsdp=fsdp, devices=jax.devices()[:n_dev])
+    cfg = VAEConfig(dtype="bfloat16")
+    vae = AutoencoderKLTemporal(cfg)
+    h, w = height // 8, width // 8
+    chunk = 2
+    main = (frames // chunk) * chunk
+
+    t0 = time.time()
+    abs_params = jax.eval_shape(
+        lambda k: vae.init(k, jnp.zeros((chunk, h, w, 3), jnp.bfloat16),
+                           chunk)["params"],
+        jax.random.PRNGKey(0))
+    print(f"[audit] VAE abstract ({time.time()-t0:.0f}s)",
+          file=sys.stderr, flush=True)
+
+    grp_sh = NamedSharding(mesh, P(("dp", "fsdp")))
+    lat_sh = NamedSharding(mesh, P(None, None, "fsdp"))  # as denoise leaves it
+    repl = NamedSharding(mesh, P())
+
+    def body(params, latents):
+        part = latents.reshape(main, h, w, 4)
+        part = jax.lax.with_sharding_constraint(part, grp_sh)
+        dec = vae.apply({"params": params}, part, chunk,
+                        method=vae.decode)
+        return jnp.clip(dec / 2.0 + 0.5, 0.0, 1.0)
+
+    def sds(shape, dtype, sh):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+    t1 = time.time()
+    compiled = jax.jit(body).lower(
+        jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=repl),
+            abs_params),
+        sds((1, main, h, w, 4), jnp.float32, lat_sh),
+    ).compile()
+    hlo = compiled.as_text()
+    print(f"[audit] decode compiled in {time.time()-t1:.0f}s",
+          file=sys.stderr, flush=True)
+    per_kind = _collect(hlo)
+    n = n_dev
+    ici_s = _ici_seconds(per_kind, n)
+    result = {
+        "arm": "decode", "mesh": f"dp{dp}xfsdp{fsdp}", "chunk": chunk,
+        "frames": main, "collectives": per_kind,
+        "bytes_total": sum(k["bytes"] for k in per_kind.values()),
+        "ici_seconds": round(ici_s, 6), "ici_bw_per_dir": ICI_BW_PER_DIR,
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def _collect(hlo: str) -> dict:
+    per_kind: dict = {}
+    for line in hlo.splitlines():
+        ls = line.strip()
+        m = re.match(r"%?[\w.\-]+\s*=\s*(.+)$", ls)
+        if not m:
+            continue
+        rhs = m.group(1)
+        op = None
+        for c in _COLLECTIVES:
+            if re.search(rf"(^|\s){c}(-start)?\(", rhs):
+                op = c
+                break
+        if op is None:
+            continue
+        b = _shape_bytes(rhs)
+        k = per_kind.setdefault(op, {"count": 0, "bytes": 0})
+        k["count"] += 1
+        k["bytes"] += b
+    return per_kind
+
+
+def _ici_seconds(per_kind: dict, n: int) -> float:
+    ici_s = 0.0
+    for op, k in per_kind.items():
+        if op == "all-reduce":
+            ici_s += 2 * k["bytes"] * (n - 1) / n / ICI_BW_PER_DIR
+        elif op in ("all-gather", "reduce-scatter"):
+            ici_s += k["bytes"] * (n - 1) / n / ICI_BW_PER_DIR
+        else:
+            ici_s += k["bytes"] / ICI_BW_PER_DIR
+    return ici_s
+
+
 def audit(dp: int, fsdp: int, height: int, width: int, frames: int,
           steps: int, cond_only: bool, attn: str = "ulysses") -> dict:
     import contextlib
@@ -156,43 +259,14 @@ def audit(dp: int, fsdp: int, height: int, width: int, frames: int,
     print(f"[audit] compiled in {time.time()-t2:.0f}s "
           f"({len(hlo)/1e6:.0f} MB HLO)", file=sys.stderr, flush=True)
 
-    per_kind: dict = {}
-    for line in hlo.splitlines():
-        ls = line.strip()
-        # instruction lines look like: %name = TYPE[dims] op-name(...)
-        m = re.match(r"%?[\w.\-]+\s*=\s*(.+)$", ls)
-        if not m:
-            continue
-        rhs = m.group(1)
-        op = None
-        for c in _COLLECTIVES:
-            # op name follows the result shape + optional layout suffix
-            # (e.g. `bf16[2,14,...]{4,3,2,1,0} all-gather(...)`), possibly
-            # in async `-start` form
-            if re.search(rf"(^|\s){c}(-start)?\(", rhs):
-                op = c
-                break
-        if op is None:
-            continue
-        b = _shape_bytes(rhs)
-        k = per_kind.setdefault(op, {"count": 0, "bytes": 0})
-        k["count"] += 1
-        k["bytes"] += b
-
     # ICI cost model (ring algorithms over n devices):
     #   all-gather / reduce-scatter move (n-1)/n of the FULL tensor through
     #   each chip; all-reduce = reduce-scatter + all-gather (2x);
-    #   collective-permute moves its tensor once.
+    #   permute / all-to-all: one traversal of the (local) shape.
+    per_kind = _collect(hlo)
     n = n_dev
     total_bytes = sum(k["bytes"] for k in per_kind.values())
-    ici_s = 0.0
-    for op, k in per_kind.items():
-        if op == "all-reduce":
-            ici_s += 2 * k["bytes"] * (n - 1) / n / ICI_BW_PER_DIR
-        elif op in ("all-gather", "reduce-scatter"):
-            ici_s += k["bytes"] * (n - 1) / n / ICI_BW_PER_DIR
-        else:  # permute / all-to-all: one traversal
-            ici_s += k["bytes"] / ICI_BW_PER_DIR
+    ici_s = _ici_seconds(per_kind, n)
     result = {
         "mesh": f"dp{dp}xfsdp{fsdp}", "attn": attn, "rows": rows,
         "latents": [B, F, h, w, 4], "cond_only": cond_only,
@@ -219,6 +293,9 @@ def main():
                     help="spatial-attention sharding: head-sharded a2a "
                          "(production, parallel/clip_sharding.py) vs the "
                          "round-4 GSPMD K/V-gather layout")
+    ap.add_argument("--decode", action="store_true",
+                    help="audit the frame-parallel VAE decode program "
+                         "instead of the denoise body")
     args = ap.parse_args()
 
     n_dev = args.dp * args.fsdp

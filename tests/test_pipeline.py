@@ -351,6 +351,26 @@ class TestCFGRowSchedule:
         v1 = pipe.generate(jax.random.PRNGKey(1), img, TINY_GEN, actions=acts)
         np.testing.assert_allclose(np.asarray(v), np.asarray(v1), atol=2e-3)
 
+    def test_shard_clip_frame_parallel_decode(self):
+        """With mesh set and F > chunk, all complete decode chunks run as
+        ONE group-batched program sharded over the mesh — must be exact vs
+        the unsharded sequential chunk loop (same chunk boundaries), for
+        both even (chunk=1, 3 groups) and ragged (chunk=2 + tail-1) splits."""
+        from wiw_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=2, fsdp=4)
+        pipe = tiny_pipeline("micro_cond")
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 64, 3)) * 2 - 1
+        acts = jnp.asarray([[1, 2, 3]], jnp.int32)
+        for chunk in (1, 2):
+            gen = dataclasses.replace(TINY_GEN, decode_chunk_frames=chunk)
+            v = pipe.generate(jax.random.PRNGKey(1), img, gen, actions=acts,
+                              mesh=mesh, shard_clip=True)
+            assert v.shape == (1, 3, 32, 64, 3)
+            v1 = pipe.generate(jax.random.PRNGKey(1), img, gen, actions=acts)
+            np.testing.assert_allclose(np.asarray(v), np.asarray(v1),
+                                       atol=2e-3)
+
     def test_shard_clip_cfg_schedule_matches_unsharded(self):
         """The CFG schedule's cond-only rows under SPMD (the _crow_sh
         constraint) must agree with the single-device segmented path."""

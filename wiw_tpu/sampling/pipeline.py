@@ -260,7 +260,8 @@ class SVDPipeline:
                     for a in (image, actions, past_images, init_latents)]
             latents = fn(params, key, *args[:3], args[3])
             return self._decode_chunked(params, latents, gen,
-                                        out_uint8_hw, out_uint8_hw is not None)
+                                        out_uint8_hw,
+                                        out_uint8_hw is not None, mesh=mesh)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -282,7 +283,8 @@ class SVDPipeline:
             latents = fn(params, key, image, actions, past_images,
                          init_latents)
             return self._decode_chunked(params, latents, gen,
-                                        out_uint8_hw, out_uint8_hw is not None)
+                                        out_uint8_hw,
+                                        out_uint8_hw is not None, mesh=mesh)
         latents = fn(self.params, key, image, actions, past_images,
                      init_latents)
         return self._decode_chunked(self.params, latents, gen,
@@ -498,14 +500,24 @@ class SVDPipeline:
                     fns[kind], carry, (sigmas[s:e], sigmas[s + 1:e + 1]))
         return carry[0] / self.vae_config.scaling_factor
 
-    def _decode_impl(self, size, out_hw, to_u8, params, part):
+    def _decode_impl(self, size, out_hw, to_u8, mesh, params, part):
         """One VAE-decode chunk: [B*size, h, w, 4] -> [B, size, H, W, 3].
 
         `out_hw`/`to_u8` fuse the serving postprocess INTO the decode
         program (VERDICT r4 weak #2: to_uint8 ran on host via np.asarray
         and the worker resized per frame through PIL — at 576x1024x14f
         that is ~26s/step of host time and a 16x larger device->host
-        transfer than the uint8 output-resolution frames)."""
+        transfer than the uint8 output-resolution frames).
+
+        With `mesh`, the leading (frame-group x batch) dim is sharded over
+        EVERY mesh device — the frame-parallel decode used by the mesh /
+        shard_clip paths (_decode_chunked batches all complete chunks into
+        one such call)."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            part = jax.lax.with_sharding_constraint(
+                part, NamedSharding(mesh, P(tuple(mesh.axis_names))))
         dec = self.vae.apply(
             {"params": params["vae"]}, part, size, method=self.vae.decode
         )
@@ -520,17 +532,17 @@ class SVDPipeline:
             vid = jnp.round(vid * 255.0).astype(jnp.uint8)
         return vid
 
-    def _jitted_decode(self, size, out_hw=None, to_u8=False):
-        key = (size, out_hw, to_u8)
+    def _jitted_decode(self, size, out_hw=None, to_u8=False, mesh=None):
+        key = (size, out_hw, to_u8, mesh)
         fn = self._decode_cache.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(
-                self._decode_impl, size, out_hw, to_u8))
+                self._decode_impl, size, out_hw, to_u8, mesh))
             self._decode_cache[key] = fn
         return fn
 
     def _decode_chunked(self, params, latents, gen: GenerationConfig,
-                        out_hw=None, to_u8=False):
+                        out_hw=None, to_u8=False, mesh=None):
         """Chunked VAE decode as SEPARATE compiled calls per chunk.
 
         Decoding inside the denoise program unrolls every chunk into one
@@ -538,11 +550,34 @@ class SVDPipeline:
         ~28 GB of HBM and cannot fit a 16 GB v5e chip. Per-chunk programs
         bound peak memory at one chunk's activations (the reference's
         decode_chunk_size loop has the same effect for CUDA,
-        pipeline:296-309)."""
+        pipeline:296-309).
+
+        With `mesh`, all complete chunks run as ONE program instead: the
+        decoder groups consecutive `chunk` rows into independent temporal
+        units (vae.py Decoder reshapes by num_frames), so batching the
+        chunks is bit-identical to the sequential loop — and the group
+        dim shards over every mesh device, turning the decode tail of the
+        shard_clip latency path from host-serial chunks into one
+        frame-parallel dispatch (per-device memory <= one chunk's
+        activations, same bound as the loop)."""
         B, F, h, w, _ = latents.shape
         chunk = gen.resolved_decode_chunk(
             dtype_bytes=jnp.dtype(self.vae_config.jdtype).itemsize)
         videos = []
+        if mesh is not None and F > chunk:
+            main = (F // chunk) * chunk
+            part = latents[:, :main].reshape(B * main, h, w, 4)
+            out = self._jitted_decode(chunk, out_hw, to_u8, mesh)(
+                params, part)  # [B*main/chunk, chunk, H, W, 3]
+            videos.append(out.reshape(B, main, *out.shape[2:]))
+            if F > main:  # ragged tail chunk (different temporal size)
+                size = F - main
+                part = latents[:, main:].reshape(B * size, h, w, 4)
+                videos.append(
+                    self._jitted_decode(size, out_hw, to_u8, mesh)(
+                        params, part))
+            return videos[0] if len(videos) == 1 else jnp.concatenate(
+                videos, axis=1)
         for start in range(0, F, chunk):
             size = min(chunk, F - start)
             part = latents[:, start : start + size].reshape(
