@@ -313,8 +313,12 @@ def main():
         env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
         raise SystemExit(subprocess.call(
             [sys.executable, "-u", __file__] + sys.argv[1:], env=env))
-    audit(args.dp, args.fsdp, args.height, args.width, args.frames,
-          args.steps, args.cond_only, args.attn)
+    if args.decode:
+        audit_decode(args.dp, args.fsdp, args.height, args.width,
+                     args.frames)
+    else:
+        audit(args.dp, args.fsdp, args.height, args.width, args.frames,
+              args.steps, args.cond_only, args.attn)
 
 
 if __name__ == "__main__":
