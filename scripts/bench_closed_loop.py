@@ -104,6 +104,7 @@ def main():
 
     lat = []
     phase0 = dict(ex.phase_s)
+    solver_phase0 = dict(solver.phase_s)
     for step in range(args.steps):
         t0 = time.time()
         crops = solver.forward_with_WM(datum, st, "/tmp/bench_closed_loop")
@@ -131,6 +132,13 @@ def main():
     }
     attrib["wire+solver_host"] = round(
         mean_lat - sum(attrib.values()), 2)
+    # granular split of the solver-side share (cumulative timers inside
+    # forward_with_WM): 'imagine' overlaps the engine phases above (it is
+    # the wire send + result wait), the rest are pure host work
+    attrib["solver_phases"] = {
+        k: round((solver.phase_s[k] - solver_phase0[k]) / n, 2)
+        for k in solver.phase_s
+    }
     print(json.dumps({
         "metric": "ar_closed_loop_lookahead_latency_s",
         "value": round(mean_lat, 2),

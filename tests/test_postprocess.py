@@ -44,6 +44,23 @@ class TestAlignment:
             cx = (bb["x_min"] + bb["x_max"]) / 2
             assert abs(cx - 8) <= 4, bb
 
+    def test_fused_alignment_warp_bit_equal(self):
+        """aligned_front_crops (roll folded into the gather coords, uint8
+        upload) must be bit-equal to the two-stage host np.roll +
+        equirect_to_perspective path it replaced."""
+        from wiw_tpu.agents.postprocess import front_crop_batch
+        from wiw_tpu.geo.equirect import aligned_front_crops
+
+        rng = np.random.default_rng(0)
+        panos = rng.integers(0, 255, (3, 32, 64, 4), dtype=np.uint8)
+        shifts = np.array([5.0, -20.5, 63.0])
+        shifts_px = np.array([int(round(s)) for s in shifts], np.int32)
+        fused = aligned_front_crops(panos, shifts_px, 90.0, 16, 16)
+        rolled = roll_frames(panos, shifts)
+        ref = front_crop_batch(rolled, 90.0, (16, 16))
+        np.testing.assert_array_equal(
+            np.clip(fused, 0, 255).astype(np.uint8), ref)
+
     def test_all_empty_masks(self):
         rgbs = np.zeros((2, 16, 32, 3), np.uint8)
         masks = np.zeros((2, 1, 16, 32), np.uint8)

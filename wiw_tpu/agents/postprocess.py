@@ -99,17 +99,27 @@ def generate_aligned_bbox_frames(
     cut = nan_idx[0] if len(nan_idx) else len(shifts)
     if cut == 0:
         return None, None
-    rgbs = roll_frames(rgb_frames[:cut], shifts[:cut])
     # normalize masks to 0/255 before warping (reference scales by 255,
     # igenex_util.py:699)
     mask_u8 = (np.transpose(mask_frames[:cut], (0, 2, 3, 1)) > 0).astype(
         np.uint8
     ) * 255
-    masks = roll_frames(mask_u8, shifts[:cut])
-    # one batched warp per clip (front_crop_batch) instead of 2*cut calls
-    crop_batch = front_crop_batch(rgbs, per_hfov, img_size)
-    mcrop_batch = front_crop_batch(masks.astype(np.uint8), per_hfov,
-                                   img_size)
+    from wiw_tpu.geo.equirect import aligned_front_crops
+
+    # ONE fused device dispatch per clip: rgb + mask stacked on the
+    # channel axis (bilinear is per-channel), the per-frame alignment
+    # roll folded into the warp's gather coordinates, uint8 upload.
+    # Bit-equal to the previous roll_frames + front_crop_batch pair
+    # (pinned in test_postprocess.py::test_fused_alignment_warp).
+    shifts_px = np.array([int(round(float(s))) for s in shifts[:cut]],
+                         np.int32)
+    fused = aligned_front_crops(
+        np.concatenate(
+            [rgb_frames[:cut].astype(np.uint8), mask_u8], axis=-1),
+        shifts_px, per_hfov, *img_size,
+    )
+    crop_batch = np.clip(fused[..., :3], 0, 255).astype(np.uint8)
+    mcrop_batch = np.clip(fused[..., 3:], 0, 255).astype(np.uint8)
     crops, bboxes = [], []
     for i in range(cut):
         crop = crop_batch[i]

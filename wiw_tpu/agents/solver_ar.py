@@ -22,6 +22,7 @@ bbox crops are used directly.
 from __future__ import annotations
 
 import random
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -75,6 +76,12 @@ class ARSolver(Solver):
         # re-querying the VLM (use_saved_file arm, solver_AR.py:339-346,
         # :454-457)
         self.use_saved_artifacts = use_saved_artifacts
+        # cumulative host-phase timers for the look-ahead path, read by
+        # scripts/bench_closed_loop.py's attribution table: imagine =
+        # wire + engine wait, masks = bbox/tracker, warp = postprocess
+        # warps, save = crop PNG encode + disk
+        self.phase_s = {"imagine": 0.0, "masks": 0.0, "warp": 0.0,
+                        "save": 0.0}
 
     # ------------------------------------------------------------------
     def recognize(self, st: State, extra_images: List[np.ndarray]) -> tuple:
@@ -364,10 +371,13 @@ class ARSolver(Solver):
                 [ACTION_TEXT["turn_right"]] + [ACTION_TEXT["forward"]] * (n - 1),
             ]
         init_deg, remain_ids, _ = self.get_action_info_from_prior(candidates)
+        _t = time.perf_counter()
         out = self.imagine_by_model_type(candidates, save_dir)
         pred_frames = np.asarray(out["pred_frames"])
+        self.phase_s["imagine"] += time.perf_counter() - _t
         if pred_frames.size == 0:
             return []
+        _t = time.perf_counter()
         pano = self.sim.get_pano()
         pano_W = pano.shape[1]
 
@@ -398,7 +408,9 @@ class ARSolver(Solver):
                 masks = self.propagate_masks(out, frame_bboxes)
         else:
             masks = self.propagate_masks(out, bbox_coords)
+        self.phase_s["masks"] += time.perf_counter() - _t
 
+        _t = time.perf_counter()
         if non_pano:
             per_cand = post_process_output_ar_non_pano(
                 pred_frames, masks, img_size=self.pred_obs_size
@@ -408,6 +420,7 @@ class ARSolver(Solver):
                 pred_frames, masks, per_hfov=self.obs_hfov,
                 img_size=self.pred_obs_size,
             )
+        self.phase_s["warp"] += time.perf_counter() - _t
         # igenex-planner context arm (solver_AR.py:580-600): the merged
         # init-turn + imagined frames, each labeled with its action, are
         # composed into per-candidate strips for the next planner query
@@ -426,6 +439,7 @@ class ARSolver(Solver):
                 st.add_to_recent_state(action_paths,
                                        key=self.imagine_action_key)
 
+        _t = time.perf_counter()
         crops: List[np.ndarray] = []
         pred_save_paths: List[str] = []
         for b, res in enumerate(per_cand):
@@ -446,6 +460,7 @@ class ARSolver(Solver):
         if st.rows:
             st.add_to_recent_state(pred_save_paths,
                                    key=self.imagine_obs_key)
+        self.phase_s["save"] += time.perf_counter() - _t
         return crops
 
     def pick_next_action(self, st: State, datum: Optional[dict] = None,
